@@ -1,0 +1,168 @@
+package graft.lsh
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Sign-random-projection LSH, the reference's sharding function
+  * re-expressed as a deterministic, seeded, persistable model.
+  *
+  * Reference semantics (`sharding/lsh_sharding.py`):
+  *  - per table t: h_t = (R_t · v̂ > 0) ∈ {0,1}^numHashFunctions
+  *    (`lsh_sharding.py:57-74`);
+  *  - bucket = Σ_j bit_j · 2^j mod numHashTables over the table-major
+  *    concatenation of all bits (`lsh_sharding.py:76-96`);
+  *  - multi-probe candidates: primary bucket, then buckets reached by
+  *    flipping the hash bits whose projections sit closest to the
+  *    decision boundary, padded sequentially (`lsh_sharding.py:98-161`).
+  *
+  * Deliberate fixes over the reference (SURVEY §7.5):
+  *  - the reference's projections are *unseeded* and re-fit per process
+  *    (`lsh_sharding.py:20-28`) — here the matrix is derived from a fixed
+  *    seed and persisted with the index, so bucket assignment is stable;
+  *  - the reference L2-normalizes before hashing (`lsh_sharding.py:49-53`)
+  *    — for sign-LSH that is a mathematical no-op (norm > 0 scaling never
+  *    changes the sign; the zero vector maps to bit 0 either way), so we
+  *    hash the raw vector and skip a per-row O(dim) divide;
+  *  - the reference's boundary-bit flip indexes into the wrong table
+  *    (`idx // num_hash_functions` of a per-table 4-vector is always 0,
+  *    `lsh_sharding.py:127`), always perturbing table 0. We flip the bit
+  *    in the table that owns the boundary projection, which is the
+  *    intended multi-probe semantics.
+  */
+final case class LshConfig(
+    numHashFunctions: Int = 4,
+    numHashTables: Int = 3,
+    dim: Int = 64,
+    seed: Long = 42L) {
+  def totalBits: Int = numHashFunctions * numHashTables
+}
+
+final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
+  require(matrix.length == cfg.totalBits && matrix.forall(_.length == cfg.dim))
+
+  /** Number of buckets ( = numHashTables, the reference's modulus). */
+  def numBuckets: Int = cfg.numHashTables
+
+  // -------------------------------------------------------------- spark
+
+  /** Bucket id for an embedding column. Pure Catalyst expression: one
+    * dot product per hash bit against a literal projection row, then the
+    * weighted-bit sum mod numBuckets. No UDF, no shuffle.
+    */
+  def bucketCol(emb: Column): Column = {
+    val weighted = matrix.zipWithIndex.map { case (row, j) =>
+      when(VF.dotLit(emb, row) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    (weighted % cfg.numHashTables).cast("int")
+  }
+
+  // ------------------------------------------------------------- duckdb
+
+  /** DuckDB list literal. Scientific notation forces the lexer to type
+    * each entry DOUBLE (a plain decimal literal would become DECIMAL and
+    * take a lossy-in-corner-cases DECIMAL→DOUBLE cast); 17 significant
+    * digits guarantee an exact double round-trip.
+    */
+  private def rowLit(row: Array[Double]): String =
+    row.map(d => f"$d%.17e").mkString("[", ", ", "]")
+
+  /** DuckDB expression computing the same bucket for a list column. */
+  def bucketSql(emb: String): String = {
+    val terms = matrix.zipWithIndex.map { case (row, j) =>
+      val dotJ = s"list_sum(list_transform(range(1, ${cfg.dim + 1}), i -> " +
+        s"CAST(($emb)[i] AS DOUBLE) * (${rowLit(row)})[i]))"
+      s"(CASE WHEN $dotJ > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"(CAST((${terms.mkString(" + ")}) % ${cfg.numHashTables} AS INT))"
+  }
+
+  // -------------------------------------------------------------- scala
+
+  /** Projections of a (driver-side) vector: one value per hash bit,
+    * table-major order. Sign is scale-invariant, so no normalization.
+    */
+  def project(v: Array[Double]): Array[Double] = matrix.map(VF.dotS(_, v))
+
+  def bits(v: Array[Double]): Array[Int] = project(v).map(p => if (p > 0) 1 else 0)
+
+  def bucketOfBits(bits: Array[Int]): Int = {
+    var sum = 0L
+    var j = 0
+    while (j < bits.length) { sum += bits(j).toLong << j; j += 1 }
+    (sum % cfg.numHashTables).toInt
+  }
+
+  def bucket(v: Array[Double]): Int = bucketOfBits(bits(v))
+
+  /** Multi-probe candidate buckets for a query vector.
+    *
+    * Primary bucket first; then, per table, flip the ≤2 bits whose
+    * |projection| is smallest (closest to the decision boundary) and add
+    * the perturbed bucket; pad with 0,1,2,… until `probes` buckets.
+    * `probes >= numBuckets` degenerates to all buckets (exact search).
+    */
+  def candidates(v: Array[Double], probes: Int): Seq[Int] = {
+    val p = math.max(1, probes)
+    val proj = project(v)
+    val b = proj.map(x => if (x > 0) 1 else 0)
+    val out = scala.collection.mutable.LinkedHashSet[Int](bucketOfBits(b))
+    var t = 0
+    while (t < cfg.numHashTables && out.size < p) {
+      val base = t * cfg.numHashFunctions
+      val order = (0 until cfg.numHashFunctions)
+        .sortBy(j => math.abs(proj(base + j))).take(2)
+      var oi = 0
+      while (oi < order.length && out.size < p) {
+        val j = base + order(oi)
+        val flipped = b.clone()
+        flipped(j) = 1 - flipped(j)
+        out += bucketOfBits(flipped)
+        oi += 1
+      }
+      t += 1
+    }
+    var seq = 0
+    while (out.size < p && seq < cfg.numHashTables) { out += seq; seq += 1 }
+    out.take(p).toSeq
+  }
+
+  // -------------------------------------------------------- persistence
+
+  /** Persist as a tiny JSON file next to the index (SURVEY §7.5: the
+    * reference never persists its projections; we do).
+    */
+  def save(path: String): Unit = {
+    val rows = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val json =
+      s"""{"numHashFunctions":${cfg.numHashFunctions},"numHashTables":${cfg.numHashTables},"dim":${cfg.dim},"seed":${cfg.seed},"matrix":$rows}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}
+
+object LshModel {
+  /** Deterministic model: N(0,1) entries from `java.util.Random(seed)`
+    * in row-major (table-major, then hash-function, then dim) order.
+    */
+  def apply(cfg: LshConfig): LshModel = {
+    val rng = new java.util.Random(cfg.seed)
+    val m = Array.fill(cfg.totalBits)(Array.fill(cfg.dim)(rng.nextGaussian()))
+    new LshModel(cfg, m)
+  }
+
+  def load(path: String): LshModel = {
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    def num(key: String): String = {
+      val i = s.indexOf("\"" + key + "\":") + key.length + 3
+      s.substring(i, s.indexWhere(c => c == ',' || c == '}', i))
+    }
+    val cfg = LshConfig(
+      num("numHashFunctions").trim.toInt, num("numHashTables").trim.toInt,
+      num("dim").trim.toInt, num("seed").trim.toLong)
+    val body = s.substring(s.indexOf("\"matrix\":") + 9).trim.stripSuffix("}")
+    val rows = body.stripPrefix("[").stripSuffix("]")
+      .split("\\],\\[").map(_.replaceAll("[\\[\\]]", ""))
+      .map(_.split(",").map(_.trim.toDouble))
+    new LshModel(cfg, rows)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{DuckSql, VectorFunctions => VF}
+
+/** Similarity-search operators beyond the reference's exact-L2 surface:
+  * brute-force cosine top-k (baseline), cosine near-dup pairs with
+  * blocking, and an IVF-style two-stage ANN (coarse quantize → probe
+  * nearest cells) — the scale path: centroids broadcast, vectors
+  * partitioned by cell, probing prunes all but `nprobe` cells.
+  */
+object EmbeddingQueries {
+
+  /** Cosine near-duplicate threshold (same-label blocking), probed from
+    * the data: ≈ top 0.1% of same-label pair similarities.
+    */
+  val NearDupCos = 0.4
+
+  val all: Seq[Q] = Seq(
+
+    // E1 — brute-force cosine top-10 for query = vec_id 0.
+    Q("e1_ann_cosine_topk",
+      (s, d) => {
+        val q = VectorQueries.qvec(s, d, 0)
+        val qn = VF.normS(q)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            (VF.dotLit(col("embedding"), q) /
+              (VF.safeNorm(col("embedding")) * lit(if (qn == 0.0) 1.0 else qn)))
+              .as("c"))
+          .orderBy(col("c").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("c"), 6).as("cos"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(c, 6) AS cos FROM (
+           |  SELECT e.vec_id AS vec_id,
+           |         (${DuckSql.dot("e.embedding", "q.qe")} /
+           |          (${DuckSql.safeNorm("e.embedding")} * ${DuckSql.safeNorm("q.qe")})) AS c
+           |  FROM embeddings e, q)
+           |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // E2 — embedding-cosine near-dup pairs, blocked by label (the
+    // blocking key is the join/shuffle key; unblocked all-pairs would
+    // be quadratic).
+    Q("e2_embed_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val l = e.select(col("label"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"))
+        val r = e.select(col("label"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"))
+        l.join(r, Seq("label")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            VF.cosine(col("ea"), col("eb")).as("c"))
+          .where(col("c") > NearDupCos)
+          .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""SELECT id_a, id_b, round(c, 6) AS cos FROM (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         (${DuckSql.dot("a.embedding", "b.embedding")} /
+           |          (${DuckSql.safeNorm("a.embedding")} * ${DuckSql.safeNorm("b.embedding")})) AS c
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE c > $NearDupCos ORDER BY id_a, id_b""".stripMargin)),
+
+    // E3 — IVF-style ANN: coarse centroids = embeddings of vec_id 0..15
+    // (deterministic stand-in for a k-means fit); assign each vector to
+    // its nearest cell (broadcast centroids + ranking window); probe the
+    // 2 cells nearest the query; exact top-10 within probed cells.
+    Q("e3_ivf_search",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cd"), col("cid"))
+        val asg = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            VF.l2sq(col("embedding"), col("ce")).as("cd"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        val q = VectorQueries.qvec(s, d, 0)
+        val qcells = cents.collect().map(r =>
+            (r.getLong(0), VF.l2sqS(r.getSeq[Float](1).map(_.toDouble).toArray, q)))
+          .sortBy { case (cid, cd) => (cd, cid) }.take(2).map(_._1)
+        asg.where(col("cid").isin(qcells.map(Long.box): _*))
+          .select(col("vec_id"), VF.l2sqLit(col("embedding"), q).as("dd"))
+          .orderBy(col("dd"), col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("dd"), 6).as("dist"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |asg AS (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${DuckSql.l2sq("e.embedding", "c.ce")}, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN c)
+           |  WHERE rn = 1),
+           |qc AS (
+           |  SELECT cid FROM (
+           |    SELECT c.cid,
+           |           row_number() OVER (ORDER BY ${DuckSql.l2sq("c.ce", "q.qe")}, c.cid) AS rn
+           |    FROM c, q)
+           |  WHERE rn <= 2)
+           |SELECT vec_id, round(dd, 6) AS dist FROM (
+           |  SELECT a.vec_id AS vec_id, ${DuckSql.l2sq("a.embedding", "q.qe")} AS dd
+           |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
+           |ORDER BY dd, vec_id LIMIT 10""".stripMargin))
+  )
+}

@@ -1,0 +1,17 @@
+package graft.queries
+
+/** All declared queries, in stable order. SparkEntry exposes exactly
+  * this inventory to the driver's correctness and bench harnesses.
+  */
+object Registry {
+  val all: Seq[Q] =
+    VectorQueries.all ++
+      RelationalQueries.all ++
+      TextQueries.all ++
+      EmbeddingQueries.all ++
+      MultimodalQueries.all ++
+      StreamingQueries.all
+
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names in registry")
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The engine's general relational surface (SURVEY §2.9 R1–R15) — all
+  * built-in Catalyst operators; correctness is enforced by the DuckDB
+  * oracle, scale posture by plan shape (pushdown, broadcast, partial
+  * aggregation — see the `.explain` review in the test suite).
+  *
+  * Money/measure sums are accumulated as DECIMAL (exact, associative →
+  * partition-order-independent), then cast back to DOUBLE for output;
+  * floating-point accumulation across 100 TB of partitions would make
+  * results nondeterministic between runs and engines.
+  */
+object RelationalQueries {
+
+  private val D = DecimalType(18, 2)
+
+  val all: Seq[Q] = Seq(
+
+    // R1 — scan + filter + project; predicate and columns push into the
+    // parquet scan (PushedFilters / ReadSchema).
+    Q("r1_filter_project",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem WHERE l_quantity > 45
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // R2 — inner equi-join + grouped count. orders⋈customer shuffles on
+    // the join key; at scale both sides hash-partition on custkey.
+    Q("r2_join_agg",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R3 — broadcast join with a small dimension: part broadcasts, no
+    // shuffle of the big fact side.
+    Q("r3_broadcast_join",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R4 — left outer join, keep customers with zero orders.
+    Q("r4_left_join_null",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .where(col("o_orderkey").isNull)
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name
+          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin)),
+
+    // R5 — left semi: customers having at least one order.
+    Q("r5_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // R5b — left anti: customers without orders.
+    Q("r5_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // R6 — TPC-H Q1 shape: partial+final hash aggregation; exact DECIMAL
+    // sums; derived averages as identical double ops on both engines.
+    Q("r6_tpch_q1",
+      (s, d) => Tables.lineitem(s, d)
+        .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("n_rows"), 6))
+        .withColumn("avg_price", round(col("sum_base_price") / col("n_rows"), 6))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS n_rows,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+          |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // R7 — exact distinct aggregation (the approximate HLL twin is
+    // r7_approx_distinct below, rows-only checked).
+    Q("r7_count_distinct",
+      (s, d) => Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_cust")),
+      Some("SELECT count(DISTINCT o_custkey) AS n_cust FROM orders")),
+
+    // R7b — approx_count_distinct (HLL++). Estimates differ per engine →
+    // no hash oracle; ScalaTest bounds the relative error vs exact.
+    Q("r7_approx_distinct",
+      (s, d) => Tables.orders(s, d)
+        .agg(approx_count_distinct(col("o_custkey")).as("n_cust_approx")),
+      None),
+
+    // R8 — rollup with exact sums.
+    Q("r8_rollup",
+      (s, d) => Tables.orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
+
+    // R9 — ranking window: top-3 orders per customer.
+    Q("r9_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    CAST(row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          |  FROM orders)
+          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // R10 — frame window: running sum per customer; DECIMAL inside the
+    // ordered frame keeps it exact and order-stable.
+    Q("r10_window_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("running",
+            sum(col("o_totalprice").cast(D)).over(w).cast("double"))
+          .select("o_custkey", "o_orderkey", "running")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // R11 — global top-N: plans as TakeOrderedAndProject (per-partition
+    // heaps, no full sort).
+    Q("r11_topn",
+      (s, d) => Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+          |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+          |LIMIT 20""".stripMargin)),
+
+    // R12 — set operations on customer-nation vs supplier-nation keys.
+    Q("r12_union",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct().orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+          |UNION SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin)),
+
+    Q("r12_intersect",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+          |INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin)),
+
+    Q("r12_except",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+          |EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin)),
+
+    // R13 — scalar function library: string / date / math.
+    Q("r13_scalar_funcs",
+      (s, d) => Tables.orders(s, d)
+        .where(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          col("o_orderpriority").like("%HIGH%").as("is_high"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("days_since"),
+          round(col("o_totalprice"), 1).as("tp_round"),
+          round(abs(col("o_totalprice") - 250000.0), 2).as("tp_absdev"),
+          round(pow(col("o_totalprice") / 100000.0, 2), 6).as("tp_pow"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+          |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+          |  (o_orderpriority LIKE '%HIGH%') AS is_high,
+          |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+          |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+          |  round(o_totalprice, 1) AS tp_round,
+          |  round(abs(o_totalprice - 250000.0), 2) AS tp_absdev,
+          |  round(power(o_totalprice / 100000.0, 2), 6) AS tp_pow
+          |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // R13b — array functions over embeddings.
+    Q("r13_array_funcs",
+      (s, d) => Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("esum"),
+          size(filter(col("embedding"), x => x > 0.0f)).cast("long").as("n_pos"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+          |  len(embedding) AS n_dim,
+          |  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+          |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS esum,
+          |  len(list_filter(embedding, x -> x > 0.0)) AS n_pos
+          |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // R13c — JSON extraction over events.props, grouped by event_type;
+    // BIGINT sum is exact on both engines.
+    Q("r13_json_funcs",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R14 — tumbling 1-hour buckets over the nanosecond event time
+    // (batch sessionization-lite; the streaming twin is s1).
+    Q("r14_events_tumble",
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"),
+          expr("ts div 3600000000000").as("hour_bucket"),
+          col("value"))
+        .groupBy("user_id", "hour_bucket")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy("user_id", "hour_bucket"),
+      Some("""SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+          |  count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // R15 — range join: per event, how many other events of the same
+    // user fall within ±1 hour. Equi-join on user_id carries the shuffle;
+    // the range predicate is a post-join filter — scalable (partition by
+    // user), no cartesian.
+    Q("r15_range_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.select(col("event_id"), col("user_id"), col("ts"))
+        val b = e.select(col("event_id").as("b_event_id"),
+          col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+        a.join(b,
+            col("user_id") === col("b_user_id") &&
+              col("b_ts") >= col("ts") - lit(3600000000000L) &&
+              col("b_ts") <= col("ts") + lit(3600000000000L) &&
+              col("event_id") =!= col("b_event_id"),
+            "left")
+          .groupBy("event_id")
+          .agg(count(col("b_event_id")).as("n_nearby"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id AS event_id, count(b.event_id) AS n_nearby
+          |FROM events a LEFT JOIN events b
+          |  ON a.user_id = b.user_id
+          |  AND epoch_ns(b.ts) >= epoch_ns(a.ts) - 3600000000000
+          |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
+          |  AND a.event_id <> b.event_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

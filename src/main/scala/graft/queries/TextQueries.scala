@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface (north star in BASELINE.json):
+  * exact dedup, MinHash+LSH candidate pairs, SimHash, n-gram Jaccard,
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * Every operator is a declarative plan over built-in functions / HOFs
+  * (no UDFs): shuffles only on group/join keys, so each scales by
+  * partitioning on those keys.
+  */
+object TextQueries {
+  import TF.P
+
+  /** MinHash parameters: 8 hash functions (a_j·x + b_j mod P), banded
+    * 2 rows × 4 bands for the LSH candidate join.
+    */
+  val A: Seq[Long] = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+  val B: Seq[Long] = Seq(23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L)
+  val Bands = 4
+
+  /** Word-trigram shingle hashes from per-word hashes: shingle_i =
+    * (((wh_i*31 + wh_{i+1}) % P)*31 + wh_{i+2}) % P. Docs with <3 words
+    * fall back to their word hashes.
+    */
+  private def shingleHashes = {
+    val wh = col("wh")
+    when(size(wh) >= 3,
+      transform(sequence(lit(1), size(wh) - 2), i =>
+        (((element_at(wh, i) * 31 + element_at(wh, i + 1)) % P) * 31 +
+          element_at(wh, i + 2)) % P))
+      .otherwise(wh)
+  }
+
+  private val shingleHashesSql: String = {
+    val wh = "wh"
+    s"(CASE WHEN len($wh) >= 3 THEN " +
+      s"list_transform(range(1, len($wh)-1), i -> " +
+      s"((($wh[i]*31 + $wh[i+1]) % $P)*31 + $wh[i+2]) % $P) " +
+      s"ELSE $wh END)"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // D1 — exact deduplication: hash-groupBy on md5(text); one
+    // representative (min doc_id) per group. Scales as a single hash
+    // aggregation on the digest.
+    Q("d1_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .orderBy("h"),
+      Some("""SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D2 — token counting: whitespace tokens + a BPE-ish regex token
+    // count (runs of alphanumerics, or single non-space symbols).
+    Q("d2_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TF.words(col("text"))).cast("long").as("n_ws_tokens"),
+          regexp_count(col("text"),
+            lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_re_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          |  len(string_split(text, ' ')) AS n_ws_tokens,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // D3 — quality scoring: length/stopword/word-shape heuristics.
+    Q("d3_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", TF.words(col("text")))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("w")).cast("long").as("n_words"),
+          size(filter(col("w"), w =>
+            w.isInCollection(Seq("the", "a", "of", "and", "to"))))
+            .cast("long").as("n_stop"))
+        .withColumn("avg_word_len",
+          round(col("n_chars").cast("double") / col("n_words"), 6))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_words"), 6))
+        .withColumn("quality",
+          when(col("n_words").between(20, 1000) &&
+            col("n_stop").cast("double") / col("n_words") > 0.05, "good")
+            .otherwise("low"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, n_words, n_stop,
+          |  round(CAST(n_chars AS DOUBLE) / n_words, 6) AS avg_word_len,
+          |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+          |  CASE WHEN n_words BETWEEN 20 AND 1000
+          |        AND CAST(n_stop AS DOUBLE) / n_words > 0.05
+          |       THEN 'good' ELSE 'low' END AS quality
+          |FROM (SELECT doc_id, n_chars,
+          |        len(string_split(text, ' ')) AS n_words,
+          |        len(list_filter(string_split(text, ' '),
+          |          w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // D4 — language identification: marker-word / CJK-character counts,
+    // deterministic argmax. (On the synthetic corpus most docs resolve
+    // to 'en'; the operator's contract is the deterministic heuristic.)
+    Q("d4_lang_id",
+      (s, d) => {
+        def cnt(ws: Seq[String]) =
+          size(filter(col("w"), w => w.isInCollection(ws))).cast("long")
+        Tables.documents(s, d)
+          .withColumn("w", TF.words(col("text")))
+          .select(col("doc_id"),
+            cnt(Seq("the", "a", "of")).as("c_en"),
+            cnt(Seq("der", "die", "und")).as("c_de"),
+            cnt(Seq("el", "la", "que")).as("c_es"),
+            cnt(Seq("le", "les", "est")).as("c_fr"),
+            regexp_count(col("text"),
+              lit("[\\x{4e00}-\\x{9fff}]")).cast("long").as("c_zh"))
+          .withColumn("pred_lang",
+            when(col("c_zh") > 0 && col("c_zh") >= col("c_en") &&
+              col("c_zh") >= col("c_de") && col("c_zh") >= col("c_es") &&
+              col("c_zh") >= col("c_fr"), "zh")
+              .when(col("c_en") > 0 && col("c_en") >= col("c_de") &&
+                col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+              .when(col("c_de") > 0 && col("c_de") >= col("c_es") &&
+                col("c_de") >= col("c_fr"), "de")
+              .when(col("c_es") > 0 && col("c_es") >= col("c_fr"), "es")
+              .when(col("c_fr") > 0, "fr")
+              .otherwise("unknown"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, c_en, c_de, c_es, c_fr, c_zh,
+          |  CASE WHEN c_zh > 0 AND c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_es AND c_zh >= c_fr THEN 'zh'
+          |       WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+          |       WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+          |       WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+          |       WHEN c_fr > 0 THEN 'fr'
+          |       ELSE 'unknown' END AS pred_lang
+          |FROM (SELECT doc_id,
+          |        len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS c_en,
+          |        len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS c_de,
+          |        len(list_filter(string_split(text,' '), w -> w IN ('el','la','que'))) AS c_es,
+          |        len(list_filter(string_split(text,' '), w -> w IN ('le','les','est'))) AS c_fr,
+          |        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS c_zh
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // D5 — document fingerprint: rolling polynomial hash of the first
+    // 256 characters (SURVEY north-star "document fingerprinting").
+    Q("d5_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TF.charPolyHash(substring(col("text"), 1, 256)).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${TF.charPolyHashSql("substr(text, 1, 256)")} AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // M1 — MinHash + LSH banding: shingle → 8 minhashes → 4 bands of 2
+    // → candidate pairs sharing a band bucket. The candidate join is an
+    // equi-join on (band_idx, band_value): at 100 TB this is the
+    // standard shuffle-bounded near-dup candidate generation.
+    Q("m1_minhash_pairs",
+      (s, d) => {
+        val sig = Tables.documents(s, d)
+          .withColumn("wh", TF.wordHashes(col("text")))
+          .withColumn("shs", shingleHashes)
+          .select(col("doc_id") +:
+            (0 until 8).map(j =>
+              array_min(transform(col("shs"),
+                x => (lit(A(j)) * x + lit(B(j))) % P)).as(s"mh$j")): _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until Bands).map(bi =>
+            struct(lit(bi).as("band_idx"),
+              (col(s"mh${2 * bi}") * P + col(s"mh${2 * bi + 1}")).as("bv"))): _*))
+            .as("b"))
+          .select(col("doc_id"), col("b.band_idx"), col("b.bv"))
+        val l = bands.select(col("band_idx"), col("bv"), col("doc_id").as("id_a"))
+        val r = bands.select(col("band_idx"), col("bv"), col("doc_id").as("id_b"))
+        l.join(r, Seq("band_idx", "bv"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct().orderBy("id_a", "id_b")
+      },
+      Some {
+        val mhCols = (0 until 8).map(j =>
+          s"list_min(list_transform(shs, x -> (${A(j)}*x + ${B(j)}) % $P)) AS mh$j").mkString(",\n        ")
+        val bandRows = (0 until Bands).map(bi =>
+          s"SELECT doc_id, $bi AS band_idx, mh${2 * bi}*$P + mh${2 * bi + 1} AS bv FROM sig").mkString("\n  UNION ALL ")
+        s"""WITH wh AS (SELECT doc_id, ${TF.wordHashesSql("text")} AS wh FROM documents),
+           |sh AS (SELECT doc_id, $shingleHashesSql AS shs FROM wh),
+           |sig AS (SELECT doc_id,
+           |        $mhCols
+           |        FROM sh),
+           |bands AS (
+           |  $bandRows)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // M2 — SimHash (16-bit, word-frequency weighted): fingerprints…
+    Q("m2_simhash",
+      (s, d) => {
+        val fp = (0 until 16).map { b =>
+          val bitSum = aggregate(col("wh"), lit(0L), (acc, h) =>
+            acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+          when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        Tables.documents(s, d)
+          .withColumn("wh", TF.wordHashes(col("text")))
+          .select(col("doc_id"), fp.as("fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val fpSql = (0 until 16).map { b =>
+          s"(CASE WHEN list_sum(list_transform(wh, h -> CASE WHEN (h & ${1L << b}) <> 0 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT doc_id, CAST($fpSql AS BIGINT) AS fp
+           |FROM (SELECT doc_id, ${TF.wordHashesSql("text")} AS wh FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // M2b — …and near-dup pairs at Hamming distance ≤ 2 over them.
+    Q("m2_simhash_pairs",
+      (s, d) => {
+        val fps = all.find(_.name == "m2_simhash").get.run(s, d)
+        val l = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+        val r = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+        l.join(r, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hd"))
+          .where(col("hd") <= 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val fpSql = (0 until 16).map { b =>
+          s"(CASE WHEN list_sum(list_transform(wh, h -> CASE WHEN (h & ${1L << b}) <> 0 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH f AS (
+           |  SELECT doc_id, CAST($fpSql AS BIGINT) AS fp
+           |  FROM (SELECT doc_id, ${TF.wordHashesSql("text")} AS wh FROM documents))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hd
+           |FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.fp, b.fp)) <= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // M3 — n-gram Jaccard near-dup: word-trigram shingle sets, blocked
+    // by (lang, source) — the blocking keys bound the pair explosion;
+    // at scale the block key is the shuffle partition key.
+    Q("m3_ngram_jaccard",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("w", TF.words(col("text")))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(transform(sequence(lit(1), size(col("w")) - 2), i =>
+              concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2)))).as("sh"))
+        val l = sh.select(col("lang"), col("source"),
+          col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val r = sh.select(col("lang"), col("source"),
+          col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        l.join(r, Seq("lang", "source"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("jac", col("inter") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          .where(col("jac") >= 0.2)
+          .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH s AS (
+          |  SELECT doc_id, lang, source,
+          |    list_distinct(list_transform(range(1, len(w)-1),
+          |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents)
+          |  WHERE len(w) >= 3)
+          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |      (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac
+          |  FROM s a JOIN s b
+          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+          |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin))
+  )
+}

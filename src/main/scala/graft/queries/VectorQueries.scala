@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{DuckSql, VectorFunctions => VF}
+import graft.lsh.{LshConfig, LshModel}
+import graft.store.VectorStore
+
+/** The reference's own query surface (SURVEY §2.9 V1–V7 plus pruned
+  * search and stats), expressed as declarative DataFrame plans.
+  *
+  * Flagship shape (reference `POST /search`,
+  * `coordinator/coordinator.py:132-254`): scan → squared-L2 distance →
+  * global top-k, which Spark plans as per-partition heap top-k +
+  * driver merge (`TakeOrderedAndProject`) — structurally identical to
+  * the reference's per-shard FAISS top-k + coordinator merge.
+  */
+object VectorQueries {
+
+  /** Seeded LSH model shared by engine and oracle (testdata dim = 64). */
+  val model: LshModel = LshModel(LshConfig(numHashFunctions = 4,
+    numHashTables = 3, dim = 64, seed = 42L))
+
+  /** Near-duplicate squared-L2 threshold (~0.1% of pair distances at
+    * sf0.01, probed from the data).
+    */
+  val NearDupL2: Double = 1.25
+
+  /** Driver-side query vector: the embedding of a fixed vec_id. This is
+    * how the reference derives queries too (query-by-stored-image); both
+    * engines read the same parquet values so no literal drift.
+    */
+  def qvec(spark: SparkSession, dir: String, vecId: Long): Array[Double] =
+    Tables.embeddings(spark, dir).where(col("vec_id") === vecId)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+
+  private def knn(emb: DataFrame, q: Array[Double], k: Int): DataFrame =
+    emb.select(col("vec_id"), VF.l2sqLit(col("embedding"), q).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(math.max(1, k))
+      .select(col("vec_id"), round(col("d"), 6).as("dist"))
+
+  private def knnOracle(k: Int, where: String = "TRUE"): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(d, 6) AS dist FROM (
+       |  SELECT e.vec_id AS vec_id, ${DuckSql.l2sq("e.embedding", "q.qe")} AS d
+       |  FROM embeddings e, q WHERE $where)
+       |ORDER BY d, vec_id LIMIT $k""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // V1 — flagship exact kNN, k=10, query = vec_id 0's embedding.
+    Q("v1_knn",
+      (s, d) => knn(Tables.embeddings(s, d), qvec(s, d, 0), 10),
+      Some(knnOracle(10))),
+
+    // V2 — k far beyond table size: k-clamp returns all rows
+    // (reference `shard_node.py:118-120`).
+    Q("v2_knn_clamp",
+      (s, d) => knn(Tables.embeddings(s, d), qvec(s, d, 0), 1000000),
+      Some(knnOracle(1000000))),
+
+    // V3 — kNN over an empty relation: empty result, no error
+    // (reference `shard_node.py:122-124`).
+    Q("v3_knn_empty",
+      (s, d) => knn(Tables.embeddings(s, d).where(col("vec_id") < 0),
+        qvec(s, d, 0), 10),
+      Some(knnOracle(10, where = "e.vec_id < 0"))),
+
+    // V4 — cosine-equivalent kNN: L2 top-k over L2-normalized vectors
+    // (reference normalizes pre-hash, `lsh_sharding.py:49-53`).
+    Q("v4_cosine_knn",
+      (s, d) => {
+        val qn = VF.l2normalizeS(qvec(s, d, 0))
+        Tables.embeddings(s, d)
+          .withColumn("nrm", VF.safeNorm(col("embedding")))
+          .select(col("vec_id"),
+            VF.l2sq(VF.l2normalize(col("embedding"), col("nrm")),
+              typedLit(qn)).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("d"), 6).as("dist"))
+      },
+      Some(s"""WITH en AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS ne
+           |  FROM (SELECT vec_id, embedding, ${DuckSql.safeNorm("embedding")} AS n FROM embeddings)),
+           |qn AS (SELECT ne AS qe FROM en WHERE vec_id = 0)
+           |SELECT vec_id, round(d, 6) AS dist FROM (
+           |  SELECT en.vec_id AS vec_id, ${DuckSql.l2sq("en.ne", "qn.qe")} AS d FROM en, qn)
+           |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
+    // V5 — LSH bucket histogram under the persisted seeded projection
+    // matrix (reference P2/P3, `lsh_sharding.py:163-190`).
+    Q("v5_lsh_hist",
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("bucket", model.bucketCol(col("embedding")))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+      Some(s"""SELECT ${model.bucketSql("embedding")} AS bucket, count(*) AS cnt
+           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // V6 — batch kNN: 5 fixed queries × top-5 neighbors (excluding
+    // self), via broadcast crossJoin + ranking window (reference runs Q3
+    // per query, `visualize_results.py:157-178`).
+    Q("v6_batch_knn",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("d"), col("vec_id"))
+        emb.crossJoin(broadcast(qs))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            VF.l2sq(col("embedding"), col("qe")).as("d"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            round(col("d"), 6).as("dist"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH p AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           |         ${DuckSql.l2sq("e.embedding", "q.embedding")} AS d
+           |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+           |  WHERE e.vec_id <> q.vec_id),
+           |r AS (SELECT query_id, vec_id, d,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INT) AS rank
+           |      FROM p)
+           |SELECT query_id, rank, vec_id, round(d, 6) AS dist
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // V7 — near-duplicate pairs inside the same LSH bucket (the dedup
+    // primitive): equi-join on bucket (shuffle-partitioned, scalable),
+    // then distance filter.
+    Q("v7_neardup_pairs",
+      (s, d) => {
+        val b = Tables.embeddings(s, d)
+          .withColumn("bucket", model.bucketCol(col("embedding")))
+        val l = b.select(col("bucket"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"))
+        val r = b.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"))
+        l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            VF.l2sq(col("ea"), col("eb")).as("d"))
+          .where(col("d") < NearDupL2)
+          .select(col("id_a"), col("id_b"), round(col("d"), 6).as("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${model.bucketSql("embedding")} AS bucket FROM embeddings)
+           |SELECT id_a, id_b, round(d, 6) AS dist FROM (
+           |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           |         ${DuckSql.l2sq("a.embedding", "bb.embedding")} AS d
+           |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+           |WHERE d < $NearDupL2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // V8 — multi-probe pruned kNN (reference Q1: probes=2 of 3 buckets,
+    // `lsh_sharding.py:98-161`). Approximate by design → no SQL oracle;
+    // recall properties are covered by ScalaTest instead.
+    Q("v8_pruned_knn",
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        val cands = model.candidates(q, probes = 2)
+        knn(Tables.embeddings(s, d)
+          .withColumn("bucket", model.bucketCol(col("embedding")))
+          .where(col("bucket").isin(cands.map(Int.box): _*)), q, 10)
+      },
+      None),
+
+    // V10 — per-bucket stats + imbalance factor (reference /stats fan-out
+    // and shard-distribution analysis, SURVEY §2.6 A3–A5).
+    Q("v10_stats",
+      (s, d) => VectorStore.statsOf(
+        Tables.embeddings(s, d)
+          .withColumn("bucket", model.bucketCol(col("embedding"))), 64),
+      Some(s"""WITH c AS (
+           |  SELECT bucket, count(*) AS cnt FROM
+           |    (SELECT ${model.bucketSql("embedding")} AS bucket FROM embeddings)
+           |  GROUP BY 1)
+           |SELECT bucket, cnt,
+           |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (), 6) AS pct,
+           |  round(cnt * ${64 * 4 + 8} / 1048576.0, 6) AS memory_mb,
+           |  round(CAST(max(cnt) OVER () - min(cnt) OVER () AS DOUBLE) / avg(cnt) OVER (), 6) AS imbalance
+           |FROM c ORDER BY bucket""".stripMargin))
+  )
+}

@@ -1,0 +1,108 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+import graft.lsh.{LshConfig, LshModel}
+
+/** Spark-native facade over the reference's coordinator+shard API
+  * (SURVEY §2.7): `add` (ingest + LSH bucketing), `search` (pruned or
+  * exact kNN), `stats` (per-bucket statistics).
+  *
+  * The "index" is a bucket-partitioned parquet table plus the persisted
+  * seeded projection matrix: index build = normalize-free LSH bucket
+  * assignment + `partitionBy("bucket")` write (the shuffle *is* the
+  * reference's scatter, SURVEY §3.2); search = partition-pruned scan +
+  * distance + `TakeOrderedAndProject` top-k (the per-partition heap +
+  * driver merge is structurally the reference's scatter-gather,
+  * `coordinator/coordinator.py:210-249`).
+  *
+  * Semantics preserved from the reference:
+  *  - k <= 0 is clamped to 1 (`coordinator/coordinator.py:144-147`);
+  *  - k > table size returns all rows (`shard/shard_node.py:118-120`);
+  *  - empty index → empty result, no error (`shard/shard_node.py:122-124`);
+  *  - distance is squared L2 (`shard/shard_node.py:127`), ties broken by
+  *    id for determinism (the reference's argsort tie order is
+  *    unspecified).
+  */
+final class VectorStore(
+    spark: SparkSession,
+    val path: String,
+    val model: LshModel) {
+
+  def indexDf: DataFrame = spark.read.parquet(path)
+
+  /** Append vectors (id, embedding) into the bucketed index table. */
+  def add(df: DataFrame, idCol: String = "id", embCol: String = "embedding"): Unit =
+    VectorStore.bucketize(df, model, idCol, embCol)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
+  /** kNN over the persisted index. `probes >= numBuckets` = exact. */
+  def search(q: Array[Double], k: Int, probes: Int = 2): DataFrame =
+    VectorStore.searchIn(indexDf.where(pruneFilter(q, probes)), q, k)
+
+  def pruneFilter(q: Array[Double], probes: Int): Column =
+    if (probes >= model.numBuckets) lit(true)
+    else col("bucket").isin(model.candidates(q, probes).map(Int.box): _*)
+
+  /** Per-bucket stats (reference `/stats` fan-out + shard-distribution
+    * analysis, SURVEY §2.6 A3–A5).
+    */
+  def stats(): DataFrame = VectorStore.statsOf(indexDf, model.cfg.dim)
+}
+
+object VectorStore {
+
+  /** Assign the LSH bucket column. Narrow, shuffle-free. */
+  def bucketize(df: DataFrame, model: LshModel,
+                idCol: String = "id", embCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
+      .withColumn("bucket", model.bucketCol(col("embedding")))
+
+  /** Exact kNN on any (id, embedding) frame: distance + global top-k.
+    * Plans as scan → WSCG distance → TakeOrderedAndProject: each
+    * partition keeps a k-heap, the driver merges — no full sort, no
+    * shuffle of the data.
+    */
+  def searchIn(df: DataFrame, q: Array[Double], k: Int,
+               idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val kk = math.max(1, k) // reference k-clamp: k<=0 → 1
+    df.select(col(idCol).as("id"),
+        VF.l2sqLit(col(embCol), q).as("dist"))
+      .orderBy(col("dist"), col("id"))
+      .limit(kk)
+  }
+
+  /** Build a store: write bucketed parquet + persist the model. */
+  def build(spark: SparkSession, df: DataFrame, path: String,
+            cfg: LshConfig, idCol: String = "id",
+            embCol: String = "embedding"): VectorStore = {
+    val model = LshModel(cfg)
+    bucketize(df, model, idCol, embCol)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    model.save(s"$path/_lsh_model.json")
+    new VectorStore(spark, path, model)
+  }
+
+  def open(spark: SparkSession, path: String): VectorStore =
+    new VectorStore(spark, path, LshModel.load(s"$path/_lsh_model.json"))
+
+  /** Reference stats record as a DataFrame: per-bucket count, share of
+    * total, estimated memory (ntotal·(dim·4+8) bytes,
+    * `shard/shard_node.py:153-159`), plus the global imbalance factor
+    * (max−min)/avg (`performance_analysis.py:224-235`).
+    */
+  def statsOf(indexDf: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    indexDf.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(col("cnt").cast("double") / sum("cnt").over(w), 6))
+      .withColumn("memory_mb",
+        round(col("cnt") * (dim.toLong * 4 + 8) / lit(1048576.0), 6))
+      .withColumn("imbalance",
+        round((max("cnt").over(w) - min("cnt").over(w)).cast("double") /
+          avg("cnt").over(w), 6))
+      .orderBy("bucket")
+  }
+}
