@@ -1,0 +1,212 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst kernels for the vector hot path.
+  *
+  * The HOF forms (`aggregate(zip_with(...))`) are semantically right but
+  * evaluate an interpreted expression tree per *element* — at sf0.1 the
+  * kNN/near-dup queries spent >80% of wall-clock there. These
+  * expressions evaluate one tight loop per *row* and participate in
+  * whole-stage codegen (`doGenCode` emits the Java loop), which is the
+  * posture that survives a 100-TB scan.
+  *
+  * Numeric contract (must stay bit-identical to the DuckDB oracle and
+  * to the HOF forms they replace): elements are widened to double, the
+  * accumulator is a double, iteration is ascending index — the same
+  * left-to-right fold as `aggregate(...)` / DuckDB `list_sum(...)`.
+  *
+  * Inputs are `ArrayType(FloatType|DoubleType)` with non-null elements
+  * (the embeddings schema); unequal lengths fold over the common prefix.
+  */
+trait VecExprHelpers { self: Expression =>
+  protected def elemPrim(dt: DataType): String = dt match {
+    case ArrayType(FloatType, _)  => "Float"
+    case ArrayType(DoubleType, _) => "Double"
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
+  }
+  protected def getter(dt: DataType, arr: String, i: String): String =
+    s"((double) $arr.get${elemPrim(dt)}($i))"
+  protected def isFloat(dt: DataType): Boolean =
+    dt.asInstanceOf[ArrayType].elementType == FloatType
+  @inline protected final def elem(a: ArrayData, i: Int, float: Boolean): Double =
+    if (float) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+abstract class VecBinaryFold extends BinaryExpression with VecExprHelpers {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Java source for one loop step: updates `acc` from `x` and `y`. */
+  protected def stepJava(acc: String, x: String, y: String): String
+  protected def stepEval(acc: Double, x: Double, y: Double): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc = stepEval(acc, elem(a, i, lf), elem(b, i, rf))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(left.dataType, a, i)};
+         |  double $y = ${getter(right.dataType, b, i)};
+         |  ${stepJava(acc, x, y)}
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
+/** Dot product: Σ aᵢ·bᵢ. */
+case class VecDot(left: Expression, right: Expression) extends VecBinaryFold {
+  override protected def stepJava(acc: String, x: String, y: String): String =
+    s"$acc += $x * $y;"
+  override protected def stepEval(acc: Double, x: Double, y: Double): Double =
+    acc + x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+/** Squared L2 distance (FAISS FlatL2 convention): Σ (aᵢ−bᵢ)². */
+case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryFold {
+  override protected def stepJava(acc: String, x: String, y: String): String =
+    s"double d = $x - $y; $acc += d * d;"
+  override protected def stepEval(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y; acc + d * d
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_l2sq"
+}
+
+/** L2 norm; with `safe` the reference's zero-norm rule (0 → 1.0,
+  * `lsh_sharding.py:52`) is applied, making it a direct divisor.
+  */
+case class VecNorm(child: Expression, safe: Boolean)
+    extends UnaryExpression with VecExprHelpers {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val f = isFloat(child.dataType)
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = elem(a, i, f); acc += x * x; i += 1 }
+    val nrm = math.sqrt(acc)
+    if (safe && nrm == 0.0) 1.0 else nrm
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val nrm = ctx.freshName("nrm")
+      val fix = if (safe) s"if ($nrm == 0.0) $nrm = 1.0;" else ""
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(child.dataType, a, i)};
+         |  $acc += $x * $x;
+         |}
+         |double $nrm = java.lang.Math.sqrt($acc);
+         |$fix
+         |${ev.value} = $nrm;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+  override def prettyName: String = if (safe) "vec_safe_norm" else "vec_norm"
+}
+
+/** L2-normalize to array<double> with the zero-norm rule: two passes,
+  * norm then divide — the same op sequence as the oracle SQL.
+  */
+case class VecL2Normalize(child: Expression)
+    extends UnaryExpression with VecExprHelpers with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val f = isFloat(child.dataType)
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = elem(a, i, f); acc += x * x; i += 1 }
+    val nrm0 = math.sqrt(acc)
+    val nrm = if (nrm0 == 0.0) 1.0 else nrm0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = elem(a, i, f) / nrm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecL2Normalize =
+    copy(child = c)
+  override def prettyName: String = "vec_l2normalize"
+}
+
+/** Sign-random-projection LSH bucket: bit_j = (row_j · v > 0), bucket =
+  * (Σ bit_j·2^j) mod numBuckets. One fused pass over all projection
+  * rows; runs once per row at index-build/group time.
+  */
+case class VecLshBucket(child: Expression, matrix: Array[Array[Double]],
+    numBuckets: Int)
+    extends UnaryExpression with VecExprHelpers with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val f = isFloat(child.dataType)
+    val n = a.numElements()
+    var sum = 0L
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      val m = math.min(n, row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += elem(a, i, f) * row(i); i += 1 }
+      if (acc > 0.0) sum += 1L << j
+      j += 1
+    }
+    (sum % numBuckets).toInt
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecLshBucket =
+    copy(child = c)
+  override def prettyName: String = "vec_lsh_bucket"
+}

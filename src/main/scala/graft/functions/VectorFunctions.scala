@@ -22,39 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  import graft.expressions.{VecDot, VecL2Normalize, VecL2Sq, VecNorm}
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(c)
+
   /** Dot product of two float-array columns, accumulated in Double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = toCol(VecDot(ex(a), ex(b)))
 
   /** Squared L2 distance (FAISS FlatL2 convention) between two arrays. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+  def l2sq(a: Column, b: Column): Column = toCol(VecL2Sq(ex(a), ex(b)))
 
   /** L2 norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = toCol(VecNorm(ex(a), safe = false))
 
   /** Norm with the reference's zero-vector rule: norm 0 → divisor 1.0. */
-  def safeNorm(a: Column): Column = {
-    val n = norm(a)
-    when(n === 0.0, lit(1.0)).otherwise(n)
-  }
+  def safeNorm(a: Column): Column = toCol(VecNorm(ex(a), safe = true))
 
-  /** L2-normalize using a pre-computed divisor column.
-    *
-    * Preferred form: compute `safeNorm` once into a column and pass it
-    * here, so normalization is O(dim) per row instead of O(dim²).
-    */
-  def l2normalize(a: Column, divisor: Column): Column =
-    transform(a, x => x.cast("double") / divisor)
-
-  /** Convenience O(dim²) form for tests / tiny dims. */
-  def l2normalize(a: Column): Column = l2normalize(a, safeNorm(a))
+  /** L2-normalize to array<double> (zero vector maps to itself). */
+  def l2normalize(a: Column): Column = toCol(VecL2Normalize(ex(a)))
 
   /** Cosine similarity; zero-norm vectors get similarity 0 via the
     * safe-norm rule (divisor 1.0 keeps the numerator 0).

@@ -46,16 +46,15 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
 
   // -------------------------------------------------------------- spark
 
-  /** Bucket id for an embedding column. Pure Catalyst expression: one
-    * dot product per hash bit against a literal projection row, then the
-    * weighted-bit sum mod numBuckets. No UDF, no shuffle.
+  /** Bucket id for an embedding column: a native Catalyst expression
+    * fusing all projection dots into one pass per row (no UDF, no
+    * shuffle, serialized matrix travels with the plan).
     */
-  def bucketCol(emb: Column): Column = {
-    val weighted = matrix.zipWithIndex.map { case (row, j) =>
-      when(VF.dotLit(emb, row) > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    (weighted % cfg.numHashTables).cast("int")
-  }
+  def bucketCol(emb: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.VecLshBucket(
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb),
+        matrix, cfg.numHashTables))
 
   // ------------------------------------------------------------- duckdb
 

@@ -74,10 +74,8 @@ object VectorQueries {
       (s, d) => {
         val qn = VF.l2normalizeS(qvec(s, d, 0))
         Tables.embeddings(s, d)
-          .withColumn("nrm", VF.safeNorm(col("embedding")))
           .select(col("vec_id"),
-            VF.l2sq(VF.l2normalize(col("embedding"), col("nrm")),
-              typedLit(qn)).as("d"))
+            VF.l2sq(VF.l2normalize(col("embedding")), typedLit(qn)).as("d"))
           .orderBy(col("d"), col("vec_id")).limit(10)
           .select(col("vec_id"), round(col("d"), 6).as("dist"))
       },

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lsh.LshConfig
+import graft.store.VectorStore
+import graft.queries.VectorQueries
+
+class VectorStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val store: VectorStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    VectorStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index", LshConfig(dim = 64, seed = 42L))
+  }
+
+  private lazy val q: Array[Double] = VectorQueries.qvec(spark, TestSpark.sf, 0)
+
+  test("build persists model + bucketed partitions, reopen works") {
+    val reopened = VectorStore.open(spark, store.path)
+    assert(reopened.model.matrix.flatten.toSeq ==
+      store.model.matrix.flatten.toSeq)
+    assert(store.indexDf.columns.toSet == Set("id", "embedding", "bucket"))
+    assert(store.indexDf.count() == 500)
+  }
+
+  test("exact search returns k ascending, ties by id, self first") {
+    val r = store.search(q, 10, probes = 3).collect()
+    assert(r.length == 10)
+    assert(r.head.getLong(0) == 0L && r.head.getDouble(1) == 0.0)
+    val dists = r.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted)
+  }
+
+  test("k-clamp: k<=0 behaves as k=1 (coordinator.py:144-147)") {
+    assert(store.search(q, 0, probes = 3).count() == 1)
+    assert(store.search(q, -5, probes = 3).count() == 1)
+  }
+
+  test("k > ntotal returns all rows (shard_node.py:118-120)") {
+    assert(store.search(q, 10000, probes = 3).count() == 500)
+  }
+
+  test("empty index returns empty, no error (shard_node.py:122-124)") {
+    val r = VectorStore.searchIn(
+      store.indexDf.where(lit(false)), q, 10)
+    assert(r.count() == 0)
+  }
+
+  test("pruned results are a subset of exact; probes=all equals exact") {
+    val exact = store.search(q, 20, probes = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = store.search(q, 500, probes = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val pruned = store.search(q, 20, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned.toSet.subsetOf(full))
+    val exactAgain = store.search(q, 20, probes = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact == exactAgain)
+  }
+
+  test("kNN(k) is a prefix of kNN(k+5)") {
+    val k10 = store.search(q, 10, probes = 3).collect().map(_.getLong(0)).toSeq
+    val k15 = store.search(q, 15, probes = 3).collect().map(_.getLong(0)).toSeq
+    assert(k15.take(10) == k10)
+  }
+
+  test("stats: counts sum to total, buckets valid, imbalance finite") {
+    val s = store.stats().collect()
+    assert(s.map(_.getLong(1)).sum == 500)
+    assert(s.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 3))
+    assert(s.forall(r => r.getDouble(4) >= 0.0))
+  }
+}
