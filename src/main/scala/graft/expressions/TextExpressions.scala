@@ -1,0 +1,67 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the text-dedup pipeline. Same contract as the
+  * vector kernels: plain integer arithmetic identical to the DuckDB
+  * oracle fragments in [[graft.functions.TextFunctions]].
+  *
+  * Hash definition: fold (acc*31 + codepoint) % P left-to-right over
+  * Unicode codepoints (DuckDB `unicode(ch)` semantics); empty string
+  * hashes to 0. P = 1e9+7 keeps acc*31+c inside Long.
+  */
+object TextHash {
+  val P: Long = 1000000007L
+
+  def polyHash(s: String, maxChars: Int): Long = {
+    var acc = 0L
+    var i = 0
+    var taken = 0
+    while (i < s.length && taken < maxChars) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+      taken += 1
+    }
+    acc
+  }
+}
+
+/** Rolling polynomial hash of the first `maxChars` characters. */
+case class TextPolyHash(child: Expression, maxChars: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.polyHash(v.asInstanceOf[UTF8String].toString, maxChars)
+  override protected def withNewChildInternal(c: Expression): TextPolyHash =
+    copy(child = c)
+  override def prettyName: String = "text_poly_hash"
+}
+
+/** Split on single spaces (keeping empty tokens, `split(..., -1)` /
+  * DuckDB `string_split` semantics) and hash each word — one pass per
+  * row instead of a per-word interpreted aggregate.
+  */
+case class TextWordHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      out(i) = TextHash.polyHash(words(i), Int.MaxValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TextWordHashes =
+    copy(child = c)
+  override def prettyName: String = "text_word_hashes"
+}

@@ -20,18 +20,22 @@ object TextFunctions {
     */
   def words(text: Column): Column = split(text, " ")
 
-  /** Rolling polynomial hash of a string: fold (acc*31 + codepoint) % P
-    * left-to-right. Empty string → 0 (guard needed because Spark's
-    * sequence(1,0) counts *down* instead of producing an empty array).
-    */
-  def charPolyHash(s: Column): Column =
-    when(length(s) === 0, lit(0L)).otherwise(
-      aggregate(sequence(lit(1), length(s)), lit(0L),
-        (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % P))
+  import org.apache.spark.sql.graft.ColumnBridge
 
-  /** Per-word hashes for a text column. */
+  /** Rolling polynomial hash of the first `maxChars` characters: fold
+    * (acc*31 + codepoint) % P left-to-right; empty → 0. Native
+    * expression (one pass per row).
+    */
+  def polyHash(s: Column, maxChars: Int = Int.MaxValue): Column =
+    ColumnBridge.column(graft.expressions.TextPolyHash(
+      ColumnBridge.expression(s), maxChars))
+
+  /** Per-word hashes for a text column (split on single spaces, empty
+    * tokens kept and hashed to 0).
+    */
   def wordHashes(text: Column): Column =
-    transform(words(text), w => charPolyHash(w))
+    ColumnBridge.column(graft.expressions.TextWordHashes(
+      ColumnBridge.expression(text)))
 
   /** DuckDB twin of [[charPolyHash]]. `expr` is a VARCHAR expression;
     * may reference lambda variables of an enclosing list_transform.

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Coverage extensions: the reference's analysis-script aggregations
+  * (SURVEY §2.6 A1 shape), pivot, sessionization, and a JSON
+  * source/sink roundtrip (reference S2, `generate_coco_embeddings.py:
+  * 94-101` writes a JSON twin of every vector file).
+  */
+object ExtendedQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // A1 — latency-stats shape: mean/median/min/max/stddev grouped
+    // (reference `performance_analysis.py:91-98` computes exactly these
+    // five statistics per k; here over events.value per event_type).
+    Q("a1_value_stats",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(avg("value"), 6).as("mean_v"),
+          round(percentile(col("value"), lit(0.5)), 6).as("median_v"),
+          round(min("value"), 6).as("min_v"),
+          round(max("value"), 6).as("max_v"),
+          round(stddev_samp(col("value")), 6).as("std_v"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          |  round(avg(value), 6) AS mean_v,
+          |  round(quantile_cont(value, 0.5), 6) AS median_v,
+          |  round(min(value), 6) AS min_v,
+          |  round(max(value), 6) AS max_v,
+          |  round(stddev_samp(value), 6) AS std_v,
+          |  count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R16 — pivot: order counts per priority × status. Spark's pivot
+    // emits NULL for absent combinations; NULLIF(count FILTER, 0)
+    // mirrors that in the oracle.
+    Q("r16_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          |  NULLIF(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
+          |  NULLIF(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
+          |  NULLIF(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R17 — batch sessionization (gap 30 min) by island detection:
+    // lag → new-session flag → running sum = session id. Shuffles once
+    // on user_id; the window sort is the per-user timeline.
+    Q("r17_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > 1800000000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_s").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(expr("ts div 1000")).as("start_us"),
+            max(expr("ts div 1000")).as("end_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+          |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+          |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+          |sess AS (
+          |  SELECT user_id, ns,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM flagged)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |  min(ns // 1000) AS start_us, max(ns // 1000) AS end_us
+          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // X2 — JSON sink + source roundtrip (reference S2 writes JSON twins
+    // of every vector file): parquet → json → read back → aggregate.
+    // Integer columns only, so the roundtrip is lossless.
+    Q("x2_json_source",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_x2_json").toString
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+          .write.mode("overwrite").json(tmp)
+        s.read.json(tmp)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_key
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P1 — PCA 64→8 over embeddings via spark.ml (reference D1,
+    // `load_coco_embeddings.py:24-36` — fixed here: one fitted model,
+    // not a re-fit per script). Eigenvector sign/rotation is
+    // implementation-defined → rows-only check; ScalaTest asserts
+    // dimensionality, determinism and reconstruction quality.
+    Q("p1_pca",
+      (s, d) => {
+        import org.apache.spark.ml.feature.PCA
+        import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+        val df = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            array_to_vector(col("embedding")).as("features"))
+        val model = new PCA().setK(8)
+          .setInputCol("features").setOutputCol("pca")
+          .fit(df)
+        model.transform(df)
+          .select(col("vec_id"), vector_to_array(col("pca")).as("pc"))
+          .orderBy("vec_id")
+      },
+      None)
+  )
+}

@@ -10,7 +10,8 @@ object Registry {
       TextQueries.all ++
       EmbeddingQueries.all ++
       MultimodalQueries.all ++
-      StreamingQueries.all
+      StreamingQueries.all ++
+      ExtendedQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -6,59 +6,61 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Structured Streaming surface (engine generalization — the reference
-  * lists streams as future work, `generate_report.py:294-300`): tumbling
-  * event-time windows with a watermark over the `events` table, driven
-  * here as a file-source micro-batch into a memory sink so the result is
-  * a static DataFrame the correctness harness can hash.
+  * lists streams as future work, `generate_report.py:294-300`):
+  * tumbling, sliding, and session event-time windows with a watermark
+  * over the `events` table, driven as file-source micro-batches into a
+  * memory sink so the result is a static DataFrame the correctness
+  * harness can hash.
   *
-  * Append-mode semantics make the emitted set deterministic: a window is
-  * emitted iff `window.end <= watermark`, and after one data batch the
-  * watermark is `max(event_time) - delay`. The oracle replicates exactly
-  * that cutoff in batch SQL.
+  * Append-mode semantics make each emitted set deterministic: a group
+  * is emitted once the watermark (max event time − delay, after the
+  * final no-data micro-batch) passes its window end. The oracles
+  * replicate exactly that cutoff in batch SQL.
   */
 object StreamingQueries {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** 1-hour tumbling windows, 10-minute watermark, count per event_type. */
-  def tumblingCounts(s: SparkSession, d: String): DataFrame = {
-    // Force the nanos-as-long read path before the streaming read.
-    Tables.events(s, d)
+  /** Run a streaming transform of the events table to completion
+    * through a memory sink and return the materialized result.
+    * The file stream source wants a directory; the (read-only) events
+    * file is staged into a temp dir.
+    */
+  private def runStream(s: SparkSession, d: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    Tables.events(s, d) // force nanosAsLong before the streaming read
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = s"s1_sink_${sinkId.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_s1_ckpt").toString
-    // The file stream source wants a directory; stage the (read-only)
-    // events file into a temp dir.
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_s1_src")
+    val name = s"stream_sink_${sinkId.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/events.parquet"),
       srcDir.resolve("events.parquet"))
-    val q = s.readStream.schema(schema).parquet(srcDir.toString)
-      .select(col("event_type"),
+    val src = s.readStream.schema(schema).parquet(srcDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("ets"))
-      .withWatermark("ets", "10 minutes")
-      .groupBy(col("event_type"), window(col("ets"), "1 hour"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("event_type"),
-        expr("unix_timestamp(window.start) div 3600").as("hour_bucket"),
-        col("n"))
+    val q = build(src)
       .writeStream.format("memory").queryName(name)
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .start()
     q.processAllAvailable()
     q.stop()
-    s.table(name).orderBy("event_type", "hour_bucket")
+    s.table(name)
   }
 
   val all: Seq[Q] = Seq(
+
+    // S1 — tumbling 1-hour windows, 10-minute watermark, count per type.
     Q("s1_stream_tumble",
-      (s, d) => tumblingCounts(s, d),
-      // Emitted windows = those fully below the final watermark
-      // (max event time − 10 min). Event times are µs-truncated ns, and
-      // the engine tracks the watermark at ms precision — irrelevant
-      // here because window bounds are hour-aligned.
+      (s, d) => runStream(s, d) { src =>
+        src.withWatermark("ets", "10 minutes")
+          .groupBy(col("event_type"), window(col("ets"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_timestamp(window.start) div 3600").as("hour_bucket"),
+            col("n"))
+      }.orderBy("event_type", "hour_bucket"),
       Some("""WITH e AS (
           |  SELECT event_type,
           |         epoch_ns(ts) // 1000 AS us,
@@ -68,6 +70,65 @@ object StreamingQueries {
           |SELECT event_type, hb AS hour_bucket, count(*) AS n
           |FROM e, m
           |WHERE (hb + 1) * 3600000000 <= mx - 600000000
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S2 — sliding windows (2 h size, 30 min slide): each event lands in
+    // 4 overlapping windows; emission under the same watermark cutoff.
+    Q("s2_stream_sliding",
+      (s, d) => runStream(s, d) { src =>
+        src.withWatermark("ets", "10 minutes")
+          .groupBy(col("event_type"),
+            window(col("ets"), "2 hours", "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_timestamp(window.start)").as("win_start"),
+            col("n"))
+      }.orderBy("event_type", "win_start"),
+      Some("""WITH e AS (
+          |  SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+          |m AS (SELECT max(us) AS mx FROM e),
+          |w AS (
+          |  SELECT event_type,
+          |         ((us // 1800000000) - k) * 1800000000 AS ws
+          |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+          |SELECT event_type, ws // 1000000 AS win_start, count(*) AS n
+          |FROM w, m
+          |WHERE ws + 7200000000 <= mx - 600000000
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S3 — session windows (30 min gap) per user: stateful session
+    // assembly in the engine; sessions emit once the watermark passes
+    // last-event + gap. Oracle = island-detection sessionization with
+    // the same cutoff.
+    Q("s3_stream_session",
+      (s, d) => runStream(s, d) { src =>
+        src.withWatermark("ets", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            expr("unix_micros(session_window.start)").as("start_us"),
+            expr("unix_micros(session_window.end)").as("end_us"),
+            col("n_events"))
+      }.orderBy("user_id", "start_us"),
+      Some("""WITH flagged AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+          |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+          |           OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w > 1800000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+          |sess AS (
+          |  SELECT user_id, us,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM flagged),
+          |agg AS (
+          |  SELECT user_id, sid, min(us) AS start_us,
+          |         max(us) + 1800000000 AS end_us, count(*) AS n_events
+          |  FROM sess GROUP BY 1, 2),
+          |m AS (SELECT max(epoch_ns(ts) // 1000) AS mx FROM events)
+          |SELECT user_id, start_us, end_us, n_events
+          |FROM agg, m WHERE end_us <= mx - 600000000
+          |ORDER BY user_id, start_us""".stripMargin))
   )
 }

@@ -152,8 +152,7 @@ object TextQueries {
     // 256 characters (SURVEY north-star "document fingerprinting").
     Q("d5_fingerprint",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TF.charPolyHash(substring(col("text"), 1, 256)).as("fp"))
+        .select(col("doc_id"), TF.polyHash(col("text"), 256).as("fp"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, ${TF.charPolyHashSql("substr(text, 1, 256)")} AS fp
            |FROM documents ORDER BY doc_id""".stripMargin)),
