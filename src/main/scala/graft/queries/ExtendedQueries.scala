@@ -105,6 +105,48 @@ object ExtendedQueries {
       Some("""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_key
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // E4 — per-label centroids via the custom VecMean aggregate (the
+    // real IVF centroid build): partial per-dim sums merge map-side, so
+    // the shuffle carries one buffer per (group, partition). Output
+    // flattened to (label, dim, c) rows — scalar doubles hash robustly.
+    Q("e4_vec_centroids",
+      (s, d) => Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(graft.functions.VecMean(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "c")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("c"), 6).as("c"))
+        .orderBy("label", "dim"),
+      Some("""WITH u AS (
+          |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+          |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i))
+          |SELECT label, dim, round(sum(x) / count(*), 6) AS c
+          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // R18 — as-of join, shuffle-free formulation: latest purchase at or
+    // before each event of the same user, via a running max over the
+    // per-user timeline (no join explosion — the classic union/last
+    // trick; scales as one shuffle on user_id).
+    Q("r18_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("pts",
+            when(col("event_type") === "purchase", expr("ts div 1000")))
+          .withColumn("last_purchase_us", max("pts").over(w))
+          .select("event_id", "user_id", "last_purchase_us")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          |  max(CASE WHEN event_type = 'purchase'
+          |           THEN epoch_ns(ts) // 1000 END)
+          |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS last_purchase_us
+          |FROM events ORDER BY event_id""".stripMargin)),
+
     // P1 — PCA 64→8 over embeddings via spark.ml (reference D1,
     // `load_coco_embeddings.py:24-36` — fixed here: one fitted model,
     // not a re-fit per script). Eigenvector sign/rotation is

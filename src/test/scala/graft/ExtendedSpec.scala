@@ -69,3 +69,61 @@ class ExtendedSpec extends AnyFunSuite {
     assert(n_slide >= full * 4, s"slide=$n_slide full4=${full * 4}")
   }
 }
+
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("SQL function registration: vec kernels usable from spark.sql") {
+    graft.extensions.GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT vec_id, vec_l2sq(embedding, embedding) AS z,
+        |       vec_norm(embedding) AS n, vec_safe_norm(embedding) AS sn,
+        |       vec_dot(embedding, vec_l2normalize(embedding)) AS dn,
+        |       text_poly_hash('ab') AS h
+        |FROM emb_v WHERE vec_id = 0""".stripMargin).head
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) == r.getDouble(3))
+    // dot(v, v/||v||) == ||v|| up to fp
+    assert(math.abs(r.getDouble(4) - r.getDouble(2)) < 1e-9)
+    assert(r.getLong(5) == 97L * 31 + 98)
+  }
+
+  test("session built withExtensions resolves graft functions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.extensions.GraftExtensions)
+      .getOrCreate()
+    val v = s2.sql("SELECT text_poly_hash('x') AS h").head.getLong(0)
+    assert(v == 'x'.toLong)
+  }
+
+  test("e4 centroids: 10 labels x 64 dims, matches manual mean") {
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("e4_vec_centroids")(spark2, sf).collect()
+    assert(rows.length == 640)
+    // spot-check one (label, dim) against a direct computation
+    val l0d0 = rows.find(r => r.getInt(0) == 0 && r.getLong(1) == 0L).get.getDouble(2)
+    val direct = Tables.embeddings(spark2, sf).where(col("label") === 0)
+      .select(avg(element_at(col("embedding"), 1).cast("double"))).head.getDouble(0)
+    assert(math.abs(l0d0 - BigDecimal(direct).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("r18 as-of: last purchase is <= event time and is a purchase ts") {
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark2, sf)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("pus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = SparkEntry.queries("r18_asof_join")(spark2, sf)
+      .where(col("last_purchase_us").isNotNull).limit(200).collect()
+    out.foreach { r =>
+      assert(purchases.contains((r.getLong(1), r.getLong(2))),
+        s"last_purchase_us not a purchase: $r")
+    }
+  }
+}
