@@ -1,7 +1,6 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,15 +28,38 @@ object TextHash {
     }
     acc
   }
+
+  /** Static entry point for generated code. */
+  def polyHashUtf8(s: UTF8String, maxChars: Int): Long =
+    polyHash(s.toString, maxChars)
+
+  /** Static entry point for generated code: split + hash in one call. */
+  def wordHashesData(s: UTF8String): GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      out(i) = polyHash(words(i), Int.MaxValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
-/** Rolling polynomial hash of the first `maxChars` characters. */
+/** Rolling polynomial hash of the first `maxChars` characters. Codegen
+  * stays inside whole-stage spans via a static helper call.
+  */
 case class TextPolyHash(child: Expression, maxChars: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
     TextHash.polyHash(v.asInstanceOf[UTF8String].toString, maxChars)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHash.polyHashUtf8($c, $maxChars)")
   override protected def withNewChildInternal(c: Expression): TextPolyHash =
     copy(child = c)
   override def prettyName: String = "text_poly_hash"
@@ -48,19 +70,16 @@ case class TextPolyHash(child: Expression, maxChars: Int)
   * row instead of a per-word interpreted aggregate.
   */
 case class TextWordHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val out = new Array[Long](words.length)
-    var i = 0
-    while (i < words.length) {
-      out(i) = TextHash.polyHash(words(i), Int.MaxValue)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextHash.wordHashesData(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHash.wordHashesData($c)")
   override protected def withNewChildInternal(c: Expression): TextWordHashes =
     copy(child = c)
   override def prettyName: String = "text_word_hashes"

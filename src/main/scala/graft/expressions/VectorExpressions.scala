@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -150,28 +150,63 @@ case class VecNorm(child: Expression, safe: Boolean)
   override def prettyName: String = if (safe) "vec_safe_norm" else "vec_norm"
 }
 
-/** L2-normalize to array<double> with the zero-norm rule: two passes,
-  * norm then divide — the same op sequence as the oracle SQL.
-  */
-case class VecL2Normalize(child: Expression)
-    extends UnaryExpression with VecExprHelpers with CodegenFallback {
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val f = isFloat(child.dataType)
+/** Static loop bodies shared by interpreted eval and generated code. */
+object VecEval {
+  def l2normalize(a: ArrayData, isFloat: Boolean): GenericArrayData = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { val x = elem(a, i, f); acc += x * x; i += 1 }
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x; i += 1
+    }
     val nrm0 = math.sqrt(acc)
     val nrm = if (nrm0 == 0.0) 1.0 else nrm0
     val out = new Array[Double](n)
     i = 0
-    while (i < n) { out(i) = elem(a, i, f) / nrm; i += 1 }
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x / nrm; i += 1
+    }
     new GenericArrayData(out)
   }
+
+  def lshBucket(a: ArrayData, matrix: Array[Array[Double]],
+      numBuckets: Int, isFloat: Boolean): Int = {
+    val n = a.numElements()
+    var sum = 0L
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      val m = math.min(n, row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        acc += x * row(i); i += 1
+      }
+      if (acc > 0.0) sum += 1L << j
+      j += 1
+    }
+    (sum % numBuckets).toInt
+  }
+}
+
+/** L2-normalize to array<double> with the zero-norm rule: two passes,
+  * norm then divide — the same op sequence as the oracle SQL. Codegen
+  * delegates to the static loop so whole-stage spans stay unbroken.
+  */
+case class VecL2Normalize(child: Expression)
+    extends UnaryExpression with VecExprHelpers {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecEval.l2normalize(v.asInstanceOf[ArrayData], isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VecEval.l2normalize($a, ${isFloat(child.dataType)})")
 
   override protected def withNewChildInternal(c: Expression): VecL2Normalize =
     copy(child = c)
@@ -184,26 +219,18 @@ case class VecL2Normalize(child: Expression)
   */
 case class VecLshBucket(child: Expression, matrix: Array[Array[Double]],
     numBuckets: Int)
-    extends UnaryExpression with VecExprHelpers with CodegenFallback {
+    extends UnaryExpression with VecExprHelpers {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val f = isFloat(child.dataType)
-    val n = a.numElements()
-    var sum = 0L
-    var j = 0
-    while (j < matrix.length) {
-      val row = matrix(j)
-      val m = math.min(n, row.length)
-      var acc = 0.0
-      var i = 0
-      while (i < m) { acc += elem(a, i, f) * row(i); i += 1 }
-      if (acc > 0.0) sum += 1L << j
-      j += 1
-    }
-    (sum % numBuckets).toInt
+  override def nullSafeEval(v: Any): Any =
+    VecEval.lshBucket(v.asInstanceOf[ArrayData], matrix, numBuckets,
+      isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("lshMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VecEval.lshBucket($a, $m, $numBuckets, ${isFloat(child.dataType)})")
   }
 
   override protected def withNewChildInternal(c: Expression): VecLshBucket =

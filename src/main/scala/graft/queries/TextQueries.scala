@@ -248,19 +248,18 @@ object TextQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
-    // M3 — n-gram Jaccard near-dup: word-trigram shingle sets, blocked
-    // by (lang, source) — the blocking keys bound the pair explosion;
-    // at scale the block key is the shuffle partition key.
+    // M3 — n-gram Jaccard near-dup: word-trigram shingle sets (hashed —
+    // set overlap over trigram hashes is identical on both engines, and
+    // the native hash kernel keeps the row pass tight), blocked by
+    // (lang, source) — the blocking keys bound the pair explosion; at
+    // scale the block key is the shuffle partition key.
     Q("m3_ngram_jaccard",
       (s, d) => {
         val sh = Tables.documents(s, d)
-          .withColumn("w", TF.words(col("text")))
-          .where(size(col("w")) >= 3)
+          .withColumn("wh", TF.wordHashes(col("text")))
+          .where(size(col("wh")) >= 3)
           .select(col("doc_id"), col("lang"), col("source"),
-            array_distinct(transform(sequence(lit(1), size(col("w")) - 2), i =>
-              concat_ws(" ", element_at(col("w"), i),
-                element_at(col("w"), i + 1),
-                element_at(col("w"), i + 2)))).as("sh"))
+            array_distinct(shingleHashes).as("sh"))
         val l = sh.select(col("lang"), col("source"),
           col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val r = sh.select(col("lang"), col("source"),
@@ -275,12 +274,11 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH s AS (
+      Some(s"""WITH s AS (
           |  SELECT doc_id, lang, source,
-          |    list_distinct(list_transform(range(1, len(w)-1),
-          |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-          |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents)
-          |  WHERE len(w) >= 3)
+          |    list_distinct($shingleHashesSql) AS sh
+          |  FROM (SELECT doc_id, lang, source, ${TF.wordHashesSql("text")} AS wh FROM documents)
+          |  WHERE len(wh) >= 3)
           |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

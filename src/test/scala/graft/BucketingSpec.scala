@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Scale-posture checks: bucketed tables co-locate joins (no shuffle),
+  * and the flagship plans keep their intended physical shape.
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles.foreach(rmrf)
+    p.delete()
+  }
+
+  test("bucketBy join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    Seq("orders_b", "customer_b").foreach { t =>
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Tables.orders(spark, sf)
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    Tables.customer(spark, sf)
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+    // Force the co-located sort-merge path (broadcast would win at this
+    // toy size and hide the bucketing behavior under test).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      assert(joined.count() == Tables.orders(spark, sf).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed equi-join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("flagship kNN plans as TakeOrderedAndProject with codegen distance") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("vec_l2sq"), plan)
+  }
+
+  test("r1 pushes filter and prunes columns at the parquet scan") {
+    val plan = SparkEntry.queries("r1_filter_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"), plan)
+  }
+
+  test("r3 broadcasts the dimension side") {
+    val plan = SparkEntry.queries("r3_broadcast_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("text/vector kernels run inside whole-stage codegen") {
+    // d5 fingerprint: TextPolyHash must not force a codegen fallback.
+    // (Execute first so AQE finalizes the adaptive plan.)
+    val df = SparkEntry.queries("d5_fingerprint")(spark, sf)
+    assert(df.collect().length == 500) // run THIS plan so AQE finalizes
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks whole-stage-codegen stages in the plan string; the
+    // hash must appear inside one, not under a fallback project.
+    assert(plan.contains("*("), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("text_poly_hash") && l.contains("*(")), plan)
+  }
+}
