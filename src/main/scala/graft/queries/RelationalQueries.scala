@@ -140,6 +140,19 @@ object RelationalQueries {
           |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
           |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
 
+    // R8b — cube: all grouping-set combinations.
+    Q("r8_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
+
     // R9 — ranking window: top-3 orders per customer.
     Q("r9_window_rank",
       (s, d) => {
@@ -237,6 +250,49 @@ object RelationalQueries {
           |  round(abs(o_totalprice - 250000.0), 2) AS tp_absdev,
           |  round(power(o_totalprice / 100000.0, 2), 6) AS tp_pow
           |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // R13d — extended scalar battery: string padding/replace/regex,
+    // date truncation/arithmetic, math. Functions chosen for identical
+    // cross-engine semantics (e.g. weekday()+1 == DuckDB isodow; Spark
+    // dayofweek's Sunday=1 convention does NOT match and is avoided).
+    Q("r13_more_scalars",
+      (s, d) => Tables.orders(s, d)
+        .where(col("o_orderkey") % 97 === 0)
+        .select(
+          col("o_orderkey"),
+          trim(lit("  pad  ")).as("trimmed"),
+          lpad(col("o_orderstatus"), 3, "_").as("padded"),
+          regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("pri_name"),
+          substring_index(col("o_orderpriority"), "-", 1).as("pri_num"),
+          (weekday(to_date(col("o_orderdate"))) + 1).as("isodow"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"),
+          round(exp(col("o_totalprice") / 500000.0), 6).as("e_pow"),
+          round(ln(col("o_totalprice")), 6).as("log_price"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+          floor(col("o_totalprice")).as("fl"),
+          ceil(col("o_totalprice")).as("ce"),
+          pmod(col("o_orderkey"), lit(7)).as("k_mod7"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("gt"),
+          least(col("o_totalprice"), lit(100000.0)).as("lt"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          |  trim('  pad  ') AS trimmed,
+          |  lpad(o_orderstatus, 3, '_') AS padded,
+          |  regexp_replace(o_orderpriority, '[0-9]-', '') AS pri_name,
+          |  split_part(o_orderpriority, '-', 1) AS pri_num,
+          |  isodow(CAST(o_orderdate AS DATE)) AS isodow,
+          |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          |  round(exp(o_totalprice / 500000.0), 6) AS e_pow,
+          |  round(ln(o_totalprice), 6) AS log_price,
+          |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+          |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
+          |  CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+          |  o_orderkey % 7 AS k_mod7,
+          |  greatest(o_totalprice, 100000.0) AS gt,
+          |  least(o_totalprice, 100000.0) AS lt
+          |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin)),
 
     // R13b — array functions over embeddings.
     Q("r13_array_funcs",

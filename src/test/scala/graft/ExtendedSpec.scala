@@ -127,3 +127,43 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class NullSafetySpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.{VectorFunctions => VF, TextFunctions => TF}
+
+  test("vector kernels propagate null inputs as null") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0f, 2.0f)), None: Option[Seq[Float]]))
+      .toDF("a", "b")
+    val r = df.select(
+      VF.l2sq(col("a"), col("b")).as("d"),
+      VF.dot(col("b"), col("a")).as("p"),
+      VF.norm(col("b")).as("n"),
+      VF.l2normalize(col("b")).as("z")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("text kernels propagate null inputs as null") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], "x")).toDF("t", "u")
+    val r = df.select(
+      TF.polyHash(col("t")).as("h"),
+      TF.wordHashes(col("t")).as("wh")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("empty array through kernels: zero distance/norm, empty normalize") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[Float]).toDF("a")
+    val r = df.select(
+      VF.l2sq(col("a"), col("a")).as("d"),
+      VF.norm(col("a")).as("n"),
+      VF.safeNorm(col("a")).as("sn"),
+      VF.l2normalize(col("a")).as("z")).head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getSeq[Double](3).isEmpty)
+  }
+}
