@@ -171,6 +171,47 @@ object RelationalQueries {
           |  FROM orders)
           |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // R9b — window battery: ranking, distribution, ntile, lead/lag,
+    // frame first/last — one spec per window-function family.
+    Q("r9_window_battery",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            first_value(col("o_orderkey")).over(wf).as("top_key"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .where(col("o_orderkey") % 20 === 0)
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          |  CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+          |  CAST(quartile AS INT) AS quartile, prev_price, next_price,
+          |  top_key, round(pr, 6) AS pr, round(cd, 6) AS cd
+          |FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    rank() OVER w AS rnk,
+          |    dense_rank() OVER w AS drnk,
+          |    ntile(4) OVER w AS quartile,
+          |    lag(o_totalprice, 1) OVER w AS prev_price,
+          |    lead(o_totalprice, 1) OVER w AS next_price,
+          |    first_value(o_orderkey) OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key,
+          |    percent_rank() OVER w AS pr,
+          |    cume_dist() OVER w AS cd
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey
+          |    ORDER BY o_totalprice DESC, o_orderkey))
+          |WHERE o_orderkey % 20 = 0 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // R10 — frame window: running sum per customer; DECIMAL inside the
     // ordered frame keeps it exact and order-stable.
     Q("r10_window_frame",
@@ -189,6 +230,33 @@ object RelationalQueries {
           |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // R19 — salted two-stage aggregation: the skew-mitigation pattern
+    // (partial agg on (key, salt), final agg on key). Result-identical
+    // to direct grouping — the oracle IS the unsalted query — while the
+    // shuffle fans a hot key over 16 reducers.
+    Q("r19_salted_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast(D)).as("partial_qty"),
+          count(lit(1)).as("partial_n"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("partial_qty")).cast("double").as("sum_qty"),
+          sum(col("partial_n")).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R7c — approximate quantiles (t-digest-style sketch): estimates
+    // are engine-specific → rows-only; ScalaTest bounds error vs exact.
+    Q("r7_approx_quantiles",
+      (s, d) => Tables.events(s, d)
+        .agg(percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q")),
+      None),
 
     // R11 — global top-N: plans as TakeOrderedAndProject (per-partition
     // heaps, no full sort).

@@ -166,6 +166,23 @@ object VectorQueries {
       },
       None),
 
+    // V9 — full store roundtrip: build the bucketed parquet index +
+    // persisted model in a temp dir, reopen, search. Persistence must
+    // be invisible to results — the oracle is exactly V1's.
+    Q("v9_store_roundtrip",
+      (s, d) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_v9").toString + "/index"
+        VectorStore.build(s,
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding")),
+          path, graft.lsh.LshConfig(dim = 64, seed = 42L))
+        val store = VectorStore.open(s, path)
+        store.search(qvec(s, d, 0), 10, probes = store.model.numBuckets)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(knnOracle(10))),
+
     // V10 — per-bucket stats + imbalance factor (reference /stats fan-out
     // and shard-distribution analysis, SURVEY §2.6 A3–A5).
     Q("v10_stats",

@@ -167,3 +167,33 @@ class NullSafetySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getSeq[Double](3).isEmpty)
   }
 }
+
+class ApproxSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("approx quantiles within tolerance of exact") {
+    val approx = SparkEntry.queries("r7_approx_quantiles")(spark, TestSpark.sf)
+      .head.getSeq[Double](0)
+    val exact = Tables.events(spark, TestSpark.sf)
+      .agg(percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))))
+      .head.getSeq[Double](0)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= math.max(1.0, math.abs(e) * 0.05),
+        s"approx=$a exact=$e")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val salted = SparkEntry.queries("r19_salted_agg")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    import org.apache.spark.sql.types.DecimalType
+    val direct = Tables.lineitem(spark, TestSpark.sf)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(salted == direct)
+  }
+}
