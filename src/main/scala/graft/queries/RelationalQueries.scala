@@ -258,6 +258,20 @@ object RelationalQueries {
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q")),
       None),
 
+    // R20 — array-building aggregation: collect_set + deterministic
+    // ordering (sort_array — unordered collects would be
+    // row-order-dependent and unverifiable).
+    Q("r20_collect",
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(sort_array(collect_set(col("c_nationkey"))).as("nations"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+          |  list_sort(list(DISTINCT c_nationkey)) AS nations,
+          |  count(DISTINCT c_nationkey) AS n_nations
+          |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // R11 — global top-N: plans as TakeOrderedAndProject (per-partition
     // heaps, no full sort).
     Q("r11_topn",
