@@ -108,15 +108,19 @@ object Bench {
         knn += "knn_batch100_per_query" -> t / 100.0
       }
 
-      val recalls = queries.map { q =>
-        val exact = VectorStore.searchIn(indexDf, q, 10)
-          .collect().map(_.getLong(0)).toSet
-        val pruned = VectorStore.searchIn(
-          indexDf.where(store.pruneFilter(q, 2)), q, 10)
-          .collect().map(_.getLong(0)).toSet
-        (exact intersect pruned).size.toDouble / exact.size
+      def recallAt10(probes: Int): Double = {
+        val rs = queries.map { q =>
+          val exact = VectorStore.searchIn(indexDf, q, 10)
+            .collect().map(_.getLong(0)).toSet
+          val pruned = VectorStore.searchIn(
+            indexDf.where(store.pruneFilter(q, probes)), q, 10)
+            .collect().map(_.getLong(0)).toSet
+          (exact intersect pruned).size.toDouble / exact.size
+        }
+        rs.sum / rs.size
       }
-      knn += "knn_pruned_recall_at10" -> recalls.sum / recalls.size
+      knn += "knn_pruned_recall_at10" -> recallAt10(2)
+      knn += "knn_pruned_recall_at10_p1" -> recallAt10(1)
       indexDf.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] knn protocol failed: ${e.getMessage}")
@@ -125,7 +129,8 @@ object Bench {
     val results = perQuery ++ knn
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    val total = perQuery.map(_._2).sum + knn.filter(_._1 != "knn_pruned_recall_at10").map(_._2).sum
+    val total = perQuery.map(_._2).sum +
+      knn.filterNot(_._1.startsWith("knn_pruned_recall")).map(_._2).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

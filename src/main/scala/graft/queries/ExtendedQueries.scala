@@ -147,6 +147,17 @@ object ExtendedQueries {
           |    AS last_purchase_us
           |FROM events ORDER BY event_id""".stripMargin)),
 
+    // A6 — seeded random sampling (reference `np.random.choice` query
+    // sampling, `performance_analysis.py:78`). Bernoulli sampling is
+    // engine-specific → rows-only; ScalaTest asserts determinism
+    // across runs for a fixed seed.
+    Q("a6_sample",
+      (s, d) => Tables.orders(s, d)
+        .sample(withReplacement = false, fraction = 0.05, seed = 42L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      None),
+
     // P1 — PCA 64→8 over embeddings via spark.ml (reference D1,
     // `load_coco_embeddings.py:24-36` — fixed here: one fitted model,
     // not a re-fit per script). Eigenvector sign/rotation is

@@ -197,3 +197,16 @@ class ApproxSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(salted == direct)
   }
 }
+
+class SampleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("a6 seeded sample is deterministic and plausibly sized") {
+    val spark = TestSpark.spark
+    val a = SparkEntry.queries("a6_sample")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSeq
+    val b = SparkEntry.queries("a6_sample")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    val n = Tables.orders(spark, TestSpark.sf).count()
+    assert(a.length > n * 0.01 && a.length < n * 0.15)
+  }
+}
