@@ -24,18 +24,21 @@ object StreamingQueries {
   /** Run a streaming transform of the events table to completion
     * through a memory sink and return the materialized result.
     * The file stream source wants a directory; the (read-only) events
-    * file is staged into a temp dir.
+    * file is staged into a temp dir (`copies` > 1 stages duplicates —
+    * used to exercise stateful dedup).
     */
-  private def runStream(s: SparkSession, d: String)(
+  private def runStream(s: SparkSession, d: String, copies: Int = 1)(
       build: DataFrame => DataFrame): DataFrame = {
     Tables.events(s, d) // force nanosAsLong before the streaming read
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = s"stream_sink_${sinkId.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      srcDir.resolve("events.parquet"))
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        srcDir.resolve(s"events_$i.parquet"))
+    }
     val src = s.readStream.schema(schema).parquet(srcDir.toString)
       .select(col("event_id"), col("user_id"), col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("ets"))
@@ -129,6 +132,38 @@ object StreamingQueries {
           |m AS (SELECT max(epoch_ns(ts) // 1000) AS mx FROM events)
           |SELECT user_id, start_us, end_us, n_events
           |FROM agg, m WHERE end_us <= mx - 600000000
-          |ORDER BY user_id, start_us""".stripMargin))
+          |ORDER BY user_id, start_us""".stripMargin)),
+
+    // S4 — stateful streaming deduplication: the source is staged with
+    // the events file TWICE; dropDuplicates keyed on event_id (with a
+    // watermark bounding the dedup state) must make the duplicate pass
+    // invisible. Dedup rows emit immediately in append mode, so the
+    // post-hoc aggregation sees exactly the distinct set — the oracle
+    // is the plain batch aggregation over the single copy.
+    Q("s4_stream_dedup",
+      (s, d) => runStream(s, d, copies = 2) { src =>
+        src.withWatermark("ets", "10 minutes")
+          .dropDuplicates("event_id")
+      }.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S5 — stream–static join: the event stream enriched against a
+    // static dimension (broadcast on the stream side), counted per
+    // segment. Inner stream-static joins emit rows immediately, so
+    // results equal the batch join.
+    Q("s5_stream_static_join",
+      (s, d) => {
+        val users = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        runStream(s, d) { src =>
+          src.join(broadcast(users), Seq("user_id"), "inner")
+        }.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
