@@ -258,6 +258,41 @@ object RelationalQueries {
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q")),
       None),
 
+    // R21 — correlated scalar subquery (Catalyst decorrelates it into
+    // a left outer join under the hood).
+    Q("r21_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""SELECT o_orderkey,
+                |  (SELECT c_mktsegment FROM customer_v c
+                |   WHERE c.c_custkey = o.o_custkey) AS seg
+                |FROM orders_v o
+                |WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+          |  (SELECT c_mktsegment FROM customer c
+          |   WHERE c.c_custkey = o.o_custkey) AS seg
+          |FROM orders o
+          |WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // R23 — correlated aggregate subquery: orders above their
+    // customer's average order value.
+    Q("r23_correlated_agg",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey FROM orders_v o
+                |WHERE o_totalprice > (
+                |  SELECT avg(o2.o_totalprice) FROM orders_v o2
+                |  WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders o
+          |WHERE o_totalprice > (
+          |  SELECT avg(o2.o_totalprice) FROM orders o2
+          |  WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // R20 — array-building aggregation: collect_set + deterministic
     // ordering (sort_array — unordered collects would be
     // row-order-dependent and unverifiable).
