@@ -66,6 +66,30 @@ object EmbeddingQueries {
            |    ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE c > $NearDupCos ORDER BY id_a, id_b""".stripMargin)),
 
+    // E5 — batch kNN via the bounded TopKAgg aggregate: identical
+    // semantics to v6 (same oracle), but the plan is a partial+final
+    // aggregation whose buffer holds k entries — at scale the shuffle
+    // carries k rows per (query, partition) instead of every candidate
+    // pair through a sort window.
+    Q("e5_batch_knn_agg",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        emb.crossJoin(broadcast(qs))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            VF.l2sq(col("embedding"), col("qe")).as("d"))
+          .groupBy("query_id")
+          .agg(graft.functions.TopKAgg(col("vec_id"), col("d"), 5).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("e._1").as("vec_id"), round(col("e._2"), 6).as("dist"))
+          .orderBy("query_id", "rank")
+      },
+      // Same semantics as v6_batch_knn — reuse its window-based oracle.
+      VectorQueries.all.find(_.name == "v6_batch_knn").flatMap(_.oracle)),
+
     // E3 — IVF-style ANN: coarse centroids = embeddings of vec_id 0..15
     // (deterministic stand-in for a k-means fit); assign each vector to
     // its nearest cell (broadcast centroids + ranking window); probe the

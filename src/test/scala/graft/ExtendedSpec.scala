@@ -210,3 +210,21 @@ class SampleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a.length > n * 0.01 && a.length < n * 0.15)
   }
 }
+
+class TopKAggSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("TopKAgg batch kNN equals the window formulation row-for-row") {
+    val spark = TestSpark.spark
+    def rows(n: String) = SparkEntry.queries(n)(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows("e5_batch_knn_agg") == rows("v6_batch_knn"))
+  }
+
+  test("TopKAgg unit semantics: bounded, ascending, ties by id") {
+    val agg = graft.functions.TopKAgg(3)
+    val b = Seq((5L, 2.0), (1L, 1.0), (9L, 3.0), (2L, 1.0), (7L, 0.5))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(b == Seq((7L, 0.5), (1L, 1.0), (2L, 1.0)))
+    val merged = agg.merge(b, Seq((0L, 0.1), (3L, 1.0)))
+    assert(merged == Seq((0L, 0.1), (7L, 0.5), (1L, 1.0)))
+  }
+}
