@@ -164,6 +164,48 @@ object StreamingQueries {
       },
       Some("""SELECT c_mktsegment, count(*) AS n
           |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S6 — stream–stream interval join: for each event, the later
+    // events of the same user within 1 hour. Both sides watermarked;
+    // the time-range bound lets the engine evict join state. Raw pairs
+    // land in the sink (inner joins emit on match), aggregated post
+    // hoc; the oracle is the batch interval join.
+    Q("s6_stream_stream_join",
+      (s, d) => {
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"s6_sink_${System.identityHashCode(schema)}_${sinkId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_s6_ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_s6_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        def side(prefix: String) = s.readStream.schema(schema)
+          .parquet(srcDir.toString)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ets"))
+          .withWatermark(s"${prefix}_ets", "10 minutes")
+        val joined = side("a").join(side("b"),
+          expr("""a_user = b_user AND a_id <> b_id AND
+                 |b_ets >= a_ets AND b_ets <= a_ets + INTERVAL 1 HOUR""".stripMargin),
+          "inner")
+        val q = joined.select(col("a_id"), col("b_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).groupBy("a_id").agg(count(lit(1)).as("n_later"))
+          .orderBy("a_id")
+      },
+      Some("""SELECT a.event_id AS a_id, count(*) AS n_later
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+          |  AND epoch_ns(b.ts) // 1000 >= epoch_ns(a.ts) // 1000
+          |  AND epoch_ns(b.ts) // 1000 <= epoch_ns(a.ts) // 1000 + 3600000000
           |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
