@@ -147,6 +147,39 @@ object ExtendedQueries {
           |    AS last_purchase_us
           |FROM events ORDER BY event_id""".stripMargin)),
 
+    // X3 — CSV sink + source roundtrip with explicit schema (header,
+    // integer/string columns only → lossless).
+    Q("x3_csv_source",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_x3_csv").toString
+        Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true")
+          .schema("c_custkey LONG, c_nationkey INT, c_mktsegment STRING")
+          .csv(tmp)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("c_nationkey").as("sum_nk"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n, sum(c_nationkey) AS sum_nk
+          |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // X4 — ORC sink + source roundtrip (columnar alternative to
+    // parquet; ORC preserves types exactly so doubles are safe too).
+    Q("x4_orc_source",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_x4_orc").toString
+        Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_nationkey, s_acctbal
+          |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
     // A6 — seeded random sampling (reference `np.random.choice` query
     // sampling, `performance_analysis.py:78`). Bernoulli sampling is
     // engine-specific → rows-only; ScalaTest asserts determinism
