@@ -34,6 +34,8 @@ object MultimodalQueries {
     }
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Long, feat: Long)
+
   val all: Seq[Q] = Seq(
     // X1 — binary payload (utf-8 encoded text standing in for an image
     // blob) → per-partition "decode" → typed metadata.
@@ -51,6 +53,33 @@ object MultimodalQueries {
           |  16 + (strlen(text) * 7919) % 1920 AS fake_w,
           |  16 + (strlen(text) * 104729) % 1080 AS fake_h,
           |  1 + strlen(text) % 30 AS n_frames
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X5 — frame sampling: the batch video-decode shape. Each payload
+    // "decodes" to n_frames frames; every 5th is kept and featurized
+    // (stubbed as arithmetic on payload length + frame index). The
+    // typed flatMap is exactly where a real codec would emit frames —
+    // one row per sampled frame, partition-parallel, no driver state.
+    Q("x5_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+          .as[Blob]
+          .flatMap { b =>
+            val n = b.payload.length.toLong
+            val frames = 1 + n % 30
+            (0L until frames).filter(_ % 5 == 0)
+              .map(k => Frame(b.doc_id, k, (n * 31 + k) % 997))
+          }
+          .toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, k AS frame_idx,
+          |  (strlen(text) * 31 + k) % 997 AS feat
+          |FROM documents
+          |CROSS JOIN (SELECT unnest(range(0, 30)) AS k)
+          |WHERE k < 1 + strlen(text) % 30 AND k % 5 = 0
+          |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }
