@@ -183,6 +183,27 @@ object VectorQueries {
       },
       Some(knnOracle(10))),
 
+    // V11 — metadata-filtered kNN (future work in the reference,
+    // `generate_report.py:298`): top-10 neighbors among label=3
+    // vectors only. The predicate sits beside the scan so filtering
+    // narrows IO rather than post-filtering results.
+    Q("v11_filtered_knn",
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        Tables.embeddings(s, d)
+          .where(col("label") === 3)
+          .select(col("vec_id"), col("label"),
+            VF.l2sqLit(col("embedding"), q).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select(col("vec_id"), col("label"), round(col("d"), 6).as("dist"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, label, round(d, 6) AS dist FROM (
+           |  SELECT e.vec_id AS vec_id, e.label AS label,
+           |         ${DuckSql.l2sq("e.embedding", "q.qe")} AS d
+           |  FROM embeddings e, q WHERE e.label = 3)
+           |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
     // V10 — per-bucket stats + imbalance factor (reference /stats fan-out
     // and shard-distribution analysis, SURVEY §2.6 A3–A5).
     Q("v10_stats",

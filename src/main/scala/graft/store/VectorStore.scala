@@ -37,9 +37,17 @@ final class VectorStore(
     VectorStore.bucketize(df, model, idCol, embCol)
       .write.mode("append").partitionBy("bucket").parquet(path)
 
-  /** kNN over the persisted index. `probes >= numBuckets` = exact. */
-  def search(q: Array[Double], k: Int, probes: Int = 2): DataFrame =
-    VectorStore.searchIn(indexDf.where(pruneFilter(q, probes)), q, k)
+  /** kNN over the persisted index. `probes >= numBuckets` = exact.
+    * `filter` restricts the search to matching rows (metadata-filtered
+    * vector search — the reference lists this as future work,
+    * `generate_report.py:298`); the predicate lands in the parquet scan
+    * next to the bucket pruning, so filtering narrows IO, not post-hoc
+    * results.
+    */
+  def search(q: Array[Double], k: Int, probes: Int = 2,
+             filter: Column = lit(true)): DataFrame =
+    VectorStore.searchIn(
+      indexDf.where(pruneFilter(q, probes)).where(filter), q, k)
 
   def pruneFilter(q: Array[Double], probes: Int): Column =
     if (probes >= model.numBuckets) lit(true)
@@ -53,11 +61,17 @@ final class VectorStore(
 
 object VectorStore {
 
-  /** Assign the LSH bucket column. Narrow, shuffle-free. */
+  /** Assign the LSH bucket column. Narrow, shuffle-free. Columns other
+    * than id/embedding ride along as searchable metadata.
+    */
   def bucketize(df: DataFrame, model: LshModel,
-                idCol: String = "id", embCol: String = "embedding"): DataFrame =
-    df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
+                idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val meta = df.columns.toSeq
+      .filterNot(c => c == idCol || c == embCol).map(col)
+    df.select(col(idCol).cast("long").as("id") +:
+        col(embCol).as("embedding") +: meta: _*)
       .withColumn("bucket", model.bucketCol(col("embedding")))
+  }
 
   /** Exact kNN on any (id, embedding) frame: distance + global top-k.
     * Plans as scan → WSCG distance → TakeOrderedAndProject: each

@@ -76,3 +76,24 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(s.forall(r => r.getDouble(4) >= 0.0))
   }
 }
+
+class FilteredSearchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("metadata rides through the store; filtered search matches plain plan") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val store = graft.store.VectorStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding"), col("label")),
+      s"$dir/index", graft.lsh.LshConfig(dim = 64, seed = 42L))
+    assert(store.indexDf.columns.toSet ==
+      Set("id", "embedding", "label", "bucket"))
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val viaStore = store.search(q, 10, probes = 3, filter = col("label") === 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaQuery = SparkEntry.queries("v11_filtered_knn")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaStore.map(_._1) == viaQuery.map(_._1))
+    assert(viaStore.forall { case (_, dist) => dist >= 0 })
+  }
+}
