@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Round-2 breadth batteries: datetime/string/map scalar functions,
+  * statistical and conditional aggregates, grouping sets, token
+  * explode (lateral unnest), multi-table TPC-H-shape joins, and a
+  * binary-file multimodal source. Each query carries a DuckDB oracle;
+  * cross-engine determinism follows the Q.scala rules (6-dp rounding,
+  * DECIMAL sums, full ordering by unique keys, matching column names).
+  *
+  * Reference tie-in: the reference has no scalar-function or join
+  * surface at all (SURVEY §2.8) — these are the engine-generalization
+  * categories a user of the reference gains when switching.
+  */
+object BatteryQueries {
+
+  private val D = DecimalType(18, 2)
+
+  val all: Seq[Q] = Seq(
+
+    // R24 — datetime function battery over o_orderdate. All outputs
+    // rendered as strings/longs so both engines hash identically.
+    // DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday → oracle adds 1.
+    Q("r24_datetime_funcs",
+      (s, d) => Tables.orders(s, d)
+        .where(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          date_format(date_trunc("month", col("o_orderdate")),
+            "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd").as("next_month"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_2002"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          |  year(o_orderdate) AS y,
+          |  quarter(o_orderdate) AS q,
+          |  month(o_orderdate) AS m,
+          |  dayofmonth(o_orderdate) AS dom,
+          |  dayofweek(o_orderdate) + 1 AS dow,
+          |  weekofyear(o_orderdate) AS woy,
+          |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+          |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+          |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+          |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+          |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // R25 — string function battery #2 (regex + edit distance + pads)
+    // over events.props (JSON text: has digits and punctuation).
+    Q("r25_string_funcs2",
+      (s, d) => Tables.events(s, d)
+        .where(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          expr("regexp_extract(props, '[0-9]+', 0)").as("first_num"),
+          expr("regexp_replace(props, '[0-9]+', '#')").as("masked"),
+          expr("size(regexp_extract_all(props, '[0-9]+', 0))").cast("long").as("n_nums"),
+          levenshtein(col("event_type"), lit("purchase")).cast("long").as("lev"),
+          lpad(col("event_id").cast("string"), 8, "0").as("padded"),
+          translate(col("event_type"), "aeiou", "AEIOU").as("tr"),
+          reverse(col("event_type")).as("rev"),
+          expr("instr(props, 'k')").cast("long").as("pos_k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          |  coalesce(regexp_extract(props, '[0-9]+'), '') AS first_num,
+          |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+          |  len(regexp_extract_all(props, '[0-9]+')) AS n_nums,
+          |  levenshtein(event_type, 'purchase') AS lev,
+          |  lpad(CAST(event_id AS VARCHAR), 8, '0') AS padded,
+          |  translate(event_type, 'aeiou', 'AEIOU') AS tr,
+          |  reverse(event_type) AS rev,
+          |  strpos(props, 'k') AS pos_k
+          |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
+    // R26 — statistical aggregate battery per event_type. Spark's
+    // skewness/kurtosis are population (g1/g2); DuckDB's bare
+    // skewness/kurtosis are sample-corrected, so the oracle uses
+    // kurtosis_pop and de-corrects skewness via the g1 identity.
+    Q("r26_stats_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(corr(col("value"), col("event_id")), 6).as("corr_ve"),
+          round(covar_samp(col("value"), col("event_id")), 6).as("cov_s"),
+          round(covar_pop(col("value"), col("event_id")), 6).as("cov_p"),
+          round(var_samp(col("value")), 6).as("var_s"),
+          round(var_pop(col("value")), 6).as("var_p"),
+          round(stddev_pop(col("value")), 6).as("std_p"),
+          round(skewness(col("value")), 6).as("skew"),
+          round(kurtosis(col("value")), 6).as("kurt"),
+          round(expr("regr_slope(value, event_id)"), 6).as("slope"),
+          round(expr("regr_intercept(value, event_id)"), 6).as("icept"),
+          round(expr("regr_r2(value, event_id)"), 6).as("r2"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          |  round(corr(value, event_id), 6) AS corr_ve,
+          |  round(covar_samp(value, event_id), 6) AS cov_s,
+          |  round(covar_pop(value, event_id), 6) AS cov_p,
+          |  round(var_samp(value), 6) AS var_s,
+          |  round(var_pop(value), 6) AS var_p,
+          |  round(stddev_pop(value), 6) AS std_p,
+          |  round(skewness(value) * (count(*) - 2)
+          |        / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
+          |  round(kurtosis_pop(value), 6) AS kurt,
+          |  round(regr_slope(value, event_id), 6) AS slope,
+          |  round(regr_intercept(value, event_id), 6) AS icept,
+          |  round(regr_r2(value, event_id), 6) AS r2
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R27 — conditional / argmax aggregates per o_orderpriority.
+    // max_by/min_by keyed on the UNIQUE o_orderkey (deterministic
+    // argmax — double keys could tie).
+    Q("r27_cond_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("max_by(o_orderstatus, o_orderkey)").as("last_status"),
+          expr("min_by(o_orderstatus, o_orderkey)").as("first_status"),
+          expr("count_if(o_totalprice > 150000)").as("n_big"),
+          expr("bool_and(o_totalprice > 0)").as("all_pos"),
+          expr("bool_or(o_totalprice > 400000)").as("any_huge"),
+          expr("bit_and(o_custkey)").as("band"),
+          expr("bit_or(o_custkey)").as("bor"),
+          expr("bit_xor(o_custkey)").as("bxor"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          |  max_by(o_orderstatus, o_orderkey) AS last_status,
+          |  min_by(o_orderstatus, o_orderkey) AS first_status,
+          |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+          |  bool_and(o_totalprice > 0) AS all_pos,
+          |  bool_or(o_totalprice > 400000) AS any_huge,
+          |  bit_and(o_custkey) AS band,
+          |  bit_or(o_custkey) AS bor,
+          |  bit_xor(o_custkey) AS bxor
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R28 — GROUPING SETS with grouping() markers (generalizes r8's
+    // rollup/cube to arbitrary set lists).
+    Q("r28_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT
+            |  coalesce(o_orderpriority, 'ALL') AS prio,
+            |  coalesce(o_orderstatus, 'ALL') AS status,
+            |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+            |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+            |  count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+            |                        (o_orderpriority), (o_orderstatus), ())
+            |ORDER BY g_prio, g_status, prio, status""".stripMargin)
+      },
+      Some("""SELECT
+          |  coalesce(o_orderpriority, 'ALL') AS prio,
+          |  coalesce(o_orderstatus, 'ALL') AS status,
+          |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+          |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |                        (o_orderpriority), (o_orderstatus), ())
+          |ORDER BY g_prio, g_status, prio, status""".stripMargin)),
+
+    // R29 — lateral token explode (unnest) + global top-20 frequency.
+    // Fully ordered by (n desc, token) — deterministic at the cut.
+    Q("r29_token_explode",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some("""SELECT token, count(*) AS n
+          |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |WHERE token <> ''
+          |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // R30 — map + struct construction/access (complex-type scalar
+    // surface; DuckDB map extraction yields a list, indexed [1]).
+    Q("r30_map_struct",
+      (s, d) => Tables.orders(s, d)
+        .where(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          map_from_arrays(
+            array(lit("p"), lit("s")),
+            array(col("o_orderpriority"), col("o_orderstatus")))("p").as("m_p"),
+          struct(col("o_orderstatus").as("st"),
+            col("o_custkey").as("ck")).getField("st").as("st"),
+          struct(col("o_orderstatus").as("st"),
+            col("o_custkey").as("ck")).getField("ck").as("ck"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          |  map(['p', 's'], [o_orderpriority, o_orderstatus])['p'][1] AS m_p,
+          |  struct_pack(st := o_orderstatus, ck := o_custkey).st AS st,
+          |  struct_pack(st := o_orderstatus, ck := o_custkey).ck AS ck
+          |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    // R31 — TPC-H Q3 shape (shipping-priority): 3-way join
+    // customer ⋈ orders ⋈ lineitem with selective date/segment filters,
+    // revenue per order, global top-10. The segment dim filter prunes
+    // before the join; at scale orders/lineitem co-shuffle on orderkey
+    // and the revenue agg is partial-aggregated map-side.
+    Q("r31_tpch_q3",
+      (s, d) => Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("o_date"),
+          round(col("revenue"), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey,
+          |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1999-01-01'
+          |  AND l_shipdate > TIMESTAMP '1999-01-01'
+          |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // R32 — TPC-H Q5 shape (local-supplier volume): 6-way join with
+    // region → nation dims broadcast, supplier nation pinned to the
+    // customer nation, revenue per nation. The dims broadcast; the big
+    // fact joins shuffle on their keys only.
+    Q("r32_tpch_q5",
+      (s, d) => {
+        val nations = Tables.nation(s, d)
+          .join(Tables.region(s, d),
+            col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .select("n_nationkey", "n_name")
+        Tables.customer(s, d)
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .select(col("n_name"), round(col("revenue"), 6).as("revenue"),
+            col("n"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+          |  count(*) AS n
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D6 — BPE-ish regex tokenization (alpha runs | digit runs | single
+    // other-glyph) — the token-counting shape of an LLM-data pipeline;
+    // distinct-token ratio is a standard quality signal.
+    Q("d6_regex_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .cast("long").as("n_tokens"),
+          expr("size(array_distinct(regexp_extract_all(text, '[a-z]+', 0)))")
+            .cast("long").as("n_uniq_words"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+          |  len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_uniq_words
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X6 — binaryFile multimodal source: documents staged as raw .txt
+    // blobs, read back via the binary-file datasource (the pattern for
+    // opaque image/audio payloads: path + length + content bytes),
+    // fingerprinted with md5 over the bytes. At scale the staging is an
+    // object-store listing; here the first 100 docs.
+    Q("x6_binary_source",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_x6_bin")
+        Tables.documents(s, d).where(col("doc_id") < 100)
+          .select("doc_id", "text").collect().foreach { r =>
+            java.nio.file.Files.write(
+              dir.resolve(s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+          .load(dir.toString)
+          .select(
+            expr("CAST(regexp_extract(path, 'doc_([0-9]+)\\\\.txt', 1) AS LONG)")
+              .as("doc_id"),
+            col("length"),
+            md5(col("content")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+          |  md5(text) AS content_md5
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
+  )
+}

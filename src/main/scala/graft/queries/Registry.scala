@@ -11,7 +11,8 @@ object Registry {
       EmbeddingQueries.all ++
       MultimodalQueries.all ++
       StreamingQueries.all ++
-      ExtendedQueries.all
+      ExtendedQueries.all ++
+      BatteryQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -3,6 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Structured Streaming surface (engine generalization — the reference
@@ -206,6 +207,49 @@ object StreamingQueries {
           |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
           |  AND epoch_ns(b.ts) // 1000 >= epoch_ns(a.ts) // 1000
           |  AND epoch_ns(b.ts) // 1000 <= epoch_ns(a.ts) // 1000 + 3600000000
-          |GROUP BY 1 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S7 — foreachBatch sink: per-micro-batch partial aggregates
+    // appended to a parquet table, re-aggregated after the run. The
+    // partial/final split is batch-boundary-invariant (DECIMAL sums
+    // merge exactly), so the result equals the batch aggregation no
+    // matter how the source splits into micro-batches — the idempotent
+    // upsert-into-table pattern of a production streaming pipeline.
+    Q("s7_stream_foreach_batch",
+      (s, d) => {
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_s7_ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_s7_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_s7_out").toString + "/agg"
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .select(col("event_type"),
+            col("value").cast(DecimalType(18, 6)).as("dv"))
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            batch.groupBy("event_type")
+              .agg(count(lit(1)).as("pn"), sum("dv").as("pv"))
+              .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(outDir)
+          .groupBy("event_type")
+          .agg(sum("pn").cast("long").as("n"),
+            sum("pv").cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

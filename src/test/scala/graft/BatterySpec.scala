@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class BatterySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("r29 top token equals direct frequency count") {
+    val top = run("r29_token_explode").head
+    val direct = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t")).head
+    assert(top.getString(0) == direct.getString(0))
+    assert(top.getLong(1) == direct.getLong(1))
+  }
+
+  test("r31 q3: at most 10 rows, revenue descending, positive") {
+    val rows = run("r31_tpch_q3").collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sorted.reverse))
+    assert(revs.forall(_ > 0))
+  }
+
+  test("r32 q5: nation dim joins broadcast") {
+    val plan = run("r32_tpch_q5").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("r27 argmax aggregates are keyed on the unique orderkey") {
+    val byPrio = run("r27_cond_agg").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    val direct = Tables.orders(spark, sf)
+      .orderBy(col("o_orderkey").desc).select("o_orderpriority", "o_orderstatus")
+      .collect().groupBy(_.getString(0))
+    direct.foreach { case (prio, rows) =>
+      assert(byPrio(prio)._1 == rows.head.getString(1),   // max orderkey
+        s"max_by mismatch for $prio")
+      assert(byPrio(prio)._2 == rows.last.getString(1),   // min orderkey
+        s"min_by mismatch for $prio")
+    }
+  }
+
+  test("x6 binary source: 100 docs, md5 matches driver-side digest") {
+    val rows = run("x6_binary_source").collect()
+    assert(rows.length == 100)
+    val doc0 = Tables.documents(spark, sf)
+      .where(col("doc_id") === 0).head.getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.find(_.getLong(0) == 0L).get.getString(2) == md)
+  }
+
+  test("s7 foreachBatch partial-aggregate table equals batch aggregation") {
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = run("s7_stream_foreach_batch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("r26 moments: spark population skew/kurtosis definitions hold") {
+    // closed-form check on a tiny in-memory column
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 4.0, 8.0)
+    val r = xs.toDF("x").agg(
+      skewness(col("x")), kurtosis(col("x"))).head
+    val m = xs.sum / 4
+    def mom(k: Int) = xs.map(x => math.pow(x - m, k)).sum / 4
+    assert(math.abs(r.getDouble(0) - mom(3) / math.pow(mom(2), 1.5)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - (mom(4) / (mom(2) * mom(2)) - 3)) < 1e-9)
+  }
+}
