@@ -80,6 +80,56 @@ object MultimodalQueries {
           |FROM documents
           |CROSS JOIN (SELECT unnest(range(0, 30)) AS k)
           |WHERE k < 1 + strlen(text) % 30 AND k % 5 = 0
-          |ORDER BY doc_id, frame_idx""".stripMargin))
+          |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // X7 — pixel-level decode stub: the payload's bytes ARE the pixels
+    // (ascii codes of the text stand in for a decoded gray-scale
+    // raster). Per-image stats, 4 band means (the pooling shape of a
+    // feature extractor) and a stride-16 "thumbnail" checksum (the
+    // resize shape) — all computed with codegen'd higher-order
+    // functions over the pixel array, no UDF. The oracle recomputes
+    // every figure from the same bytes in DuckDB.
+    Q("x7_pixel_stats",
+      (s, d) => {
+        // split("", -1) can retain a trailing zero-width match — drop it
+        val px = transform(filter(split(col("text"), ""), ch => ch =!= ""),
+          ch => ascii(ch))
+        // n div 4, NOT n/4: Spark `/` is true division (12.25 for n=49)
+        val q4 = expr("n div 4")
+        def bandMean(b: Int) = round(
+          aggregate(slice(col("px"), q4 * b + 1, q4),
+            lit(0L), (a, x) => a + x).cast("double") / q4.cast("double"), 6)
+        Tables.documents(s, d)
+          .where(col("n_chars") >= 8)
+          .select(col("doc_id"), px.as("px"))
+          .withColumn("n", size(col("px")).cast("long"))
+          .select(
+            col("doc_id"),
+            col("n").as("n_px"),
+            round(aggregate(col("px"), lit(0L), (a, x) => a + x)
+              .cast("double") / col("n"), 6).as("mean_px"),
+            array_min(col("px")).cast("long").as("min_px"),
+            array_max(col("px")).cast("long").as("max_px"),
+            bandMean(0).as("band0"), bandMean(1).as("band1"),
+            bandMean(2).as("band2"), bandMean(3).as("band3"),
+            expr("aggregate(filter(px, (x, i) -> i % 16 = 0), 0L, (a, x) -> a + x)")
+              .as("thumb_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+          |  SELECT doc_id,
+          |         list_transform(string_split(text, ''), ch -> ascii(ch)) AS px,
+          |         strlen(text) AS n
+          |  FROM documents WHERE n_chars >= 8)
+          |SELECT doc_id, n AS n_px,
+          |  round(1.0 * list_sum(px) / n, 6) AS mean_px,
+          |  CAST(list_min(px) AS BIGINT) AS min_px,
+          |  CAST(list_max(px) AS BIGINT) AS max_px,
+          |  round(1.0 * list_sum(px[n // 4 * 0 + 1 : n // 4 * 1]) / (n // 4), 6) AS band0,
+          |  round(1.0 * list_sum(px[n // 4 * 1 + 1 : n // 4 * 2]) / (n // 4), 6) AS band1,
+          |  round(1.0 * list_sum(px[n // 4 * 2 + 1 : n // 4 * 3]) / (n // 4), 6) AS band2,
+          |  round(1.0 * list_sum(px[n // 4 * 3 + 1 : n // 4 * 4]) / (n // 4), 6) AS band3,
+          |  CAST(list_sum(px[1 : n : 16]) AS BIGINT) AS thumb_sum
+          |FROM p ORDER BY doc_id""".stripMargin))
   )
 }

@@ -250,6 +250,67 @@ object StreamingQueries {
       },
       Some("""SELECT event_type, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S8 — custom stateful operator via KeyValueGroupedDataset
+    // .mapGroupsWithState: a per-user running profile (count, first/last
+    // event time, exact BigDecimal value sum — order-independent, so
+    // the iterator's shuffle order is irrelevant). One source file →
+    // one micro-batch → one update emission per key; the oracle is the
+    // per-user batch profile. This is the escape hatch for state
+    // machines session_window/dropDuplicates can't express.
+    Q("s8_stream_custom_state",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"s8_sink_${sinkId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_s8_ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_s8_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        val src = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("value").cast(DecimalType(18, 6)).as("dv"))
+          .as[(Long, Long, java.math.BigDecimal)]
+        val q = src.groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long, java.math.BigDecimal)],
+             state: org.apache.spark.sql.streaming.GroupState[
+               (Long, Long, Long, java.math.BigDecimal)]) =>
+              val zero = (0L, Long.MaxValue, Long.MinValue,
+                java.math.BigDecimal.ZERO)
+              val merged = rows.foldLeft(state.getOption.getOrElse(zero)) {
+                case ((n, lo, hi, sum), (_, us, dv)) =>
+                  (n + 1, math.min(lo, us), math.max(hi, us), sum.add(dv))
+              }
+              state.update(merged)
+              (user, merged._1, merged._2, merged._3,
+                merged._4.doubleValue)
+          }
+          .toDF("user_id", "n_events", "first_us", "last_us", "sum_value")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        // one emission per (key, batch); keep the final state per key
+        s.table(name).groupBy("user_id")
+          .agg(max("n_events").as("n_events"), min("first_us").as("first_us"),
+            max("last_us").as("last_us"),
+            expr("max_by(sum_value, n_events)").as("sum_value"))
+          .select(col("user_id"), col("n_events"), col("first_us"),
+            col("last_us"), round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+          |  min(epoch_ns(ts) // 1000) AS first_us,
+          |  max(epoch_ns(ts) // 1000) AS last_us,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS sum_value
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -69,6 +69,37 @@ class BatterySpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("x7 pixel stats: doc 0 figures match a direct byte walk") {
+    val doc0 = Tables.documents(spark, sf)
+      .where(col("doc_id") === 0).head.getAs[String]("text")
+    val px = doc0.map(_.toLong)
+    val r = run("x7_pixel_stats").where(col("doc_id") === 0).head
+    assert(r.getLong(1) == px.length)
+    assert(math.abs(r.getDouble(2) -
+      BigDecimal(px.sum.toDouble / px.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(r.getLong(3) == px.min && r.getLong(4) == px.max)
+    val thumb = px.zipWithIndex.filter(_._2 % 16 == 0).map(_._1).sum
+    assert(r.getLong(9) == thumb)
+  }
+
+  test("s8 custom state: per-user profile equals the batch profile") {
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = run("s8_stream_custom_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        min(expr("ts div 1000")).as("f"), max(expr("ts div 1000")).as("l"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("sv"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(streamed == batch)
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
