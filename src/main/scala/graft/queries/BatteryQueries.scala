@@ -299,6 +299,185 @@ object BatteryQueries {
           |  len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_uniq_words
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // R33 — null-handling battery: nulls derived via nullif, folded
+    // back via coalesce/ifnull/nvl2, counted, ordered NULLS FIRST, and
+    // joined null-safely (<=> / IS NOT DISTINCT FROM).
+    Q("r33_null_handling",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"),
+            nullif(col("event_type"), lit("view")).as("nk"))
+        val dim = Tables.events(s, d)
+          .select(nullif(col("event_type"), lit("view")).as("nk"))
+          .distinct()
+          .withColumn("dim_tag",
+            coalesce(concat(lit("t_"), col("nk")), lit("t_null")))
+        ev.join(dim, ev("nk") <=> dim("nk"))
+          .drop(dim("nk"))
+          .select(
+            col("event_id"),
+            coalesce(col("nk"), lit("(null)")).as("k_filled"),
+            expr("ifnull(nk, 'x')").as("k_ifnull"),
+            expr("nvl2(nk, 'has', 'none')").as("k_nvl2"),
+            col("dim_tag"))
+          .orderBy(col("event_id"))
+          .limit(3000)
+      },
+      Some("""WITH ev AS (
+          |  SELECT event_id, nullif(event_type, 'view') AS nk FROM events),
+          |dim AS (
+          |  SELECT nk, coalesce('t_' || nk, 't_null') AS dim_tag
+          |  FROM (SELECT DISTINCT nullif(event_type, 'view') AS nk FROM events))
+          |SELECT event_id,
+          |  coalesce(ev.nk, '(null)') AS k_filled,
+          |  ifnull(ev.nk, 'x') AS k_ifnull,
+          |  CASE WHEN ev.nk IS NOT NULL THEN 'has' ELSE 'none' END AS k_nvl2,
+          |  dim_tag
+          |FROM ev JOIN dim ON ev.nk IS NOT DISTINCT FROM dim.nk
+          |ORDER BY event_id LIMIT 3000""".stripMargin)),
+
+    // R34 — analytic-window battery: ntile / percent_rank / cume_dist /
+    // lead / lag / first_value / last_value / nth_value over the
+    // per-priority order timeline (unique orderkey → deterministic).
+    Q("r34_window_extras",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .where(col("o_orderkey") < 5000)
+          .select(
+            col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            lead(col("o_orderkey"), 2).over(w).as("lead2"),
+            lag(col("o_orderkey"), 3).over(w).as("lag3"),
+            first_value(col("o_orderkey")).over(w).as("fv"),
+            last_value(col("o_orderkey")).over(wf).as("lv"),
+            nth_value(col("o_orderkey"), 5).over(wf).as("nth5"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+          |  ntile(4) OVER w AS quartile,
+          |  round(percent_rank() OVER w, 6) AS pr,
+          |  round(cume_dist() OVER w, 6) AS cd,
+          |  lead(o_orderkey, 2) OVER w AS lead2,
+          |  lag(o_orderkey, 3) OVER w AS lag3,
+          |  first_value(o_orderkey) OVER w AS fv,
+          |  last_value(o_orderkey) OVER wf AS lv,
+          |  nth_value(o_orderkey, 5) OVER wf AS nth5
+          |FROM orders WHERE o_orderkey < 5000
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey),
+          |  wf AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // R35 — exact interpolated percentiles per group (the exact twin of
+    // r7_approx_quantiles).
+    Q("r35_percentiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.75)), 6).as("p75"),
+          round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          |  round(quantile_cont(value, 0.25), 6) AS p25,
+          |  round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.75), 6) AS p75,
+          |  round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R36 — array set-operation battery over document token arrays.
+    // Set results are sort-normalized and string-projected (array cells
+    // break the comparison harness; Spark's array_except/union also
+    // dedup, so both sides go through distinct+sort).
+    Q("r36_array_ops",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val stop = array(lit("the"), lit("a"), lit("value"))
+        Tables.documents(s, d)
+          .where(col("doc_id") < 200)
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_toks"),
+            array_join(sort_array(array_distinct(toks)), ",").as("uniq"),
+            array_join(sort_array(array_intersect(toks, stop)), ",").as("hits"),
+            array_join(sort_array(array_except(toks, stop)), ",").as("rest"),
+            array_position(toks, "table").cast("long").as("pos_table"),
+            array_contains(toks, "data").as("has_data"),
+            array_join(slice(toks, 1, 5), "-").as("head5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |  WHERE doc_id < 200)
+          |SELECT doc_id,
+          |  len(toks) AS n_toks,
+          |  array_to_string(list_sort(list_distinct(toks)), ',') AS uniq,
+          |  coalesce(array_to_string(list_sort(list_distinct(list_filter(toks,
+          |    x -> list_contains(['the','a','value'], x)))), ','), '') AS hits,
+          |  coalesce(array_to_string(list_sort(list_distinct(list_filter(toks,
+          |    x -> NOT list_contains(['the','a','value'], x)))), ','), '') AS rest,
+          |  coalesce(list_position(toks, 'table'), 0) AS pos_table,
+          |  list_contains(toks, 'data') AS has_data,
+          |  array_to_string(toks[1:5], '-') AS head5
+          |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // R37 — unionByName with missing columns null-filled (schema
+    // evolution shape; DuckDB UNION ALL BY NAME).
+    Q("r37_union_by_name",
+      (s, d) => {
+        val a = Tables.orders(s, d).where(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val b = Tables.orders(s, d)
+          .where(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            col("o_orderpriority"))
+        a.unionByName(b, allowMissingColumns = true)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("-")).as("prio"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          |  coalesce(o_orderpriority, '-') AS prio
+          |FROM (
+          |  SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+          |  FROM orders WHERE o_orderkey < 1000
+          |  UNION ALL BY NAME
+          |  SELECT o_orderstatus, o_orderkey, o_orderpriority
+          |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // X8 — partitioned parquet sink + partition-pruned source: events
+    // written partitionBy(event_type), read back filtered to one
+    // partition (the scan lists only that directory — file-level
+    // pruning, asserted in BatterySpec).
+    Q("x8_partitioned_source",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_x8_part").toString + "/events_part"
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value").cast(DecimalType(18, 6)).as("dv"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        s.read.parquet(tmp)
+          .where(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum("dv").cast("double").as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events WHERE event_type = 'purchase'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // X6 — binaryFile multimodal source: documents staged as raw .txt
     // blobs, read back via the binary-file datasource (the pattern for
     // opaque image/audio payloads: path + length + content bytes),

@@ -98,7 +98,9 @@ object ExtendedQueries {
         Tables.orders(s, d)
           .select("o_orderkey", "o_custkey", "o_orderstatus")
           .write.mode("overwrite").json(tmp)
-        s.read.json(tmp)
+        // explicit schema: skips the whole-file inference pass (2× scan)
+        s.read.schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING")
+          .json(tmp)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"))
           .orderBy("o_orderstatus")

@@ -100,6 +100,37 @@ class BatterySpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("x8 partitioned source: scan prunes to the filtered partition") {
+    val df = run("x8_partitioned_source")
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    val scanStr = scans.map(_.toString).mkString("\n")
+    // partition filter on event_type must reach the file scan
+    assert(scanStr.contains("PartitionFilters") &&
+      scanStr.contains("purchase"), s"no partition pruning in:\n$scanStr")
+    assert(df.count() > 0)
+  }
+
+  test("r33 null-safe join keeps the null-key rows") {
+    val rows = run("r33_null_handling").collect()
+    val nullRows = rows.filter(_.getString(1) == "(null)")
+    assert(nullRows.nonEmpty, "null keys dropped by the null-safe join")
+    assert(nullRows.forall(r =>
+      r.getString(2) == "x" && r.getString(3) == "none" &&
+        r.getString(4) == "t_null"))
+  }
+
+  test("r34 window extras: quartiles partition evenly, pr in [0,1]") {
+    val rows = run("r34_window_extras").collect()
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // last_value over the full frame equals the partition max orderkey
+    val byPrio = rows.groupBy(_.getString(1))
+    byPrio.foreach { case (_, rs) =>
+      val maxKey = rs.map(_.getLong(0)).max
+      assert(rs.forall(_.getLong(8) == maxKey))
+    }
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
