@@ -478,6 +478,36 @@ object BatteryQueries {
           |FROM events WHERE event_type = 'purchase'
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // R38 — hash / encode / error-tolerant function battery. Spark hex
+    // is uppercase (DuckDB lower) → normalized with lower(); Spark
+    // try_cast/try_divide NULLs mirror DuckDB's NULL-on-error division
+    // and try_cast.
+    Q("r38_hash_encode",
+      (s, d) => Tables.documents(s, d)
+        .where(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          sha2(col("text"), 256).as("sha"),
+          base64(encode(substring(col("text"), 1, 12), "utf-8")).as("b64"),
+          lower(hex(encode(substring(col("text"), 1, 4), "utf-8"))).as("hx"),
+          (unbase64(base64(encode(col("text"), "utf-8"))).cast("string")
+            === col("text")).as("b64_roundtrip"),
+          coalesce(expr("try_cast(lang AS INT)"), lit(-1)).cast("long").as("tc"),
+          coalesce(expr("try_divide(n_chars, n_chars - n_chars)"), lit(-1.0))
+            .as("td"),
+          format_string("%07d|%s", col("doc_id"), col("lang")).as("fs"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          |  sha256(text) AS sha,
+          |  to_base64(encode(substring(text, 1, 12))) AS b64,
+          |  lower(hex(encode(substring(text, 1, 4)))) AS hx,
+          |  decode(from_base64(to_base64(encode(text)))) = text AS b64_roundtrip,
+          |  CAST(coalesce(try_cast(lang AS INT), -1) AS BIGINT) AS tc,
+          |  coalesce(n_chars / (n_chars - n_chars), -1.0) AS td,
+          |  printf('%07d|%s', doc_id, lang) AS fs
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+  ) ++ Seq(
+
     // X6 — binaryFile multimodal source: documents staged as raw .txt
     // blobs, read back via the binary-file datasource (the pattern for
     // opaque image/audio payloads: path + length + content bytes),

@@ -220,6 +220,61 @@ object ExtendedQueries {
               (acc, x) => acc + x * x)), 6).as("pc_norm"))
           .orderBy("vec_id")
       },
-      None)
+      None),
+
+    // P2 — the full LLM-training-data pipeline in one plan: exact
+    // dedup (keep lowest doc_id per text) → quality gate (d3's rule)
+    // → join each surviving doc to its embedding → per-language corpus
+    // stats. One shuffle per stage boundary (text partition, lang agg);
+    // the embedding join shuffles on the id key. This is the shape a
+    // 100 TB corpus-curation job takes end to end.
+    Q("p2_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byText = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+        val kept = Tables.documents(s, d)
+          .withColumn("rn", row_number().over(byText))
+          .where(col("rn") === 1)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("n_stop", size(filter(col("w"), w =>
+            w.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("long"))
+          .where(col("n_words").between(20, 1000) &&
+            col("n_stop").cast("double") / col("n_words") > 0.05)
+          .select("doc_id", "lang", "n_words")
+        val norms = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            sqrt(aggregate(col("embedding"), lit(0.0),
+              (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
+        kept.join(norms, kept("doc_id") === norms("vec_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").as("total_tokens"),
+            round(sum("nrm") / count(lit(1)), 6).as("avg_norm"))
+          .orderBy("lang")
+      },
+      Some("""WITH dd AS (
+          |  SELECT doc_id, lang, text,
+          |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM documents),
+          |q AS (
+          |  SELECT doc_id, lang,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+          |  FROM dd WHERE rn = 1),
+          |f AS (
+          |  SELECT doc_id, lang, n_words FROM q
+          |  WHERE n_words BETWEEN 20 AND 1000
+          |    AND CAST(n_stop AS DOUBLE) / n_words > 0.05),
+          |e AS (
+          |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+          |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          |  FROM embeddings)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+          |  round(sum(nrm) / count(*), 6) AS avg_norm
+          |FROM f JOIN e ON doc_id = vec_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

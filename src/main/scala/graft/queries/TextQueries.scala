@@ -245,12 +245,20 @@ object TextQueries {
           col("doc_id").as("id_a"), col("fp").as("fp_a"))
         val r = bands.select(col("band_idx"), col("bv"),
           col("doc_id").as("id_b"), col("fp").as("fp_b"))
+        // emit-on-first-matching-band: a pair matching several bands is
+        // kept only where band_idx is its lowest match — a bitwise
+        // filter instead of a distinct (one less shuffle).
+        val x = col("fp_a").bitwiseXOR(col("fp_b"))
+        val band0Same = x.bitwiseAND(lit(0x3FL)) === 0L
+        val band1Same = shiftright(x, 6).bitwiseAND(lit(0x1FL)) === 0L
         l.join(r, Seq("band_idx", "bv"))
           .where(col("id_a") < col("id_b"))
+          .where(col("band_idx") === 0 ||
+            (col("band_idx") === 1 && !band0Same) ||
+            (col("band_idx") === 2 && !band0Same && !band1Same))
           .select(col("id_a"), col("id_b"),
-            bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hd"))
+            bit_count(x).cast("long").as("hd"))
           .where(col("hd") <= 2)
-          .distinct()
           .orderBy("id_a", "id_b")
       },
       Some {
