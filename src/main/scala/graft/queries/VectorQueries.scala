@@ -183,6 +183,25 @@ object VectorQueries {
       },
       Some(knnOracle(10))),
 
+    // V12 — delete + search (vector delete is future work in the
+    // reference, `generate_report.py:298`): remove vec_ids 0–4 from a
+    // built store (bucket-local dynamic-partition rewrite), then exact
+    // search — the deleted ids must be invisible. Oracle: kNN over the
+    // rows with vec_id >= 5.
+    Q("v12_delete_search",
+      (s, d) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_v12").toString + "/index"
+        val store = VectorStore.build(s,
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding")),
+          path, graft.lsh.LshConfig(dim = 64, seed = 42L))
+        store.delete(Seq(0L, 1L, 2L, 3L, 4L))
+        store.search(qvec(s, d, 0), 10, probes = store.model.numBuckets)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(knnOracle(10, where = "e.vec_id >= 5"))),
+
     // V11 — metadata-filtered kNN (future work in the reference,
     // `generate_report.py:298`): top-10 neighbors among label=3
     // vectors only. The predicate sits beside the scan so filtering

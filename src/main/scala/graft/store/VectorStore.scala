@@ -57,9 +57,82 @@ final class VectorStore(
     * analysis, SURVEY §2.6 A3–A5).
     */
   def stats(): DataFrame = VectorStore.statsOf(indexDf, model.cfg.dim)
+
+  /** Delete vectors by id, rewriting ONLY the buckets that contain
+    * them (dynamic partition overwrite — at scale this touches a few
+    * partition directories, never the whole table). Returns the number
+    * of rows removed. Vector delete is declared future work in the
+    * reference (`generate_report.py:298`).
+    */
+  def delete(ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val idSet = ids.map(Long.box)
+    val affected = indexDf.where(col("id").isin(idSet: _*))
+      .select(col("bucket").cast("int")).distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) return 0L
+    val af = affected.map(Int.box).toSeq
+    val inBuckets = indexDf.where(col("bucket").isin(af: _*))
+    val before = inBuckets.count()
+    // localCheckpoint severs the file-source lineage so the dynamic
+    // overwrite of the same path is legal
+    val remaining = inBuckets.where(!col("id").isin(idSet: _*))
+      .localCheckpoint(true)
+    val keptPerBucket = remaining.groupBy("bucket").count()
+      .collect().map(r => r.getAs[Number]("bucket").intValue()).toSet
+    remaining.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+    // dynamic overwrite only rewrites partitions present in the output;
+    // a fully-emptied bucket keeps its stale files — drop its directory
+    VectorStore.dropBucketDirs(spark, path,
+      affected.filterNot(keptPerBucket).toSeq)
+    before - remaining.count()
+  }
+
+  /** Upsert (id, embedding [, metadata…]) rows: replaces existing ids,
+    * inserts new ones. Fully distributed — the affected buckets are
+    * computed from the incoming embeddings (bucket = f(embedding), no
+    * index scan), existing rows of those buckets are anti-joined on id
+    * and unioned with the incoming batch, then dynamically overwritten.
+    * NOTE: an id whose embedding CHANGES BUCKET leaves its old row in
+    * the old bucket untouched by the bucket-local rewrite — those ids
+    * are cleaned with a targeted delete first.
+    */
+  def upsert(df: DataFrame, idCol: String = "id",
+             embCol: String = "embedding"): Unit = {
+    val incoming = VectorStore.bucketize(df, model, idCol, embCol)
+      .localCheckpoint(true)
+    // ids already stored under a DIFFERENT bucket than their new one
+    val moved = indexDf.select(col("id"), col("bucket").cast("int").as("ob"))
+      .join(incoming.select(col("id"), col("bucket").as("nb")), "id")
+      .where(col("ob") =!= col("nb"))
+      .select("id").collect().map(_.getLong(0))
+    if (moved.nonEmpty) delete(moved.toSeq)
+    val af = incoming.select("bucket").distinct()
+      .collect().map(r => Int.box(r.getAs[Number]("bucket").intValue())).toSeq
+    val existing = indexDf.where(col("bucket").isin(af: _*))
+      .join(incoming.select("id"), Seq("id"), "left_anti")
+    val merged = existing.unionByName(incoming).localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+  }
 }
 
 object VectorStore {
+
+  /** Remove partition directories for buckets emptied by a delete. */
+  private[store] def dropBucketDirs(spark: SparkSession, path: String,
+                                    buckets: Seq[Int]): Unit = {
+    if (buckets.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    buckets.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
 
   /** Assign the LSH bucket column. Narrow, shuffle-free. Columns other
     * than id/embedding ride along as searchable metadata.

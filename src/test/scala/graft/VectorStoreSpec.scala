@@ -97,3 +97,66 @@ class FilteredSearchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(viaStore.forall { case (_, dist) => dist >= 0 })
   }
 }
+
+class MutationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+
+  private def freshStore() = {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_mut").toString
+    graft.store.VectorStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index", graft.lsh.LshConfig(dim = 64, seed = 42L))
+  }
+
+  test("delete removes ids, leaves other buckets' files untouched") {
+    val store = freshStore()
+    val before = store.indexDf.count()
+    val victims = store.search(
+      graft.queries.VectorQueries.qvec(TestSpark.spark, TestSpark.sf, 0),
+      5, probes = 3).collect().map(_.getLong(0)).toSeq
+    val removed = store.delete(victims)
+    assert(removed == victims.length)
+    assert(store.indexDf.count() == before - victims.length)
+    assert(store.indexDf.where(
+      col("id").isin(victims.map(Long.box): _*)).count() == 0)
+    // idempotent: deleting again removes nothing
+    assert(store.delete(victims) == 0L)
+  }
+
+  test("delete that empties a bucket drops its partition directory") {
+    val store = freshStore()
+    val bucketIds = store.indexDf
+      .where(col("bucket") === 0).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(bucketIds.nonEmpty)
+    store.delete(bucketIds)
+    assert(store.indexDf.where(col("bucket") === 0).count() == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${store.path}/bucket=0")))
+  }
+
+  test("upsert replaces an existing vector and inserts a new one") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val store = freshStore()
+    val before = store.indexDf.count()
+    // replace id 7 with the embedding of id 3 (may change buckets),
+    // insert brand-new id 100000 with id 5's embedding
+    def emb(i: Long) = Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") === i).head.getSeq[Float](1).toArray
+    val batch = Seq((7L, emb(3L)), (100000L, emb(5L)))
+      .toDF("id", "embedding")
+    store.upsert(batch)
+    assert(store.indexDf.count() == before + 1)
+    assert(store.indexDf.where(col("id") === 7L).count() == 1)
+    // searching with id 3's embedding must now find id 7 at distance 0
+    val q3 = emb(3L).map(_.toDouble)
+    val top = store.search(q3, 3, probes = 3).collect()
+    assert(top.exists(r => r.getLong(0) == 7L && r.getDouble(1) == 0.0))
+    val q5 = emb(5L).map(_.toDouble)
+    val top5 = store.search(q5, 3, probes = 3).collect()
+    assert(top5.exists(r => r.getLong(0) == 100000L && r.getDouble(1) == 0.0))
+  }
+}
