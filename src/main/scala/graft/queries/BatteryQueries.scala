@@ -505,7 +505,26 @@ object BatteryQueries {
           |  CAST(coalesce(try_cast(lang AS INT), -1) AS BIGINT) AS tc,
           |  coalesce(n_chars / (n_chars - n_chars), -1.0) AS td,
           |  printf('%07d|%s', doc_id, lang) AS fs
-          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // R39 — mergeable HLL sketches (Apache DataSketches via Spark's
+    // hll_sketch_agg): per-type user sketches unioned into a global
+    // estimate — the re-aggregatable distinct-count shape a 100 TB
+    // rollup needs (partial sketches merge associatively across
+    // partitions/days). Estimates are engine-specific → rows-only;
+    // BatterySpec bounds the error against the exact count.
+    Q("r39_hll_sketch",
+      (s, d) => {
+        val perType = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        perType.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"))
+          .crossJoin(Tables.events(s, d)
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+              .as("direct_est")))
+      },
+      None)
   ) ++ Seq(
 
     // X6 — binaryFile multimodal source: documents staged as raw .txt

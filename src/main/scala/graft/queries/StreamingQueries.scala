@@ -311,6 +311,43 @@ object StreamingQueries {
           |  max(epoch_ns(ts) // 1000) AS last_us,
           |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
           |    AS sum_value
-          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S9 — complete output mode: every trigger re-emits the FULL
+    // aggregate table (no watermark cutoff), so the final memory-sink
+    // snapshot equals the batch aggregation over everything — the
+    // dashboard-materialization mode, complementing append (s1–s3) and
+    // update (s8).
+    Q("s9_stream_complete",
+      (s, d) => {
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"s9_sink_${sinkId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_s9_ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_s9_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        val src = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("event_type"),
+            timestamp_micros(expr("ts div 1000")).as("ets"))
+        val q = src
+          .groupBy(col("event_type"), window(col("ets"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_timestamp(window.start) div 3600").as("hour_bucket"),
+            col("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy("event_type", "hour_bucket")
+      },
+      Some("""SELECT event_type,
+          |  (epoch_ns(ts) // 1000) // 3600000000 AS hour_bucket,
+          |  count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

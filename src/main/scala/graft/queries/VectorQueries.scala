@@ -202,6 +202,24 @@ object VectorQueries {
       },
       Some(knnOracle(10, where = "e.vec_id >= 5"))),
 
+    // V13 — the SQL dialect surface end-to-end: the same flagship kNN
+    // expressed in pure SQL against the session-registered graft
+    // kernels (GraftExtensions.register → FunctionRegistry), proving a
+    // SQL-only client needs no Scala API at all.
+    Q("v13_sql_interface",
+      (s, d) => {
+        graft.extensions.GraftExtensions.register(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("emb_sql")
+        s.sql("""SELECT vec_id,
+            |  round(vec_l2sq(embedding,
+            |    (SELECT embedding FROM emb_sql WHERE vec_id = 0)), 6) AS dist
+            |FROM emb_sql
+            |ORDER BY vec_l2sq(embedding,
+            |  (SELECT embedding FROM emb_sql WHERE vec_id = 0)), vec_id
+            |LIMIT 10""".stripMargin)
+      },
+      Some(knnOracle(10))),
+
     // V11 — metadata-filtered kNN (future work in the reference,
     // `generate_report.py:298`): top-10 neighbors among label=3
     // vectors only. The predicate sits beside the scan so filtering

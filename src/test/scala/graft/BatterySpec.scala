@@ -131,6 +131,17 @@ class BatterySpec extends AnyFunSuite {
     }
   }
 
+  test("r39 hll: merged per-type sketches equal the direct sketch, ~exact") {
+    val r = run("r39_hll_sketch").head
+    val merged = r.getLong(0)
+    val direct = r.getLong(1)
+    assert(merged == direct, "sketch union is not lossless vs direct agg")
+    val exact = Tables.events(spark, sf)
+      .select(countDistinct("user_id")).head.getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
