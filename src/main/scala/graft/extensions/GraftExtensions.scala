@@ -14,11 +14,13 @@ import graft.expressions._
   * Usage: `spark.sql("SELECT vec_l2sq(a.embedding, b.embedding) ...")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("scala_udf", name), builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -37,10 +39,16 @@ object GraftExtensions {
     "text_word_hashes" -> (es => TextWordHashes(arg(es, 0, "text_word_hashes", 1)))
   )
 
-  /** Register into an already-built session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-built session (temp functions + the
+    * as-of-join planner strategy via experimental.extraStrategies).
+    */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+  }
 }

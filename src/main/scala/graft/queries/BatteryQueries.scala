@@ -524,7 +524,38 @@ object BatteryQueries {
             .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
               .as("direct_est")))
       },
-      None)
+      None),
+
+    // R40 — the NATIVE as-of join operator (graft.plans.AsOfJoinExec:
+    // custom LogicalPlan → Strategy → SparkPlan, injected through
+    // GraftExtensions): last purchase time at-or-before each event of
+    // the same user, via one co-partitioned sorted merge pass with
+    // O(1) state — no window buffering, no union. The declarative twin
+    // is r18; the oracle here is the plain max-over-interval join.
+    Q("r40_asof_native",
+      (s, d) => {
+        graft.extensions.GraftExtensions.register(s)
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("us"))
+        val purchases = Tables.events(s, d)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000").as("pus"))
+        graft.plans.AsOfJoin(ev, purchases,
+            key = "user_id", leftTime = "us", rightTime = "pus",
+            outName = "last_purchase_us")
+          .select("event_id", "user_id", "last_purchase_us")
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+          |  SELECT user_id, epoch_ns(ts) // 1000 AS pus
+          |  FROM events WHERE event_type = 'purchase'),
+          |e AS (
+          |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events)
+          |SELECT e.event_id, e.user_id, max(p.pus) AS last_purchase_us
+          |FROM e LEFT JOIN p
+          |  ON e.user_id = p.user_id AND p.pus <= e.us
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   ) ++ Seq(
 
     // X6 — binaryFile multimodal source: documents staged as raw .txt

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("physical plan: AsOfJoinExec fed by hash exchanges and sorts") {
+    graft.extensions.GraftExtensions.register(spark)
+    val df = SparkEntry.queries("r40_asof_native")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), s"operator not planned:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"no hash exchange on the key:\n$plan")
+    assert(plan.contains("Sort ["), s"no sort before the merge:\n$plan")
+  }
+
+  test("native as-of equals the max-over-interval join semantics") {
+    val native = SparkEntry.queries("r40_asof_native")(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+    val p = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), expr("ts div 1000").as("pus"))
+    val expected = ev.join(p,
+        col("user_id") === col("pu") && col("pus") <= col("us"), "left")
+      .groupBy("event_id")
+      .agg(max("pus").as("lp"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native.size == expected.size)
+    assert(native == expected)
+  }
+
+  test("as-of over an empty right side yields all-null matches") {
+    graft.extensions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq.empty[(Long, Long)].toDF("k", "t")
+    val out = graft.plans.AsOfJoin(l, r, "k", "t", "t", "m").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(2)))
+  }
+
+  test("ties: a right row at exactly leftTime matches (<= semantics)") {
+    graft.extensions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 15L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L), (1L, 12L), (3L, 1L)).toDF("k", "t")
+    val out = graft.plans.AsOfJoin(l, r, "k", "t", "t", "m")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq((1L, 10L, 10L), (1L, 15L, 12L), (2L, 10L, -1L)))
+  }
+}
