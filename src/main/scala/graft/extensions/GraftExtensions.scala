@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("scala_udf", name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinColumnPruning)
   }
 }
 
@@ -50,5 +51,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.AsOfJoinColumnPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.AsOfJoinColumnPruning
   }
 }

@@ -124,6 +124,26 @@ case class AsOfJoinExec(
   }
 }
 
+/** Optimizer rule (the `Rule[LogicalPlan]` extension tier): Catalyst's
+  * built-in ColumnPruning cannot see through a custom node, so without
+  * this, every left column rides the exchange + sort even when the
+  * parent projects a subset. Prunes the left child to the columns the
+  * parent actually references plus the join key/time.
+  */
+object AsOfJoinColumnPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj: AsOfJoinPlan) =>
+      val needed = AttributeSet(p.projectList.flatMap(_.references)) ++
+        aj.leftKey.references ++ aj.leftTime.references
+      val kept = aj.left.output.filter(needed.contains)
+      if (kept.length == aj.left.output.length) p
+      else p.copy(child = aj.copy(left = Project(kept, aj.left)))
+  }
+}
+
 /** DataFrame-level API. The right side is re-projected through fresh
   * aliases, so self-joins (left and right scanning the same table) are
   * safe without relying on analyzer dedup of a custom node.

@@ -36,6 +36,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == expected)
   }
 
+  test("column pruning rule: unused left columns never reach the exchange") {
+    graft.extensions.GraftExtensions.register(spark)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"), col("event_type"), col("props"))
+    val p = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("pus"))
+    val out = graft.plans.AsOfJoin(ev, p, "user_id", "us", "pus", "lp")
+      .select("event_id", "lp")
+    assert(out.count() > 0)
+    val top = out.queryExecution.executedPlan
+    val finalPlan = top match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exec = finalPlan.collectFirst {
+      case a: graft.plans.AsOfJoinExec => a
+    }.get
+    val leftCols = exec.left.output.map(_.name).toSet
+    assert(!leftCols.contains("event_type") && !leftCols.contains("props"),
+      s"unpruned left side: $leftCols")
+  }
+
   test("as-of over an empty right side yields all-null matches") {
     graft.extensions.GraftExtensions.register(spark)
     import spark.implicits._
