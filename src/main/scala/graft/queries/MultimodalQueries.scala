@@ -130,6 +130,40 @@ object MultimodalQueries {
           |  round(1.0 * list_sum(px[n // 4 * 2 + 1 : n // 4 * 3]) / (n // 4), 6) AS band2,
           |  round(1.0 * list_sum(px[n // 4 * 3 + 1 : n // 4 * 4]) / (n // 4), 6) AS band3,
           |  CAST(list_sum(px[1 : n : 16]) AS BIGINT) AS thumb_sum
-          |FROM p ORDER BY doc_id""".stripMargin))
+          |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // X9 — audio-frame shape: the payload bytes as PCM-ish samples,
+    // framed into 256-sample windows with hop 128 (the STFT framing a
+    // real audio featurizer does before the codec-specific transform),
+    // per-frame energy = sum of squared samples — integer math, so the
+    // oracle is exact. One row per (doc, frame); frame count =
+    // (n - 256) div 128 + 1.
+    Q("x9_audio_frames",
+      (s, d) => {
+        val px = transform(filter(split(col("text"), ""), ch => ch =!= ""),
+          ch => ascii(ch).cast("long"))
+        Tables.documents(s, d)
+          .where(col("doc_id") < 100 && col("n_chars") >= 256)
+          .select(col("doc_id"), px.as("px"),
+            size(px).cast("long").as("n"))
+          .select(col("doc_id"),
+            posexplode(expr("transform(sequence(0, (n - 256) div 128), " +
+              "k -> aggregate(slice(px, k * 128 + 1, 256), 0L, (a, x) -> a + x * x))"))
+              .as(Seq("frame_idx", "energy")))
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("energy"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH p AS (
+          |  SELECT doc_id,
+          |         list_transform(string_split(text, ''), ch -> ascii(ch)) AS px,
+          |         strlen(text) AS n
+          |  FROM documents WHERE doc_id < 100 AND n_chars >= 256)
+          |SELECT doc_id, k AS frame_idx,
+          |  CAST(list_sum(list_transform(px[k * 128 + 1 : k * 128 + 256],
+          |    x -> x * x)) AS BIGINT) AS energy
+          |FROM p CROSS JOIN (SELECT unnest(range(0, 1000)) AS k)
+          |WHERE k <= (n - 256) // 128
+          |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

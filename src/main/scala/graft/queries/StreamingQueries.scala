@@ -348,6 +348,68 @@ object StreamingQueries {
       Some("""SELECT event_type,
           |  (epoch_ns(ts) // 1000) // 3600000000 AS hour_bucket,
           |  count(*) AS n
-          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S10 — incremental (multi-micro-batch) processing equals the
+    // single-batch result: the source is staged as TWO time-split
+    // parquet halves (cut on an hour boundary, so no window straddles
+    // the cut and nothing arrives behind the watermark) consumed one
+    // file per trigger in time order; the watermark only grows, every
+    // window is emitted exactly once when the watermark passes it, so
+    // the appended union across batches equals s1's single-batch set —
+    // and the same batch-SQL oracle proves it.
+    Q("s10_stream_incremental",
+      (s, d) => {
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"s10_sink_${sinkId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_s10_ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_s10_src")
+        val full = s.read.parquet(s"$d/events.parquet")
+          .withColumn("us", expr("ts div 1000"))
+        val Array(lo, hi) = full.agg(min("us"), max("us")).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val cutUs = ((lo + hi) / 2 / 3600000000L) * 3600000000L
+        def stage(cond: org.apache.spark.sql.Column, sub: String,
+                  mtime: Long): Unit = {
+          val dir = srcDir.resolve(sub)
+          full.where(cond).drop("us").coalesce(1).write.parquet(dir.toString)
+          java.nio.file.Files.list(dir).forEach(p =>
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(mtime)))
+        }
+        val now = 1700000000000L // fixed, ordered staging times
+        stage(col("us") < cutUs, "a_first", now)
+        stage(col("us") >= cutUs, "b_second", now + 60000)
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir.toString)
+          .select(col("event_type"),
+            timestamp_micros(expr("ts div 1000")).as("ets"))
+        val q = src.withWatermark("ets", "10 minutes")
+          .groupBy(col("event_type"), window(col("ets"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_timestamp(window.start) div 3600").as("hour_bucket"),
+            col("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy("event_type", "hour_bucket")
+      },
+      Some("""WITH e AS (
+          |  SELECT event_type,
+          |         epoch_ns(ts) // 1000 AS us,
+          |         (epoch_ns(ts) // 1000) // 3600000000 AS hb
+          |  FROM events),
+          |m AS (SELECT max(us) AS mx FROM e)
+          |SELECT event_type, hb AS hour_bucket, count(*) AS n
+          |FROM e, m
+          |WHERE (hb + 1) * 3600000000 <= mx - 600000000
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
