@@ -255,7 +255,11 @@ object RelationalQueries {
     Q("r7_approx_quantiles",
       (s, d) => Tables.events(s, d)
         .agg(percentile_approx(col("value"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q")),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+        // scalar projection: array cells break the harness comparator
+        .select(element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75")),
       None),
 
     // R21 — correlated scalar subquery (Catalyst decorrelates it into

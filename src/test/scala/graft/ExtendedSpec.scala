@@ -178,8 +178,9 @@ class ApproxSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
 
   test("approx quantiles within tolerance of exact") {
-    val approx = SparkEntry.queries("r7_approx_quantiles")(spark, TestSpark.sf)
-      .head.getSeq[Double](0)
+    val row = SparkEntry.queries("r7_approx_quantiles")(spark, TestSpark.sf)
+      .head
+    val approx = Seq(row.getDouble(0), row.getDouble(1), row.getDouble(2))
     val exact = Tables.events(spark, TestSpark.sf)
       .agg(percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))))
       .head.getSeq[Double](0)
