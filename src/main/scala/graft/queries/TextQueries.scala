@@ -45,6 +45,30 @@ object TextQueries {
       s"ELSE $wh END)"
   }
 
+  /** Shared oracle CTE chain: documents → word hashes → shingles →
+    * 8 minhashes → 4 band buckets → distinct candidate pairs
+    * `mh_pairs(id_a, id_b)`. Used by m1 (pairs) and m4 (clusters).
+    */
+  private lazy val minhashPairsCte: String = {
+    val mhCols = (0 until 8).map(j =>
+      s"list_min(list_transform(shs, x -> (${A(j)}*x + ${B(j)}) % $P)) AS mh$j")
+      .mkString(",\n        ")
+    val bandRows = (0 until Bands).map(bi =>
+      s"SELECT doc_id, $bi AS band_idx, mh${2 * bi}*$P + mh${2 * bi + 1} AS bv FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""wh AS (SELECT doc_id, ${TF.wordHashesSql("text")} AS wh FROM documents),
+       |sh AS (SELECT doc_id, $shingleHashesSql AS shs FROM wh),
+       |sig AS (SELECT doc_id,
+       |        $mhCols
+       |        FROM sh),
+       |bands AS (
+       |  $bandRows),
+       |mh_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // D1 — exact deduplication: hash-groupBy on md5(text); one
@@ -182,23 +206,60 @@ object TextQueries {
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct().orderBy("id_a", "id_b")
       },
-      Some {
-        val mhCols = (0 until 8).map(j =>
-          s"list_min(list_transform(shs, x -> (${A(j)}*x + ${B(j)}) % $P)) AS mh$j").mkString(",\n        ")
-        val bandRows = (0 until Bands).map(bi =>
-          s"SELECT doc_id, $bi AS band_idx, mh${2 * bi}*$P + mh${2 * bi + 1} AS bv FROM sig").mkString("\n  UNION ALL ")
-        s"""WITH wh AS (SELECT doc_id, ${TF.wordHashesSql("text")} AS wh FROM documents),
-           |sh AS (SELECT doc_id, $shingleHashesSql AS shs FROM wh),
-           |sig AS (SELECT doc_id,
-           |        $mhCols
-           |        FROM sh),
-           |bands AS (
-           |  $bandRows)
-           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |FROM bands a JOIN bands b
-           |  ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
-           |ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some(s"""WITH $minhashPairsCte
+           |SELECT id_a, id_b FROM mh_pairs ORDER BY id_a, id_b""".stripMargin)),
+
+    // M4 — dedup clusters: connected components over the MinHash
+    // candidate pairs by iterative min-label propagation (the standard
+    // scalable CC: each round is one equi-join + partial-min agg; the
+    // driver loops until a fixpoint, log-diameter rounds). The cluster
+    // representative is the component's min doc_id — a unique fixpoint,
+    // so the result is iteration-order independent. The oracle computes
+    // the same components with a recursive transitive-closure CTE.
+    Q("m4_dedup_clusters",
+      (s, d) => {
+        val pairs = all.find(_.name == "m1_minhash_pairs").get.run(s, d)
+          .select("id_a", "id_b")
+        val edges = pairs.union(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+          .localCheckpoint(true)
+        var labels = Tables.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("label"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbrMin = edges
+            .join(labels, edges("id_b") === labels("doc_id"))
+            .groupBy(edges("id_a").as("doc_id"))
+            .agg(min("label").as("nbr_min"))
+          val next = labels.as("l")
+            .join(nbrMin.as("n"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nbr_min"), col("label")))
+                .as("label"))
+            .localCheckpoint(true)
+          changed = next.as("a")
+            .join(labels.withColumnRenamed("label", "old").as("b"), "doc_id")
+            .where(col("label") =!= col("old")).count()
+          labels = next
+          iter += 1
+        }
+        labels.select(col("doc_id"), col("label").as("cluster_rep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+           |e AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+           |      UNION ALL SELECT id_b, id_a FROM mh_pairs),
+           |reach(s2, t) AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.s2, e.b FROM reach r JOIN e ON r.t = e.a),
+           |m AS (SELECT s2, min(t) AS mn FROM reach GROUP BY s2)
+           |SELECT d.doc_id,
+           |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_rep
+           |FROM documents d LEFT JOIN m ON m.s2 = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin)),
 
     // M2 — SimHash (16-bit, word-frequency weighted): fingerprints…
     Q("m2_simhash",

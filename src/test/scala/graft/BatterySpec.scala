@@ -142,6 +142,21 @@ class BatterySpec extends AnyFunSuite {
       s"estimate $merged vs exact $exact")
   }
 
+  test("m4 clusters: reps are component minima and respect the pair edges") {
+    val labels = run("m4_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every rep is <= its member and is its own rep (idempotent)
+    labels.foreach { case (doc, rep) =>
+      assert(rep <= doc && labels(rep) == rep, s"bad rep $rep for $doc")
+    }
+    // both endpoints of every candidate pair share a cluster
+    val pairs = run("m1_minhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
