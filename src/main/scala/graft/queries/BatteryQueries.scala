@@ -507,6 +507,28 @@ object BatteryQueries {
           |  printf('%07d|%s', doc_id, lang) AS fs
           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
+    // R41 — typed JSON parsing: from_json into a schema'd struct (the
+    // typed twin of r13's get_json_object string extraction), plus
+    // json_tuple-style multi-extract and a validity probe.
+    Q("r41_from_json",
+      (s, d) => Tables.events(s, d)
+        .where(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          from_json(col("props"), lit("k INT"))
+            .getField("k").cast("long").as("k_typed"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_str"),
+          from_json(col("props"), lit("k INT")).isNotNull.as("parsed"),
+          (from_json(col("props"), lit("k INT")).getField("k") % 10)
+            .cast("long").as("k_mod"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_str,
+          |  json_valid(props) AS parsed,
+          |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+          |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
     // R39 — mergeable HLL sketches (Apache DataSketches via Spark's
     // hll_sketch_agg): per-type user sketches unioned into a global
     // estimate — the re-aggregatable distinct-count shape a 100 TB
