@@ -507,6 +507,83 @@ object BatteryQueries {
           |  printf('%07d|%s', doc_id, lang) AS fs
           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
+    // R42 — TPC-H Q7 shape (volume shipping): two nation-pinned sides
+    // (customer nation × supplier nation, both broadcast dims), yearly
+    // revenue per directed nation pair via CASE-bucketed aggregation.
+    Q("r42_tpch_q7",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .where(col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("cust_nation") =!= col("supp_nation"))
+          .groupBy(col("cust_nation"), col("supp_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+          .select(col("cust_nation"), col("supp_nation"), col("l_year"),
+            round(col("revenue"), 6).as("revenue"))
+          .orderBy("cust_nation", "supp_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          |  AND n1.n_name <> n2.n_name
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // R43 — PURE range join (no equi key) via the bin-join pattern:
+    // orders × lineitems where l_extendedprice lies within ±500 of
+    // o_totalprice/100. A naive theta join is a cartesian product; here
+    // each side maps to 1000-wide price bins (the probe side to its
+    // bin ± 1), the join is an equi-join on the bin, and the exact
+    // range predicate filters after — shuffle is bounded by bin
+    // population, the 100 TB-safe shape for interval/range joins.
+    Q("r43_range_bin_join",
+      (s, d) => {
+        val W = 1000L
+        val o = Tables.orders(s, d)
+          .where(col("o_orderkey") < 3000)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") / 100.0).as("target"))
+        val probes = o.select(col("o_orderkey"), col("target"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+          .select(col("o_orderkey"), col("target"),
+            ((col("target") / W).cast("long") + col("off")).as("bin"))
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"),
+            (col("l_extendedprice") / W).cast("long").as("bin"))
+        probes.join(l, Seq("bin"))
+          .where(abs(col("l_extendedprice") - col("target")) <= 500.0)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_near"),
+            round(min(col("l_extendedprice")), 6).as("min_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_near,
+          |  round(min(l_extendedprice), 6) AS min_price
+          |FROM orders JOIN lineitem
+          |  ON abs(l_extendedprice - o_totalprice / 100.0) <= 500.0
+          |WHERE o_orderkey < 3000
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // R41 — typed JSON parsing: from_json into a schema'd struct (the
     // typed twin of r13's get_json_object string extraction), plus
     // json_tuple-style multi-extract and a validity probe.

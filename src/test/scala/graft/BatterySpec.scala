@@ -157,6 +157,14 @@ class BatterySpec extends AnyFunSuite {
     }
   }
 
+  test("r43 range-bin join plans as an equi-join, never a cartesian") {
+    val plan = run("r43_range_bin_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to all-pairs:\n$plan")
+    assert(plan.contains("bin"), s"no bin key in plan:\n$plan")
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
