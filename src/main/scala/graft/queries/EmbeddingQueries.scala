@@ -20,6 +20,77 @@ object EmbeddingQueries {
 
   val all: Seq[Q] = Seq(
 
+    // E6 — scalar-quantized (SQ8) search with exact re-rank: per-dim
+    // min/max → each float32 maps to an int code 0–255 → coarse top-100
+    // by exact INTEGER code distance (4× less data scanned at rest, and
+    // the candidate cut is integer math — bit-identical on any engine)
+    // → exact float re-rank of the candidates to the final top-10. The
+    // standard memory/IO-compression ANN tier between brute force (e1)
+    // and IVF (e3). Codes are non-negative, so Spark HALF_UP, Java
+    // Math.round and DuckDB round() agree.
+    Q("e6_sq8_search",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val st = emb
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("i")
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+          .orderBy("i").collect()
+        val mns = st.map(_.getDouble(1)).toSeq
+        val ss = st.map { r =>
+          val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+          if (mx > mn) 255.0 / (mx - mn) else 0.0
+        }.toSeq
+        val q = VectorQueries.qvec(s, d, 0)
+        val qc = q.indices.map(i => Math.round((q(i) - mns(i)) * ss(i))).toSeq
+        val mnsL = typedlit(mns)
+        val ssL = typedlit(ss)
+        def codes(c: org.apache.spark.sql.Column) =
+          transform(c, (x, i) =>
+            round((x.cast("double") - element_at(mnsL, i + 1)) *
+              element_at(ssL, i + 1), 0).cast("long"))
+        emb.select(col("vec_id"), col("embedding"),
+            codes(col("embedding")).as("c"))
+          .withColumn("qd",
+            aggregate(zip_with(col("c"), typedlit(qc),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          .orderBy(col("qd"), col("vec_id")).limit(100)
+          .select(col("vec_id"),
+            round(VF.l2sqLit(col("embedding"), q), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+      },
+      Some(s"""WITH st AS (
+           |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+           |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY i),
+           |scl AS (
+           |  SELECT list(mn ORDER BY i) AS mns,
+           |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+           |              ELSE 0.0 END ORDER BY i) AS ss
+           |  FROM st),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |qc AS (
+           |  SELECT list_transform(range(1, 65), i ->
+           |    CAST(round((CAST(qe[i] AS DOUBLE) - mns[i]) * ss[i])
+           |         AS BIGINT)) AS c
+           |  FROM q, scl),
+           |codes AS (
+           |  SELECT vec_id, list_transform(range(1, 65), i ->
+           |    CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * ss[i])
+           |         AS BIGINT)) AS c
+           |  FROM embeddings, scl),
+           |cand AS (
+           |  SELECT codes.vec_id,
+           |    list_sum(list_transform(range(1, 65), i ->
+           |      (codes.c[i] - qc.c[i]) * (codes.c[i] - qc.c[i]))) AS qd
+           |  FROM codes, qc
+           |  ORDER BY qd, vec_id LIMIT 100)
+           |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
+           |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
+           |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin)),
+
     // E1 — brute-force cosine top-10 for query = vec_id 0.
     Q("e1_ann_cosine_topk",
       (s, d) => {

@@ -165,6 +165,13 @@ class BatterySpec extends AnyFunSuite {
     assert(plan.contains("bin"), s"no bin key in plan:\n$plan")
   }
 
+  test("e6 sq8: quantized+reranked top-10 recalls the exact top-10") {
+    val sq = run("e6_sq8_search").collect().map(_.getLong(0)).toSet
+    val exact = run("v1_knn").collect().map(_.getLong(0)).toSet
+    assert((sq intersect exact).size >= 8,
+      s"SQ8 recall too low: ${(sq intersect exact).size}/10")
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
