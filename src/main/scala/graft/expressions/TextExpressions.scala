@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -83,4 +84,43 @@ case class TextWordHashes(child: Expression)
   override protected def withNewChildInternal(c: Expression): TextWordHashes =
     copy(child = c)
   override def prettyName: String = "text_word_hashes"
+}
+
+/** Generator (UDTF tier) expression: one output row per word n-gram
+  * shingle of the input text — the table-function shape of shingling,
+  * complementing the array-building [[TextWordHashes]]. Usable from
+  * the Column API (the analyzer plans it through Generate, like
+  * explode) and from SQL as `LATERAL VIEW text_shingles(text, 3)`.
+  * Null or short (< n words) inputs emit no rows. Splitting follows
+  * the engine's word rule: split on single spaces, keep empties.
+  */
+case class TextShingles(child: Expression, n: Int)
+    extends UnaryExpression with Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("shingle", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"text_shingles expects STRING, got ${child.dataType}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val words = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (words.length < n) Nil
+      else (0 to words.length - n).map { i =>
+        InternalRow(UTF8String.fromString(
+          words.slice(i, i + n).mkString(" ")))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextShingles =
+    copy(child = c)
 }

@@ -2,7 +2,8 @@ package graft.extensions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 import graft.expressions._
 
 /** SQL surface for the engine's native kernels: the reference exposes
@@ -37,7 +38,18 @@ object GraftExtensions {
     "vec_safe_norm" -> (es => VecNorm(arg(es, 0, "vec_safe_norm", 1), safe = true)),
     "vec_l2normalize" -> (es => VecL2Normalize(arg(es, 0, "vec_l2normalize", 1))),
     "text_poly_hash" -> (es => TextPolyHash(arg(es, 0, "text_poly_hash", 1), Int.MaxValue)),
-    "text_word_hashes" -> (es => TextWordHashes(arg(es, 0, "text_word_hashes", 1)))
+    "text_word_hashes" -> (es => TextWordHashes(arg(es, 0, "text_word_hashes", 1))),
+    // UDTF: LATERAL VIEW text_shingles(text, 3). Shingle size must be a
+    // literal int.
+    "text_shingles" -> (es => {
+      require(es.length == 2, s"text_shingles expects 2 arguments, got ${es.length}")
+      val n = es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"text_shingles size must be an INT literal, got $other")
+      }
+      TextShingles(es(0), n)
+    })
   )
 
   /** Register into an already-built session (temp functions + the

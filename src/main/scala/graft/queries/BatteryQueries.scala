@@ -657,6 +657,26 @@ object BatteryQueries {
           |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   ) ++ Seq(
 
+    // X10 — the UDTF tier end-to-end: the custom TextShingles
+    // Generator expression driven from SQL via LATERAL VIEW (planned
+    // through Generate exactly like explode), one row per word
+    // trigram.
+    Q("x10_shingle_udtf",
+      (s, d) => {
+        graft.extensions.GraftExtensions.register(s)
+        Tables.documents(s, d).where(col("doc_id") < 50)
+          .createOrReplaceTempView("docs_sh")
+        s.sql("""SELECT doc_id, shingle FROM docs_sh
+            |LATERAL VIEW text_shingles(text, 3) t AS shingle
+            |ORDER BY doc_id, shingle""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+          |  unnest(list_transform(range(1, len(w) - 1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+          |FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |      FROM documents WHERE doc_id < 50)
+          |ORDER BY doc_id, shingle""".stripMargin)),
+
     // X6 — binaryFile multimodal source: documents staged as raw .txt
     // blobs, read back via the binary-file datasource (the pattern for
     // opaque image/audio payloads: path + length + content bytes),

@@ -172,6 +172,18 @@ class BatterySpec extends AnyFunSuite {
       s"SQ8 recall too low: ${(sq intersect exact).size}/10")
   }
 
+  test("x10 shingle UDTF: null and short inputs emit nothing, counts add up") {
+    graft.extensions.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(Some("a b c d"), Some("a b"), None)
+      .toDF("text").createOrReplaceTempView("sh_t")
+    val rows = spark.sql(
+      """SELECT shingle FROM sh_t
+        |LATERAL VIEW text_shingles(text, 3) t AS shingle""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a b c", "b c d"))
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
