@@ -61,6 +61,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"unpruned left side: $leftCols")
   }
 
+  test("withExtensions session plans AsOfJoin without manual registration") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.extensions.GraftExtensions)
+      .getOrCreate()
+    import s2.implicits._
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("k", "t")
+    val out = graft.plans.AsOfJoin(l, r, "k", "t", "t", "m")
+      .orderBy("k").collect()
+    assert(out.map(x => (x.getLong(0),
+      if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq ==
+      Seq((1L, 5L), (2L, -1L)))
+  }
+
   test("as-of over an empty right side yields all-null matches") {
     graft.extensions.GraftExtensions.register(spark)
     import spark.implicits._
