@@ -410,6 +410,66 @@ object StreamingQueries {
           |SELECT event_type, hb AS hour_bucket, count(*) AS n
           |FROM e, m
           |WHERE (hb + 1) * 3600000000 <= mx - 600000000
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S11 — stream–stream LEFT OUTER interval join: matched pairs emit
+    // on match (like s6); an unmatched left emits one null row once the
+    // watermark proves no future partner can arrive (its join window
+    // upper bound falls below the final watermark). Lefts whose window
+    // is still open when the stream ends stay in state and never emit —
+    // the oracle encodes exactly that cutoff.
+    Q("s11_stream_outer_join",
+      (s, d) => {
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"s11_sink_${sinkId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_s11_ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_s11_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        def side(prefix: String, pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          s.readStream.schema(schema).parquet(srcDir.toString)
+            .where(pred(col("event_type")))
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ets"))
+            .withWatermark(s"${prefix}_ets", "10 minutes")
+        val clicks = side("a", _ === "click")
+        val purchases = side("b", _ === "purchase")
+        val joined = clicks.join(purchases,
+          expr("""a_user = b_user AND
+                 |b_ets >= a_ets AND b_ets <= a_ets + INTERVAL 30 MINUTES""".stripMargin),
+          "leftOuter")
+        val q = joined.select(col("a_id"), col("b_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).groupBy("a_id")
+          .agg(count(col("b_id")).as("n_purch"))
+          .orderBy("a_id")
+      },
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id,
+          |        epoch_ns(ts) // 1000 AS us
+          |      FROM events WHERE event_type = 'click'),
+          |b AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+          |      FROM events WHERE event_type = 'purchase'),
+          |m AS (
+          |  -- Spark's global watermark = min over both sides' (max
+          |  -- event time - delay), truncated to milliseconds
+          |  SELECT (least((SELECT max(us) FROM a), (SELECT max(us) FROM b))
+          |          - 600000000) // 1000 * 1000 AS wm),
+          |j AS (SELECT a.a_id, a.us AS aus, b.us AS bus
+          |      FROM a LEFT JOIN b
+          |        ON a.user_id = b.user_id
+          |        AND b.us >= a.us AND b.us <= a.us + 1800000000)
+          |SELECT a_id, count(bus) AS n_purch
+          |FROM j, m
+          |WHERE bus IS NOT NULL
+          |   OR aus + 1800000000 < wm
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
