@@ -584,6 +584,39 @@ object BatteryQueries {
           |WHERE o_orderkey < 3000
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // R44 — RANGE window frame (value-based, vs r10's row-based): per
+    // customer, the sum of order prices within the 30 PRECEDING DAYS of
+    // each order — the frame holds peers by VALUE distance on the
+    // day-ordinal ordering, not by row position.
+    Q("r44_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day_ord"))
+          .rangeBetween(-30L, 0L)
+        Tables.orders(s, d)
+          .where(col("o_custkey") < 300)
+          .withColumn("day_ord",
+            (unix_timestamp(col("o_orderdate")) / 86400L).cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day_ord"),
+            sum(col("o_totalprice").cast(D)).over(w)
+              .cast("double").as("sum_30d"),
+            count(lit(1)).over(w).as("n_30d"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day_ord"),
+            round(col("sum_30d"), 6).as("sum_30d"), col("n_30d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          |  CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_ord,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+          |        AS DOUBLE), 6) AS sum_30d,
+          |  count(*) OVER w AS n_30d
+          |FROM orders WHERE o_custkey < 300
+          |WINDOW w AS (PARTITION BY o_custkey
+          |  ORDER BY epoch(o_orderdate) // 86400
+          |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // R41 — typed JSON parsing: from_json into a schema'd struct (the
     // typed twin of r13's get_json_object string extraction), plus
     // json_tuple-style multi-extract and a validity probe.

@@ -91,6 +91,43 @@ object EmbeddingQueries {
            |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
            |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin)),
 
+    // E7 — late-interaction (MaxSim / ColBERT-style) scoring: a "doc"
+    // is the BAG of vectors sharing a label; the query is label 0's
+    // bag. score(doc) = Σ over query vectors of max dot-product
+    // against the doc's vectors. Query bag broadcasts; one pass over
+    // the corpus computes all (qvec, dvec) dots, two partial-aggregated
+    // reductions (max per (label, qvec), sum per label) finish it —
+    // the multi-vector retrieval shape at corpus scale.
+    Q("e7_maxsim",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.where(col("label") === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        emb.join(broadcast(qs), emb("vec_id") =!= qs("q_id"))
+          .select(col("label"), col("q_id"),
+            VF.dot(col("embedding"), col("qe")).as("dp"))
+          .groupBy("label", "q_id")
+          .agg(max("dp").as("best"))
+          .groupBy("label")
+          .agg(round(sum("best"), 6).as("maxsim"),
+            count(lit(1)).as("n_qvecs"))
+          .orderBy("label")
+      },
+      Some(s"""WITH qs AS (
+           |  SELECT vec_id AS q_id, embedding AS qe
+           |  FROM embeddings WHERE label = 0),
+           |dots AS (
+           |  SELECT e.label, qs.q_id,
+           |    ${DuckSql.dot("e.embedding", "qs.qe")} AS dp
+           |  FROM embeddings e CROSS JOIN qs
+           |  WHERE e.vec_id <> qs.q_id),
+           |best AS (
+           |  SELECT label, q_id, max(dp) AS best
+           |  FROM dots GROUP BY 1, 2)
+           |SELECT label, round(sum(best), 6) AS maxsim,
+           |  count(*) AS n_qvecs
+           |FROM best GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // E1 — brute-force cosine top-10 for query = vec_id 0.
     Q("e1_ann_cosine_topk",
       (s, d) => {
