@@ -710,6 +710,65 @@ object BatteryQueries {
           |      FROM documents WHERE doc_id < 50)
           |ORDER BY doc_id, shingle""".stripMargin)),
 
+    // X11 — line-oriented text source: documents staged one-per-line
+    // (the raw corpus-file shape), read back via spark.read.text and
+    // re-keyed by a split on the tab prefix; oracle recomputes from the
+    // table.
+    Q("x11_text_source",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_x11_text").toString + "/docs"
+        Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(
+            split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+            length(split(col("value"), "\t").getItem(1)).cast("long")
+              .as("text_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, strlen(text) AS text_len
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // P3 — TF-IDF: document frequency per term → idf = ln(N/df) →
+    // per-doc term frequency → global top-20 terms by summed tf-idf.
+    // Two shuffles (term df, term agg), both partial-aggregated — the
+    // canonical corpus-statistics pipeline.
+    Q("p3_tfidf_top_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val terms = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .where(col("term") =!= "")
+        val tf = terms.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(df, "term")
+          .withColumn("tfidf",
+            col("tf") * log(lit(n.toDouble) / col("df")))
+          .groupBy("term")
+          .agg(round(sum("tfidf"), 6).as("sum_tfidf"),
+            max("df").as("df"))
+          .orderBy(col("sum_tfidf").desc, col("term"))
+          .limit(20)
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+          |terms AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM terms
+          |  WHERE term <> '' GROUP BY 1, 2),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+          |SELECT tf.term,
+          |  round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)), 6)
+          |    AS sum_tfidf,
+          |  max(df.df) AS df
+          |FROM tf JOIN df ON tf.term = df.term, n
+          |GROUP BY 1 ORDER BY sum_tfidf DESC, tf.term LIMIT 20""".stripMargin)),
+
     // X6 — binaryFile multimodal source: documents staged as raw .txt
     // blobs, read back via the binary-file datasource (the pattern for
     // opaque image/audio payloads: path + length + content bytes),
