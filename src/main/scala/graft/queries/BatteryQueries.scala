@@ -584,6 +584,28 @@ object BatteryQueries {
           |WHERE o_orderkey < 3000
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // R45 — multiple DISTINCT aggregates in one GROUP BY (plans through
+    // Expand: one shuffled pass per distinct set plus the plain
+    // aggregates — the multi-distinct shape Catalyst rewrites for).
+    Q("r45_multi_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          |  count(DISTINCT o_custkey) AS n_cust,
+          |  count(DISTINCT o_orderstatus) AS n_status,
+          |  count(DISTINCT year(o_orderdate)) AS n_years,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // R44 — RANGE window frame (value-based, vs r10's row-based): per
     // customer, the sum of order prices within the 30 PRECEDING DAYS of
     // each order — the frame holds peers by VALUE distance on the

@@ -202,6 +202,26 @@ object VectorQueries {
       },
       Some(knnOracle(10, where = "e.vec_id >= 5"))),
 
+    // V14 — radius (range) search: ALL vectors within squared-L2
+    // distance 1.6 of the query — the other fundamental vector-db query
+    // shape next to top-k (no limit; the predicate itself bounds the
+    // result). Plans as scan → codegen distance → filter: embarrassingly
+    // parallel, no shuffle at all.
+    Q("v14_radius_search",
+      (s, d) => {
+        val q = qvec(s, d, 0)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), VF.l2sqLit(col("embedding"), q).as("dd"))
+          .where(col("dd") < 1.6)
+          .select(col("vec_id"), round(col("dd"), 6).as("dist"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(d, 6) AS dist FROM (
+           |  SELECT e.vec_id AS vec_id, ${DuckSql.l2sq("e.embedding", "q.qe")} AS d
+           |  FROM embeddings e, q)
+           |WHERE d < 1.6 ORDER BY vec_id""".stripMargin)),
+
     // V13 — the SQL dialect surface end-to-end: the same flagship kNN
     // expressed in pure SQL against the session-registered graft
     // kernels (GraftExtensions.register → FunctionRegistry), proving a
