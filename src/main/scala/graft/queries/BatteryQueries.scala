@@ -584,6 +584,17 @@ object BatteryQueries {
           |WHERE o_orderkey < 3000
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // R46 — explicit cross join (dims only — the one join type where
+    // all-pairs IS the semantics; both sides tiny, planned as
+    // BroadcastNestedLoopJoin).
+    Q("r46_cross_join",
+      (s, d) => Tables.region(s, d).select(col("r_name").as("a"))
+        .crossJoin(Tables.region(s, d).select(col("r_name").as("b")))
+        .orderBy("a", "b"),
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b
+          |FROM region r1 CROSS JOIN region r2
+          |ORDER BY 1, 2""".stripMargin)),
+
     // R45 — multiple DISTINCT aggregates in one GROUP BY (plans through
     // Expand: one shuffled pass per distinct set plus the plain
     // aggregates — the multi-distinct shape Catalyst rewrites for).
