@@ -222,6 +222,28 @@ object ExtendedQueries {
       },
       None),
 
+    // P4 — KMeans-trained IVF coarse quantizer (the real centroid
+    // training for e3's IVF search, which uses label cells): seeded
+    // k-means|| over the embeddings, output = cluster cardinalities.
+    // Estimates are engine-specific (no DuckDB k-means) → rows-only;
+    // ScalaTest asserts determinism across fits and full coverage.
+    Q("p4_kmeans_ivf",
+      (s, d) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val df = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            array_to_vector(col("embedding")).as("features"))
+        val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(df)
+        model.transform(df)
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("cell")
+      },
+      None),
+
     // P2 — the full LLM-training-data pipeline in one plan: exact
     // dedup (keep lowest doc_id per text) → quality gate (d3's rule)
     // → join each surviving doc to its embedding → per-language corpus

@@ -184,6 +184,14 @@ class BatterySpec extends AnyFunSuite {
     assert(rows == Seq("a b c", "b c d"))
   }
 
+  test("p4 kmeans: deterministic across fits, covers every vector") {
+    val a = run("p4_kmeans_ivf").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = run("p4_kmeans_ivf").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._2).sum == Tables.embeddings(spark, sf).count())
+    assert(a.length <= 10 && a.forall(_._2 > 0))
+  }
+
   test("r26 moments: spark population skew/kurtosis definitions hold") {
     // closed-form check on a tiny in-memory column
     import spark.implicits._
