@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Two things broke that in
+// rounds 1-2: sbt's trailing "[success] Total time ..." banner and
+// the "[info] " prefix on forked-process output. Kill both: no
+// success banner, and forked stdout/stderr pass through unprefixed.
+Global / showSuccess := false
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

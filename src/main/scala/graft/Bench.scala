@@ -32,7 +32,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: function-registry re-registration WARNs and
+    // shutdown-hook INFO lines otherwise land on stderr around the
+    // final JSON line the driver parses.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -54,8 +57,7 @@ object Bench {
     // ---- BASELINE.md kNN protocol --------------------------------
     val knn = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     try {
-      val idxPath = java.nio.file.Files
-        .createTempDirectory("graft_bench_idx").toString + "/index"
+      val idxPath = graft.util.TempDirs.create("graft_bench_idx").toString + "/index"
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding"))
       knn += "index_build" -> timed {
@@ -137,7 +139,8 @@ object Bench {
     // Full per-query detail → file (the driver captures only a ~2 KB
     // stdout tail; an 82-entry JSON line overflows it and parses as
     // null — round-1 lesson).
-    val detailPath = "/root/repo/BENCH_DETAIL.json"
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+      new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json").getPath)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n")
@@ -163,8 +166,10 @@ object Bench {
       "e1_ann_cosine_topk", "d1_dedup_exact", "s1_stream_tumble")
     val headline = knn.toSeq ++ groups ++
       perQuery.filter { case (n, _) => flagship(n) }
+    // Stop Spark BEFORE printing so nothing it logs at shutdown can
+    // land after the JSON line (the driver parses the last line).
+    spark.stop()
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headline)},"sf":"$sfDir","detail":"$detailPath"}""")
-    spark.stop()
   }
 }

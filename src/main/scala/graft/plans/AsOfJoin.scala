@@ -10,14 +10,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.{ColumnBridge, PlanBridge}
 import org.apache.spark.sql.types.LongType
 
-/** Native as-of join: for every left row, the greatest `rightTime` of
-  * the same key with `rightTime <= leftTime` (or null) — the point-in-
-  * time lookup a feature-store / market-data join needs. Spark has no
-  * such operator (SURVEY §2.8 lists joins as wholly absent from the
-  * reference; the window/union trick in `r18_asof_join` is the
-  * declarative fallback). This is the engine's whole-operator Catalyst
-  * tier: custom `LogicalPlan` → `SparkStrategy` → `SparkPlan`,
-  * injected via `SparkSessionExtensions` / `experimental.extraStrategies`.
+/** Native as-of join: for every left row, the matching `rightTime` of
+  * the same key (or null) — the point-in-time lookup a feature-store /
+  * market-data join needs. Three directions:
+  *  - `backward` (default): greatest rightTime <= leftTime;
+  *  - `forward`: smallest rightTime >= leftTime;
+  *  - `nearest`: whichever of the two is closer (ties -> backward).
+  * Spark has no such operator (SURVEY §2.8 lists joins as wholly
+  * absent from the reference; the window/union trick in
+  * `r18_asof_join` is the declarative fallback). This is the engine's
+  * whole-operator Catalyst tier: custom `LogicalPlan` →
+  * `SparkStrategy` → `SparkPlan`, injected via
+  * `SparkSessionExtensions` / `experimental.extraStrategies`.
   *
   * Physical contract: both sides hash-clustered on the key and sorted
   * by (key, time) — `EnsureRequirements` inserts the exchanges/sorts —
@@ -33,7 +37,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    outAttr: AttributeReference) extends BinaryNode {
+    outAttr: AttributeReference,
+    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
 
@@ -44,10 +49,27 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Match direction. Sealed ADT (not a string) so the plan node stays
+  * comparable/copyable the Catalyst way.
+  */
+sealed trait AsOfDirection { def name: String }
+case object AsOfBackward extends AsOfDirection { val name = "backward" }
+case object AsOfForward  extends AsOfDirection { val name = "forward" }
+case object AsOfNearest  extends AsOfDirection { val name = "nearest" }
+object AsOfDirection {
+  def apply(s: String): AsOfDirection = s.toLowerCase match {
+    case "backward" => AsOfBackward
+    case "forward"  => AsOfForward
+    case "nearest"  => AsOfNearest
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, out) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, out) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, out, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, out, dir) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +81,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    outAttr: AttributeReference) extends BinaryExecNode {
+    outAttr: AttributeReference,
+    direction: AsOfDirection = AsOfBackward) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
 
@@ -96,27 +119,61 @@ case class AsOfJoinExec(
       var lastTime = 0L
       lIter.map { lRow =>
         val kAny = lk.eval(lRow)
-        if (kAny == null) {
+        val tAny = lt.eval(lRow)
+        if (kAny == null || tAny == null) {
+          // Null key or null as-of time on the left: no match (mirrors
+          // SQL join-on-null). A null time must NOT unbox to epoch 0.
           timeRow.update(0, null)
         } else {
           val k = kAny.asInstanceOf[Long]
-          val t = lt.eval(lRow).asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          // Consume right rows strictly behind the current left
+          // position. backward also consumes ht == t (so `last` IS the
+          // match); forward/nearest stop before ht >= t, leaving the
+          // head unconsumed as the forward candidate — later left rows
+          // (same key, time >= t) may need it too.
+          val consumeEq = direction == AsOfBackward
           var advance = true
+          var peekValid = false
+          var peekKey = 0L
+          var peekTime = 0L
           while (advance && rBuf.hasNext) {
             val head = rBuf.head
             val hkAny = rk.eval(head)
-            if (hkAny == null) { rBuf.next(); () } // skip null keys
+            val htAny = rt.eval(head)
+            // Skip right rows with null key OR null time: a null time
+            // would otherwise unbox to 0L and spuriously match any
+            // left time >= epoch 0. (Nulls sort first, so skipping
+            // preserves the merge invariant.)
+            if (hkAny == null || htAny == null) { rBuf.next(); () }
             else {
               val hk = hkAny.asInstanceOf[Long]
-              val ht = rt.eval(head).asInstanceOf[Long]
-              if (hk < k || (hk == k && ht <= t)) {
+              val ht = htAny.asInstanceOf[Long]
+              if (hk < k || (hk == k && (ht < t || (consumeEq && ht == t)))) {
                 haveLast = true; lastKey = hk; lastTime = ht
                 rBuf.next(); ()
-              } else advance = false
+              } else {
+                advance = false
+                peekValid = true; peekKey = hk; peekTime = ht
+              }
             }
           }
-          if (haveLast && lastKey == k) timeRow.update(0, lastTime)
-          else timeRow.update(0, null)
+          val hasBack = haveLast && lastKey == k // lastTime <= t
+          val hasFwd = peekValid && peekKey == k // peekTime >= t
+          direction match {
+            case AsOfBackward =>
+              if (hasBack) timeRow.update(0, lastTime)
+              else timeRow.update(0, null)
+            case AsOfForward =>
+              if (hasFwd) timeRow.update(0, peekTime)
+              else timeRow.update(0, null)
+            case AsOfNearest =>
+              if (hasBack && hasFwd) timeRow.update(0,
+                if (t - lastTime <= peekTime - t) lastTime else peekTime)
+              else if (hasBack) timeRow.update(0, lastTime)
+              else if (hasFwd) timeRow.update(0, peekTime)
+              else timeRow.update(0, null)
+          }
         }
         proj(joined(lRow, timeRow))
       }
@@ -151,7 +208,8 @@ object AsOfJoinColumnPruning
 object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
             key: String, leftTime: String, rightTime: String,
-            outName: String): DataFrame = {
+            outName: String,
+            direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val r2 = right.select(col(key).as("__asof_key"),
       col(rightTime).as("__asof_time"))
@@ -163,7 +221,8 @@ object AsOfJoin {
       lPlan, rPlan,
       attr(left, key), attr(left, leftTime),
       rPlan.output.head, rPlan.output(1),
-      AttributeReference(outName, LongType, nullable = true)())
+      AttributeReference(outName, LongType, nullable = true)(),
+      AsOfDirection(direction))
     PlanBridge.ofRows(left.sparkSession, plan)
   }
 }

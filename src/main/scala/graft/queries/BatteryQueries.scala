@@ -460,8 +460,7 @@ object BatteryQueries {
     // pruning, asserted in BatterySpec).
     Q("x8_partitioned_source",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_x8_part").toString + "/events_part"
+        val tmp = graft.util.TempDirs.create("graft_x8_part").toString + "/events_part"
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value").cast(DecimalType(18, 6)).as("dv"))
@@ -749,8 +748,7 @@ object BatteryQueries {
     // table.
     Q("x11_text_source",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_x11_text").toString + "/docs"
+        val tmp = graft.util.TempDirs.create("graft_x11_text").toString + "/docs"
         Tables.documents(s, d)
           .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
           .write.mode("overwrite").text(tmp)
@@ -809,7 +807,7 @@ object BatteryQueries {
     // object-store listing; here the first 100 docs.
     Q("x6_binary_source",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_x6_bin")
+        val dir = graft.util.TempDirs.create("graft_x6_bin")
         Tables.documents(s, d).where(col("doc_id") < 100)
           .select("doc_id", "text").collect().foreach { r =>
             java.nio.file.Files.write(

@@ -93,8 +93,7 @@ object ExtendedQueries {
     // Integer columns only, so the roundtrip is lossless.
     Q("x2_json_source",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_x2_json").toString
+        val tmp = graft.util.TempDirs.create("graft_x2_json").toString
         Tables.orders(s, d)
           .select("o_orderkey", "o_custkey", "o_orderstatus")
           .write.mode("overwrite").json(tmp)
@@ -155,8 +154,7 @@ object ExtendedQueries {
     // integer/string columns only → lossless).
     Q("x3_csv_source",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_x3_csv").toString
+        val tmp = graft.util.TempDirs.create("graft_x3_csv").toString
         Tables.customer(s, d)
           .select("c_custkey", "c_nationkey", "c_mktsegment")
           .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -175,8 +173,7 @@ object ExtendedQueries {
     // parquet; ORC preserves types exactly so doubles are safe too).
     Q("x4_orc_source",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_x4_orc").toString
+        val tmp = graft.util.TempDirs.create("graft_x4_orc").toString
         Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
           .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))

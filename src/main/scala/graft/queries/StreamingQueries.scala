@@ -33,8 +33,8 @@ object StreamingQueries {
     Tables.events(s, d) // force nanosAsLong before the streaming read
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = s"stream_sink_${sinkId.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_src")
+    val ckpt = graft.util.TempDirs.create("graft_ckpt").toString
+    val srcDir = graft.util.TempDirs.create("graft_src")
     (1 to copies).foreach { i =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
@@ -177,8 +177,8 @@ object StreamingQueries {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"s6_sink_${System.identityHashCode(schema)}_${sinkId.incrementAndGet()}"
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_s6_ckpt").toString
-        val srcDir = java.nio.file.Files.createTempDirectory("graft_s6_src")
+        val ckpt = graft.util.TempDirs.create("graft_s6_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s6_src")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
@@ -219,13 +219,12 @@ object StreamingQueries {
       (s, d) => {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_s7_ckpt").toString
-        val srcDir = java.nio.file.Files.createTempDirectory("graft_s7_src")
+        val ckpt = graft.util.TempDirs.create("graft_s7_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s7_src")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
-        val outDir = java.nio.file.Files
-          .createTempDirectory("graft_s7_out").toString + "/agg"
+        val outDir = graft.util.TempDirs.create("graft_s7_out").toString + "/agg"
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
@@ -266,8 +265,8 @@ object StreamingQueries {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"s8_sink_${sinkId.incrementAndGet()}"
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_s8_ckpt").toString
-        val srcDir = java.nio.file.Files.createTempDirectory("graft_s8_src")
+        val ckpt = graft.util.TempDirs.create("graft_s8_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s8_src")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
@@ -323,8 +322,8 @@ object StreamingQueries {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"s9_sink_${sinkId.incrementAndGet()}"
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_s9_ckpt").toString
-        val srcDir = java.nio.file.Files.createTempDirectory("graft_s9_src")
+        val ckpt = graft.util.TempDirs.create("graft_s9_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s9_src")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
@@ -363,8 +362,8 @@ object StreamingQueries {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"s10_sink_${sinkId.incrementAndGet()}"
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_s10_ckpt").toString
-        val srcDir = java.nio.file.Files.createTempDirectory("graft_s10_src")
+        val ckpt = graft.util.TempDirs.create("graft_s10_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s10_src")
         val full = s.read.parquet(s"$d/events.parquet")
           .withColumn("us", expr("ts div 1000"))
         val Array(lo, hi) = full.agg(min("us"), max("us")).head
@@ -423,8 +422,8 @@ object StreamingQueries {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"s11_sink_${sinkId.incrementAndGet()}"
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_s11_ckpt").toString
-        val srcDir = java.nio.file.Files.createTempDirectory("graft_s11_src")
+        val ckpt = graft.util.TempDirs.create("graft_s11_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s11_src")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))

@@ -210,12 +210,17 @@ object TextQueries {
            |SELECT id_a, id_b FROM mh_pairs ORDER BY id_a, id_b""".stripMargin)),
 
     // M4 — dedup clusters: connected components over the MinHash
-    // candidate pairs by iterative min-label propagation (the standard
-    // scalable CC: each round is one equi-join + partial-min agg; the
-    // driver loops until a fixpoint, log-diameter rounds). The cluster
-    // representative is the component's min doc_id — a unique fixpoint,
-    // so the result is iteration-order independent. The oracle computes
-    // the same components with a recursive transitive-closure CTE.
+    // candidate pairs. Each round is (a) a one-hop min-label
+    // propagation (equi-join + partial-min agg) followed by (b) a
+    // pointer-doubling shortcut (label := label-of-label), so the
+    // label forest halves in depth every round and convergence is
+    // O(log diameter) — a bare one-hop loop needs O(diameter) rounds
+    // and a chain longer than the cap would silently mis-cluster.
+    // The loop runs to an exact fixpoint and THROWS if the cap is hit
+    // unconverged. The cluster representative is the component's min
+    // doc_id — a unique fixpoint, so the result is iteration-order
+    // independent. The oracle computes the same components with a
+    // recursive transitive-closure CTE.
     Q("m4_dedup_clusters",
       (s, d) => {
         val pairs = all.find(_.name == "m1_minhash_pairs").get.run(s, d)
@@ -228,15 +233,26 @@ object TextQueries {
           .localCheckpoint(true)
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < 20) {
+        val maxIter = 25 // log2-ish bound: 2^25 ≫ any component diameter
+        while (changed > 0 && iter < maxIter) {
           val nbrMin = edges
             .join(labels, edges("id_b") === labels("doc_id"))
             .groupBy(edges("id_a").as("doc_id"))
             .agg(min("label").as("nbr_min"))
-          val next = labels.as("l")
+          val hop = labels.as("l")
             .join(nbrMin.as("n"), Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("label"), coalesce(col("nbr_min"), col("label")))
+                .as("label"))
+            .localCheckpoint(true)
+          // Shortcut: label := label(label). Labels are themselves
+          // doc_ids in the same component, so the looked-up row always
+          // exists and stays in-component; this halves chain depth.
+          val ptr = hop.select(col("doc_id").as("p_id"),
+            col("label").as("p_label"))
+          val next = hop.join(ptr, hop("label") === ptr("p_id"), "left")
+            .select(hop("doc_id"),
+              least(hop("label"), coalesce(col("p_label"), hop("label")))
                 .as("label"))
             .localCheckpoint(true)
           changed = next.as("a")
@@ -245,6 +261,9 @@ object TextQueries {
           labels = next
           iter += 1
         }
+        if (changed > 0) throw new IllegalStateException(
+          s"m4_dedup_clusters: connected components not converged " +
+            s"after $maxIter rounds ($changed labels still changing)")
         labels.select(col("doc_id"), col("label").as("cluster_rep"))
           .orderBy("doc_id")
       },

@@ -171,8 +171,7 @@ object VectorQueries {
     // be invisible to results — the oracle is exactly V1's.
     Q("v9_store_roundtrip",
       (s, d) => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_v9").toString + "/index"
+        val path = graft.util.TempDirs.create("graft_v9").toString + "/index"
         VectorStore.build(s,
           Tables.embeddings(s, d)
             .select(col("vec_id").as("id"), col("embedding")),
@@ -190,8 +189,7 @@ object VectorQueries {
     // rows with vec_id >= 5.
     Q("v12_delete_search",
       (s, d) => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_v12").toString + "/index"
+        val path = graft.util.TempDirs.create("graft_v12").toString + "/index"
         val store = VectorStore.build(s,
           Tables.embeddings(s, d)
             .select(col("vec_id").as("id"), col("embedding")),

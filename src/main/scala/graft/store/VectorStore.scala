@@ -101,7 +101,15 @@ final class VectorStore(
     */
   def upsert(df: DataFrame, idCol: String = "id",
              embCol: String = "embedding"): Unit = {
-    val incoming = VectorStore.bucketize(df, model, idCol, embCol)
+    // Dedup ids WITHIN the batch (keep the last occurrence in row
+    // order) — otherwise a batch containing an id twice writes both
+    // rows, breaking the replaces-existing-ids invariant.
+    import org.apache.spark.sql.expressions.Window
+    val dedupedIn = df.withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__seq").desc)))
+      .where(col("__rn") === 1).drop("__rn", "__seq")
+    val incoming = VectorStore.bucketize(dedupedIn, model, idCol, embCol)
       .localCheckpoint(true)
     // ids already stored under a DIFFERENT bucket than their new one
     val moved = indexDf.select(col("id"), col("bucket").cast("int").as("ob"))

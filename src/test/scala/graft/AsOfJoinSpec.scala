@@ -86,6 +86,58 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length == 2 && out.forall(_.isNullAt(2)))
   }
 
+  test("null times: left null time matches nothing; right null time skipped") {
+    graft.extensions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, Some(10L)), (1L, None), (2L, Some(5L)))
+      .toDF("k", "t")
+    // right row (2, null) must NOT unbox to epoch 0 and match (2, 5)
+    val r = Seq((1L, Some(4L)), (2L, Option.empty[Long])).toDF("k", "t")
+    val out = graft.plans.AsOfJoin(l, r, "k", "t", "t", "m")
+      .orderBy("k", "t").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq
+    assert(out == Seq((1L, -1L), (1L, 4L), (2L, -1L)))
+  }
+
+  test("direction=forward: smallest right time >= left time") {
+    graft.extensions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 12L), (1L, 30L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L), (1L, 12L), (1L, 20L), (2L, 3L)).toDF("k", "t")
+    val out = graft.plans.AsOfJoin(l, r, "k", "t", "t", "m", "forward")
+      .orderBy("k", "t").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq
+    assert(out == Seq((1L, 10L, 12L), (1L, 12L, 12L), (1L, 30L, -1L),
+      (2L, 10L, -1L)))
+  }
+
+  test("direction=nearest: closer of backward/forward, ties backward") {
+    graft.extensions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 14L), (1L, 100L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 8L), (1L, 16L), (2L, 50L)).toDF("k", "t")
+    val out = graft.plans.AsOfJoin(l, r, "k", "t", "t", "m", "nearest")
+      .orderBy("k", "t").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq
+    // t=10: back 8 (d=2) vs fwd 16 (d=6) -> 8; t=14: back 8 (d=6) vs
+    // fwd 16 (d=2) -> 16; t=100: only back 16; k=2 t=10: only fwd 50.
+    assert(out == Seq((1L, 10L, 8L), (1L, 14L, 16L), (1L, 100L, 16L),
+      (2L, 10L, 50L)))
+  }
+
+  test("direction=nearest: equidistant tie prefers backward") {
+    graft.extensions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 7L), (1L, 13L)).toDF("k", "t")
+    val out = graft.plans.AsOfJoin(l, r, "k", "t", "t", "m", "nearest")
+      .collect()
+    assert(out.head.getLong(2) == 7L)
+  }
+
   test("ties: a right row at exactly leftTime matches (<= semantics)") {
     graft.extensions.GraftExtensions.register(spark)
     import spark.implicits._
