@@ -240,6 +240,66 @@ object EmbeddingQueries {
            |SELECT vec_id, round(dd, 6) AS dist FROM (
            |  SELECT a.vec_id AS vec_id, ${DuckSql.l2sq("a.embedding", "q.qe")} AS dd
            |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
-           |ORDER BY dd, vec_id LIMIT 10""".stripMargin))
+           |ORDER BY dd, vec_id LIMIT 10""".stripMargin)),
+
+    // E8 — product quantization (PQ, M=8 subspaces × K=16 centroids):
+    // the memory-compression ANN tier beyond SQ8 (e6) — each vector
+    // stored as 8 nibble codes (16× smaller at rest). Codebooks are
+    // 8 seeded spark.ml KMeans fits over the dim/8-wide slices;
+    // search is asymmetric distance (ADC): the query's 8×16 lookup
+    // table is computed on the driver and folded into a codegen'd
+    // projection (argmin over centroid distances → element_at into
+    // the LUT), so the scan is a single narrow whole-stage-codegen
+    // pass with no shuffle before the global top-k. Coarse top-100 by
+    // ADC → exact re-rank → top-10. KMeans centroids are engine-
+    // specific → rows-only; EmbeddingSpec asserts recall vs exact and
+    // run-to-run determinism.
+    Q("e8_pq_search",
+      (s, d) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val M = 8; val K = 16
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val dim = Tables.embeddings(s, d)
+          .select(size(col("embedding"))).head.getInt(0)
+        val sub = dim / M
+        val books: Seq[Seq[Seq[Double]]] = (0 until M).map { j =>
+          val df = emb.select(
+            array_to_vector(slice(col("e"), j * sub + 1, sub)).as("features"))
+          new KMeans().setK(K).setSeed(42L + j).setMaxIter(10)
+            .setFeaturesCol("features").fit(df)
+            .clusterCenters.map(_.toArray.toSeq).toSeq
+        }
+        val q = VectorQueries.qvec(s, d, 0L)
+        // Asymmetric-distance lookup table, computed once on the driver:
+        // lut(j)(c) = ||q_j - centroid_jc||^2.
+        val lut: Seq[Seq[Double]] = (0 until M).map { j =>
+          books(j).map { c =>
+            c.zipWithIndex.map { case (v, i) =>
+              val diff = v - q(j * sub + i); diff * diff
+            }.sum
+          }
+        }
+        def sqdist(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        val adc = (0 until M).map { j =>
+          val dists = transform(typedLit(books(j)),
+            cent => sqdist(slice(col("e"), j * sub + 1, sub), cent))
+          element_at(typedLit(lut(j)),
+            array_position(dists, array_min(dists)).cast("int"))
+        }.reduce(_ + _)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .select(col("vec_id"), col("e"), adc.as("adc"))
+          .orderBy(col("adc"), col("vec_id")).limit(100)
+          .select(col("vec_id"),
+            sqdist(col("e"), typedLit(q.toSeq)).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("d"), 6).as("dist"))
+      },
+      None)
   )
 }

@@ -12,7 +12,8 @@ object Registry {
       MultimodalQueries.all ++
       StreamingQueries.all ++
       ExtendedQueries.all ++
-      BatteryQueries.all
+      BatteryQueries.all ++
+      Round3Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

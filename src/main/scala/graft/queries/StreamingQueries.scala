@@ -469,6 +469,64 @@ object StreamingQueries {
           |FROM j, m
           |WHERE bus IS NOT NULL
           |   OR aus + 1800000000 < wm
-          |GROUP BY 1 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S12 — RocksDB state store: the s1 tumbling-window aggregation
+    // executed with spark.sql.streaming.stateStore.providerClass =
+    // RocksDBStateStoreProvider. At 100 TB-scale streaming, state no
+    // longer fits the executor heap; RocksDB spills it to local SSD
+    // with incremental checkpointing — the production state backend.
+    // Same oracle as the in-memory provider: the backend must not
+    // change query semantics.
+    Q("s12_rocksdb_state",
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          Tables.events(s, d)
+          val schema = s.read.parquet(s"$d/events.parquet").schema
+          val name = s"s12_sink_${sinkId.incrementAndGet()}"
+          val ckpt = graft.util.TempDirs.create("graft_s12_ckpt").toString
+          val srcDir = graft.util.TempDirs.create("graft_s12_src")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            srcDir.resolve("events.parquet"))
+          val src = s.readStream.schema(schema).parquet(srcDir.toString)
+            .select(col("event_type"),
+              timestamp_micros(expr("ts div 1000")).as("ets"))
+          val q = src.withWatermark("ets", "10 minutes")
+            .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+            .count()
+            .select(col("window.start").cast("long").as("win_start_s"),
+              col("event_type"), col("count").as("n"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          s.table(name).orderBy("win_start_s", "event_type")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      // Append mode emits only windows closed by the final watermark:
+      // win_end <= max(ets) - 10 min — the same cutoff rule as s1.
+      Some("""WITH e AS (
+          |  SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+          |m AS (SELECT max(us) AS mx FROM e),
+          |w AS (
+          |  SELECT (us // 3600000000) * 3600 AS win_start_s, event_type,
+          |    count(*) AS n
+          |  FROM e, m
+          |  WHERE ((us // 3600000000) + 1) * 3600000000 <= mx - 600000000
+          |  GROUP BY 1, 2)
+          |SELECT win_start_s, event_type, n FROM w
+          |ORDER BY 1, 2""".stripMargin))
   )
 }

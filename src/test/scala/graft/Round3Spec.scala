@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: PQ search, RocksDB-backed streaming state, and
+  * the TPC-H Q8/Q9/Q10 shapes (whose values the DuckDB oracle gate
+  * checks — here we check plan shape and invariants).
+  */
+class Round3Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("e8 pq: quantized+reranked top-10 recalls most of the exact top-10") {
+    val pq = run("e8_pq_search").collect().map(_.getLong(0)).toSet
+    val exact = run("v1_knn").collect().map(_.getLong(0)).toSet
+    assert((pq intersect exact).size >= 6,
+      s"PQ recall too low: ${(pq intersect exact).size}/10")
+  }
+
+  test("e8 pq: deterministic across runs, query vector at distance ~0") {
+    val a = run("e8_pq_search").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = run("e8_pq_search").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+    // vec 0 is the query itself: ADC ranks its own cell distance ~0,
+    // so it must survive the coarse cut and re-rank to the top.
+    assert(a.head._1 == 0L && a.head._2 == 0.0)
+  }
+
+  test("s12 rocksdb state: equals batch aggregation below the watermark") {
+    val streamed = run("s12_rocksdb_state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+    val mx = ev.agg(max("us")).head.getLong(0)
+    val batch = ev
+      .withColumn("ws", expr("us div 3600000000") * 3600L)
+      .where((col("ws") / 3600L + 1L) * 3600000000L <= mx - 600000000L)
+      .groupBy("ws", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("s12 restores the state-store provider conf after running") {
+    run("s12_rocksdb_state").collect()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    assert(!spark.conf.getOption(key).exists(_.contains("RocksDB")))
+  }
+
+  test("tpch q8/q9/q10 plans broadcast the dimension sides") {
+    Seq("r47_tpch_q8", "r48_tpch_q9", "r50_tpch_q10").foreach { n =>
+      val plan = run(n).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$n: no broadcast join")
+      assert(!plan.contains("CartesianProduct"), s"$n: cartesian product")
+    }
+  }
+
+  test("r51 ignore-nulls last/prev/second agree with a scala replay") {
+    val rows = run("r51_window_ignore_nulls").collect()
+    val byUser = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .groupBy(_._2)
+    val expect = byUser.toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e._3, e._1))
+      sorted.zipWithIndex.map { case ((id, _, _, _), i) =>
+        val nonNullSoFar = sorted.take(i + 1).flatMap(_._4)
+        val prior = sorted.take(i).flatMap(_._4)
+        id -> ((nonNullSoFar.lastOption, prior.lastOption,
+          nonNullSoFar.drop(1).headOption))
+      }
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val (lastPv, prevPv, secondPv) = expect(id)
+      assert(g(2) == lastPv, s"last_pv mismatch at $id")
+      assert(g(3) == prevPv, s"prev_pv mismatch at $id")
+      assert(g(4) == secondPv, s"second_pv mismatch at $id")
+    }
+  }
+}
