@@ -264,13 +264,23 @@ object EmbeddingQueries {
         val dim = Tables.embeddings(s, d)
           .select(size(col("embedding"))).head.getInt(0)
         val sub = dim / M
-        val books: Seq[Seq[Seq[Double]]] = (0 until M).map { j =>
-          val df = emb.select(
-            array_to_vector(slice(col("e"), j * sub + 1, sub)).as("features"))
-          new KMeans().setK(K).setSeed(42L + j).setMaxIter(10)
-            .setFeaturesCol("features").fit(df)
-            .clusterCenters.map(_.toArray.toSeq).toSeq
-        }
+        // Codebooks train on a deterministic ~8k-row subsample (every
+        // step-th id) — at corpus scale nobody fits k-means on the
+        // full table; the sample is cached once and reused by all M
+        // fits instead of 8 parquet re-scans.
+        val n = emb.count()
+        val step = math.max(1L, n / 8192L)
+        val train = emb.where(pmod(col("vec_id"), lit(step)) === 0)
+          .select((0 until M).map(j =>
+            array_to_vector(slice(col("e"), j * sub + 1, sub))
+              .as(s"f$j")): _*)
+          .cache()
+        val books: Seq[Seq[Seq[Double]]] =
+          try (0 until M).map { j =>
+            new KMeans().setK(K).setSeed(42L + j).setMaxIter(10)
+              .setFeaturesCol(s"f$j").fit(train)
+              .clusterCenters.map(_.toArray.toSeq).toSeq
+          } finally train.unpersist()
         val q = VectorQueries.qvec(s, d, 0L)
         // Asymmetric-distance lookup table, computed once on the driver:
         // lut(j)(c) = ||q_j - centroid_jc||^2.

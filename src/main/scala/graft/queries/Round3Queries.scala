@@ -294,6 +294,144 @@ object Round3Queries {
       },
       Some("""SELECT o_orderpriority, count(*) AS n,
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R53 — TPC-H Q16 shape: distinct-supplier counts per part
+    // attribute triple. COUNT(DISTINCT) over a shuffled join — the
+    // two-phase distinct aggregation (partial dedup before the final
+    // shuffle) is what keeps this bounded at 100 TB.
+    Q("r53_tpch_q16",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).where(col("p_size").isin(5, 10, 15, 20)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size IN (5, 10, 15, 20)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // R54 — TPC-H Q18 shape: large-quantity orders. The HAVING
+    // pre-aggregate runs FIRST and semi-joins into orders, so the
+    // expensive 3-way join only sees qualifying orderkeys — at scale
+    // this prunes the join input by ~1000×.
+    Q("r54_tpch_q18",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sq"))
+          .where(col("sq") > 210.0)
+          .select(col("l_orderkey").as("big_ok"))
+        val qualOrders = Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
+        Tables.customer(s, d)
+          .join(qualOrders, col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+          .agg(round(sum(col("l_quantity").cast(D6)).cast("double"), 6)
+            .as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""WITH big AS (
+          |  SELECT l_orderkey FROM lineitem
+          |  GROUP BY 1 HAVING sum(l_quantity) > 210)
+          |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS total_qty
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // R55 — TPC-H Q22 shape: above-average-balance customers with
+    // fewer than 5 orders, grouped by a derived code. The average
+    // threshold is applied as an EXACT cross-multiplied decimal
+    // comparison (balance × n > total) — no floating average whose
+    // last-ulp could differ between engines at a boundary.
+    Q("r55_tpch_q22",
+      (s, d) => {
+        val st = Tables.customer(s, d).where(col("c_acctbal") > 0.0)
+          .agg(sum(col("c_acctbal").cast(D6)).as("tot"),
+            count(lit(1)).as("n")).head
+        val (tot, n) = (st.getDecimal(0), st.getLong(1))
+        val cnt = Tables.orders(s, d).groupBy("o_custkey").count()
+        Tables.customer(s, d)
+          .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+          .where(col("c_acctbal").cast(D6) * lit(n) > lit(tot) &&
+            coalesce(col("count"), lit(0L)) < 5)
+          .groupBy((col("c_custkey") % 10).cast("long").as("cc"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal").cast(D6)).cast("double"), 6)
+              .as("totacctbal"))
+          .orderBy("cc")
+      },
+      Some("""WITH s AS (
+          |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS tot,
+          |    count(*) AS n
+          |  FROM customer WHERE c_acctbal > 0.0)
+          |SELECT CAST(c_custkey % 10 AS BIGINT) AS cc,
+          |  count(*) AS numcust,
+          |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS totacctbal
+          |FROM customer, s
+          |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > tot
+          |  AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) < 5
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // M6 — normalized-prefix exact dedup: d7's canonical form,
+    // truncated to 60 chars, as the grouping key; emit groups with
+    // >1 member. The hash-groupBy dedup pattern at its cheapest:
+    // one shuffle on the normalized key.
+    Q("m6_norm_dedup",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            substring(trim(regexp_replace(
+              lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")),
+              " +", " ")), 1, 60).as("norm"))
+          .groupBy("norm")
+          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
+          .where(col("group_size") > 1)
+          .select("rep_id", "group_size")
+          .orderBy("rep_id")
+      },
+      Some("""WITH n AS (
+          |  SELECT doc_id,
+          |    substr(trim(regexp_replace(
+          |      lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+          |      ' +', ' ', 'g')), 1, 60) AS norm
+          |  FROM documents)
+          |SELECT min(doc_id) AS rep_id, count(*) AS group_size
+          |FROM n GROUP BY norm HAVING count(*) > 1
+          |ORDER BY rep_id""".stripMargin)),
+
+    // X13 — gzip-compressed CSV round-trip: codec handling on both
+    // the write (compression option) and read (transparent .gz
+    // decode) paths; oracle on the original table.
+    Q("x13_gzip_csv",
+      (s, d) => {
+        val tmp = graft.util.TempDirs.create("graft_x13_csv").toString + "/c"
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(tmp)
+        s.read.schema("l_orderkey LONG, l_linenumber LONG, l_returnflag STRING")
+          .option("header", "true").csv(tmp)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -273,6 +273,56 @@ object VectorQueries {
            |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (), 6) AS pct,
            |  round(cnt * ${64 * 4 + 8} / 1048576.0, 6) AS memory_mb,
            |  round(CAST(max(cnt) OVER () - min(cnt) OVER () AS DOUBLE) / avg(cnt) OVER (), 6) AS imbalance
-           |FROM c ORDER BY bucket""".stripMargin))
+           |FROM c ORDER BY bucket""".stripMargin)),
+
+    // V15 — MMR (maximal-marginal-relevance) diversity re-rank: the
+    // distributed engine returns the cosine top-20 candidates (one
+    // scan + TakeOrderedAndProject); the greedy λ-tradeoff selection
+    // (λ·sim(q,·) − (1−λ)·max-sim to already-picked) runs on those 20
+    // rows driver-side — the selection is inherently sequential and
+    // its input is k vectors, not the corpus. Ties break by vec_id;
+    // candidate generation is the deterministic e1 ordering. Greedy
+    // picks are engine-specific → rows-only; Round3Spec bounds the
+    // diversity property and determinism.
+    Q("v15_mmr_rerank",
+      (s, d) => {
+        import s.implicits._
+        val q = qvec(s, d, 0)
+        val qn = math.max(VF.normS(q), 1e-12)
+        val cands = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            (VF.dotLit(col("embedding"), q) /
+              (VF.safeNorm(col("embedding")) * lit(qn))).as("cos"),
+            col("embedding"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(20)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            r.getSeq[Float](2).map(_.toDouble).toArray))
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dp / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+        }
+        val lambda = 0.7
+        val picked = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Array[Double])]
+        val pool = scala.collection.mutable.ArrayBuffer(cands: _*)
+        while (picked.size < 10 && pool.nonEmpty) {
+          val best = pool.minBy { case (id, c, e) =>
+            val red = if (picked.isEmpty) 0.0
+              else picked.map(p => cos(e, p._3)).max
+            (-(lambda * c - (1 - lambda) * red), id)
+          }
+          picked += best
+          pool -= best
+        }
+        picked.toSeq.zipWithIndex
+          .map { case ((id, c, _), i) =>
+            (i + 1L, id, math.rint(c * 1e6) / 1e6) }
+          .toDF("rank", "vec_id", "cos")
+      },
+      None)
   )
 }

@@ -56,6 +56,37 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("v15 mmr: deterministic, starts at the query, no less diverse than top-10") {
+    val a = run("v15_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = run("v15_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 10)
+    // rank 1 is the most-relevant candidate = the query vector itself
+    assert(a.head._2 == 0L && a.head._3 == 1.0)
+    // MMR's picks are no less diverse (avg pairwise cosine) than the
+    // plain cosine top-10
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val dp = x.zip(y).map { case (p, q) => p * q }.sum
+      dp / math.max(math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(y.map(v => v * v).sum), 1e-12)
+    }
+    def avgPair(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.size
+    }
+    val mmrIds = a.map(_._2).toSeq
+    val topIds = run("e1_ann_cosine_topk").collect().map(_.getLong(0)).toSeq
+    assert(avgPair(mmrIds) <= avgPair(topIds) + 1e-9,
+      s"MMR set less diverse than plain top-10")
+  }
+
   test("r51 ignore-nulls last/prev/second agree with a scala replay") {
     val rows = run("r51_window_ignore_nulls").collect()
     val byUser = Tables.events(spark, sf)
