@@ -256,31 +256,70 @@ object EmbeddingQueries {
     // run-to-run determinism.
     Q("e8_pq_search",
       (s, d) => {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
         val M = 8; val K = 16
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val dim = Tables.embeddings(s, d)
           .select(size(col("embedding"))).head.getInt(0)
         val sub = dim / M
-        // Codebooks train on a deterministic ~8k-row subsample (every
-        // step-th id) — at corpus scale nobody fits k-means on the
-        // full table; the sample is cached once and reused by all M
-        // fits instead of 8 parquet re-scans.
+        // Codebooks train on a deterministic, BOUNDED ~8k-row
+        // subsample (every step-th id) collected to the driver — the
+        // FAISS convention: PQ training is in-memory over a capped
+        // sample regardless of corpus size, while ENCODE and SEARCH
+        // below stay fully distributed. Driver-side seeded Lloyd's
+        // beats 8 sequential spark.ml fits here because each fit is
+        // ~a dozen tiny jobs of pure scheduling overhead.
         val n = emb.count()
         val step = math.max(1L, n / 8192L)
-        val train = emb.where(pmod(col("vec_id"), lit(step)) === 0)
-          .select((0 until M).map(j =>
-            array_to_vector(slice(col("e"), j * sub + 1, sub))
-              .as(s"f$j")): _*)
-          .cache()
-        val books: Seq[Seq[Seq[Double]]] =
-          try (0 until M).map { j =>
-            new KMeans().setK(K).setSeed(42L + j).setMaxIter(10)
-              .setFeaturesCol(s"f$j").fit(train)
-              .clusterCenters.map(_.toArray.toSeq).toSeq
-          } finally train.unpersist()
+        val sample: Array[Array[Double]] =
+          emb.where(pmod(col("vec_id"), lit(step)) === 0)
+            .orderBy("vec_id")
+            .collect().map(_.getSeq[Double](1).toArray)
+        def fitSub(j: Int): Seq[Seq[Double]] = {
+          val pts = sample.map(_.slice(j * sub, (j + 1) * sub))
+          val rnd = new scala.util.Random(42L + j)
+          def sq(a: Array[Double], b: Array[Double]): Double = {
+            var acc = 0.0; var i = 0
+            while (i < a.length) {
+              val df = a(i) - b(i); acc += df * df; i += 1
+            }; acc
+          }
+          // seeded k-means++ init
+          val centers = scala.collection.mutable.ArrayBuffer(
+            pts(rnd.nextInt(pts.length)).clone())
+          while (centers.size < K) {
+            val d2 = pts.map(p => centers.map(c => sq(p, c)).min)
+            val tot = d2.sum
+            if (tot <= 0) centers += pts(rnd.nextInt(pts.length)).clone()
+            else {
+              var r = rnd.nextDouble() * tot; var i = 0
+              while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+              centers += pts(i).clone()
+            }
+          }
+          // Lloyd iterations; an emptied cluster keeps its center
+          for (_ <- 0 until 10) {
+            val sums = Array.fill(K)(new Array[Double](sub))
+            val counts = new Array[Long](K)
+            pts.foreach { p =>
+              var best = 0; var bd = Double.MaxValue
+              var c = 0
+              while (c < K) {
+                val dd = sq(p, centers(c))
+                if (dd < bd) { bd = dd; best = c }; c += 1
+              }
+              counts(best) += 1
+              var i = 0
+              while (i < sub) { sums(best)(i) += p(i); i += 1 }
+            }
+            (0 until K).foreach { c =>
+              if (counts(c) > 0)
+                centers(c) = sums(c).map(_ / counts(c))
+            }
+          }
+          centers.map(_.toSeq).toSeq
+        }
+        val books: Seq[Seq[Seq[Double]]] = (0 until M).map(fitSub)
         val q = VectorQueries.qvec(s, d, 0L)
         // Asymmetric-distance lookup table, computed once on the driver:
         // lut(j)(c) = ||q_j - centroid_jc||^2.

@@ -56,6 +56,22 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("r52 lateral decorrelates to a rank-limit, never a per-row loop") {
+    val plan = run("r52_lateral_join").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"no rank-limit pushdown:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL fell back to all-pairs:\n$plan")
+  }
+
+  test("r54 semi-joins the HAVING pre-aggregate before the wide join") {
+    val plan = run("r54_tpch_q18").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 not a TakeOrderedAndProject:\n$plan")
+  }
+
   test("v15 mmr: deterministic, starts at the query, no less diverse than top-10") {
     val a = run("v15_mmr_rerank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
