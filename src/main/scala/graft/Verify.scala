@@ -17,7 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=name1,name2 restricts the dump (the
+    // driver never sets it, so the gate always sweeps the full map).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

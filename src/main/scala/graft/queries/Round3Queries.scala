@@ -432,6 +432,38 @@ object Round3Queries {
       },
       Some("""SELECT l_returnflag, count(*) AS n,
           |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
-          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // R56 — recursive CTE (Spark 4's WITH RECURSIVE): generate the
+    // 1995-01..2001-08 month spine recursively, then left-join order
+    // counts per month so empty months surface as zero — the calendar
+    // densification pattern. The 80-row spine broadcasts; the fact
+    // side aggregates before the join would at scale (here the
+    // equi-join on the month string keeps it shuffle-bounded).
+    Q("r56_recursive_cte",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("r56_orders")
+        s.sql("""WITH RECURSIVE m AS (
+            |  SELECT DATE '1995-01-01' AS mth
+            |  UNION ALL
+            |  SELECT mth + INTERVAL '1' MONTH FROM m
+            |  WHERE mth < DATE '2001-08-01')
+            |SELECT date_format(mth, 'yyyy-MM') AS ym,
+            |  count(o_orderkey) AS n_orders
+            |FROM m LEFT JOIN r56_orders
+            |  ON date_format(o_orderdate, 'yyyy-MM') =
+            |     date_format(mth, 'yyyy-MM')
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH RECURSIVE m(mth) AS (
+          |  SELECT DATE '1995-01-01'
+          |  UNION ALL
+          |  SELECT CAST(mth + INTERVAL 1 MONTH AS DATE) FROM m
+          |  WHERE mth < DATE '2001-08-01')
+          |SELECT strftime(mth, '%Y-%m') AS ym,
+          |  count(o_orderkey) AS n_orders
+          |FROM m LEFT JOIN orders
+          |  ON strftime(o_orderdate, '%Y-%m') = strftime(mth, '%Y-%m')
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -130,4 +130,18 @@ class Round3Spec extends AnyFunSuite {
       assert(g(4) == secondPv, s"second_pv mismatch at $id")
     }
   }
+
+  test("r56 recursive month spine is dense 1995-01..2001-08, counts sum to |orders|") {
+    val rows = run("r56_recursive_cte").collect()
+    assert(rows.length == 80, s"expected 80 months, got ${rows.length}")
+    val yms = rows.map(_.getString(0)).toSeq
+    assert(yms == yms.sorted && yms.head == "1995-01" && yms.last == "2001-08")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.orders(spark, sf).count(),
+      "left join must preserve every order exactly once")
+    // broadcast the 80-row spine, never shuffle it
+    val plan = run("r56_recursive_cte").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"spine join should broadcast:\n$plan")
+  }
 }
