@@ -29,5 +29,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ListMap(Registry.all.flatMap(q => q.oracle.map(q.name -> _)): _*)
+    ListMap(Registry.all.flatMap(q => q.oracleNow.map(q.name -> _)): _*)
 }

@@ -20,44 +20,24 @@ object EmbeddingQueries {
 
   val all: Seq[Q] = Seq(
 
-    // E6 — scalar-quantized (SQ8) search with exact re-rank: per-dim
-    // min/max → each float32 maps to an int code 0–255 → coarse top-100
-    // by exact INTEGER code distance (4× less data scanned at rest, and
-    // the candidate cut is integer math — bit-identical on any engine)
-    // → exact float re-rank of the candidates to the final top-10. The
-    // standard memory/IO-compression ANN tier between brute force (e1)
-    // and IVF (e3). Codes are non-negative, so Spark HALF_UP, Java
-    // Math.round and DuckDB round() agree.
+    // E6 — scalar-quantized (SQ8) search over the PERSISTED QuantIndex:
+    // per-dim min/max trained once at build, each float32 stored as an
+    // int code 0–255 NEXT TO the vector (encode-once, FAISS add-time
+    // semantics) → coarse top-100 by exact INTEGER code distance over a
+    // scan that reads ONLY (id, sq8) (4× less data at rest, and the
+    // candidate cut is integer math — bit-identical on any engine) →
+    // exact float re-rank of the bounded candidates under an id
+    // pushdown. The standard memory/IO-compression ANN tier between
+    // brute force (e1) and IVF (e3). Codes are non-negative, so Spark
+    // HALF_UP, Java Math.round and DuckDB round() agree. The oracle
+    // recomputes the same min/max + codes in SQL.
     Q("e6_sq8_search",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val st = emb
-          .select(posexplode(col("embedding")).as(Seq("i", "x")))
-          .groupBy("i")
-          .agg(min(col("x").cast("double")).as("mn"),
-            max(col("x").cast("double")).as("mx"))
-          .orderBy("i").collect()
-        val mns = st.map(_.getDouble(1)).toSeq
-        val ss = st.map { r =>
-          val (mn, mx) = (r.getDouble(1), r.getDouble(2))
-          if (mx > mn) 255.0 / (mx - mn) else 0.0
-        }.toSeq
+        val idx = QuantCache.forDir(s, d)
         val q = VectorQueries.qvec(s, d, 0)
-        val qc = q.indices.map(i => Math.round((q(i) - mns(i)) * ss(i))).toSeq
-        val mnsL = typedlit(mns)
-        val ssL = typedlit(ss)
-        def codes(c: org.apache.spark.sql.Column) =
-          transform(c, (x, i) =>
-            round((x.cast("double") - element_at(mnsL, i + 1)) *
-              element_at(ssL, i + 1), 0).cast("long"))
-        emb.select(col("vec_id"), col("embedding"),
-            codes(col("embedding")).as("c"))
-          .withColumn("qd",
-            aggregate(zip_with(col("c"), typedlit(qc),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-          .orderBy(col("qd"), col("vec_id")).limit(100)
-          .select(col("vec_id"),
-            round(VF.l2sqLit(col("embedding"), q), 6).as("dist"))
+        val cand = idx.candidateIds(idx.coarseSq8(q, 100))
+        idx.exactDist(cand, q)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
           .orderBy(col("dist"), col("vec_id")).limit(10)
       },
       Some(s"""WITH st AS (
@@ -198,29 +178,19 @@ object EmbeddingQueries {
       // Same semantics as v6_batch_knn — reuse its window-based oracle.
       VectorQueries.all.find(_.name == "v6_batch_knn").flatMap(_.oracle)),
 
-    // E3 — IVF-style ANN: coarse centroids = embeddings of vec_id 0..15
-    // (deterministic stand-in for a k-means fit); assign each vector to
-    // its nearest cell (broadcast centroids + ranking window); probe the
-    // 2 cells nearest the query; exact top-10 within probed cells.
+    // E3 — IVF ANN over the PERSISTED QuantIndex: coarse centroids =
+    // embeddings of vec_id 0..15 (deterministic stand-in for a k-means
+    // fit; a trained variant is p4_kmeans_ivf); each vector's nearest
+    // cell is assigned ONCE at build and is the index's PARTITION
+    // column, so probing the 2 cells nearest the query is parquet
+    // partition pruning — at 100 TB the scan reads nprobe/nCells of
+    // the corpus, never all of it. Exact top-10 within probed cells.
     Q("e3_ivf_search",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val cents = emb.where(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cd"), col("cid"))
-        val asg = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            VF.l2sq(col("embedding"), col("ce")).as("cd"))
-          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        val idx = QuantCache.forDir(s, d)
         val q = VectorQueries.qvec(s, d, 0)
-        val qcells = cents.collect().map(r =>
-            (r.getLong(0), VF.l2sqS(r.getSeq[Float](1).map(_.toDouble).toArray, q)))
-          .sortBy { case (cid, cd) => (cd, cid) }.take(2).map(_._1)
-        asg.where(col("cid").isin(qcells.map(Long.box): _*))
-          .select(col("vec_id"), VF.l2sqLit(col("embedding"), q).as("dd"))
-          .orderBy(col("dd"), col("vec_id")).limit(10)
-          .select(col("vec_id"), round(col("dd"), 6).as("dist"))
+        idx.searchIvf(q, 10, nprobe = 2)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
       },
       Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -242,113 +212,31 @@ object EmbeddingQueries {
            |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
            |ORDER BY dd, vec_id LIMIT 10""".stripMargin)),
 
-    // E8 — product quantization (PQ, M=8 subspaces × K=16 centroids):
-    // the memory-compression ANN tier beyond SQ8 (e6) — each vector
-    // stored as 8 nibble codes (16× smaller at rest). Codebooks are
-    // 8 seeded spark.ml KMeans fits over the dim/8-wide slices;
-    // search is asymmetric distance (ADC): the query's 8×16 lookup
-    // table is computed on the driver and folded into a codegen'd
-    // projection (argmin over centroid distances → element_at into
-    // the LUT), so the scan is a single narrow whole-stage-codegen
-    // pass with no shuffle before the global top-k. Coarse top-100 by
-    // ADC → exact re-rank → top-10. KMeans centroids are engine-
-    // specific → rows-only; EmbeddingSpec asserts recall vs exact and
-    // run-to-run determinism.
+    // E8 — product quantization (PQ, M=8 subspaces × K=16 centroids)
+    // over the PERSISTED QuantIndex: the memory-compression tier
+    // beyond SQ8 (e6) — each vector stored as 8 small int codes
+    // (16× smaller at rest), encoded ONCE at build. Codebooks are
+    // seeded k-means++/Lloyd's fits on a bounded ~8k driver sample
+    // (the FAISS convention: PQ *training* is in-memory over a capped
+    // sample regardless of corpus size; encode and search stay fully
+    // distributed). Search is asymmetric distance (ADC): the query's
+    // 8×16 LUT is computed on the driver and folded into a codegen'd
+    // projection — the coarse scan reads ONLY (id, pq), 8 element_at
+    // + adds per row, top-100 as TakeOrderedAndProject, then exact
+    // re-rank of the bounded candidates. The oracle injects the
+    // trained codebooks as literals into a DuckDB twin (the v5 LSH-
+    // matrix trick), so e8 is hash-checked despite the engine-
+    // specific training.
     Q("e8_pq_search",
       (s, d) => {
-        val M = 8; val K = 16
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        val dim = Tables.embeddings(s, d)
-          .select(size(col("embedding"))).head.getInt(0)
-        val sub = dim / M
-        // Codebooks train on a deterministic, BOUNDED ~8k-row
-        // subsample (every step-th id) collected to the driver — the
-        // FAISS convention: PQ training is in-memory over a capped
-        // sample regardless of corpus size, while ENCODE and SEARCH
-        // below stay fully distributed. Driver-side seeded Lloyd's
-        // beats 8 sequential spark.ml fits here because each fit is
-        // ~a dozen tiny jobs of pure scheduling overhead.
-        val n = emb.count()
-        val step = math.max(1L, n / 8192L)
-        val sample: Array[Array[Double]] =
-          emb.where(pmod(col("vec_id"), lit(step)) === 0)
-            .orderBy("vec_id")
-            .collect().map(_.getSeq[Double](1).toArray)
-        def fitSub(j: Int): Seq[Seq[Double]] = {
-          val pts = sample.map(_.slice(j * sub, (j + 1) * sub))
-          val rnd = new scala.util.Random(42L + j)
-          def sq(a: Array[Double], b: Array[Double]): Double = {
-            var acc = 0.0; var i = 0
-            while (i < a.length) {
-              val df = a(i) - b(i); acc += df * df; i += 1
-            }; acc
-          }
-          // seeded k-means++ init
-          val centers = scala.collection.mutable.ArrayBuffer(
-            pts(rnd.nextInt(pts.length)).clone())
-          while (centers.size < K) {
-            val d2 = pts.map(p => centers.map(c => sq(p, c)).min)
-            val tot = d2.sum
-            if (tot <= 0) centers += pts(rnd.nextInt(pts.length)).clone()
-            else {
-              var r = rnd.nextDouble() * tot; var i = 0
-              while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
-              centers += pts(i).clone()
-            }
-          }
-          // Lloyd iterations; an emptied cluster keeps its center
-          for (_ <- 0 until 10) {
-            val sums = Array.fill(K)(new Array[Double](sub))
-            val counts = new Array[Long](K)
-            pts.foreach { p =>
-              var best = 0; var bd = Double.MaxValue
-              var c = 0
-              while (c < K) {
-                val dd = sq(p, centers(c))
-                if (dd < bd) { bd = dd; best = c }; c += 1
-              }
-              counts(best) += 1
-              var i = 0
-              while (i < sub) { sums(best)(i) += p(i); i += 1 }
-            }
-            (0 until K).foreach { c =>
-              if (counts(c) > 0)
-                centers(c) = sums(c).map(_ / counts(c))
-            }
-          }
-          centers.map(_.toSeq).toSeq
-        }
-        val books: Seq[Seq[Seq[Double]]] = (0 until M).map(fitSub)
+        val idx = QuantCache.forDir(s, d)
         val q = VectorQueries.qvec(s, d, 0L)
-        // Asymmetric-distance lookup table, computed once on the driver:
-        // lut(j)(c) = ||q_j - centroid_jc||^2.
-        val lut: Seq[Seq[Double]] = (0 until M).map { j =>
-          books(j).map { c =>
-            c.zipWithIndex.map { case (v, i) =>
-              val diff = v - q(j * sub + i); diff * diff
-            }.sum
-          }
-        }
-        def sqdist(a: org.apache.spark.sql.Column,
-                   b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x)
-        val adc = (0 until M).map { j =>
-          val dists = transform(typedLit(books(j)),
-            cent => sqdist(slice(col("e"), j * sub + 1, sub), cent))
-          element_at(typedLit(lut(j)),
-            array_position(dists, array_min(dists)).cast("int"))
-        }.reduce(_ + _)
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-          .select(col("vec_id"), col("e"), adc.as("adc"))
-          .orderBy(col("adc"), col("vec_id")).limit(100)
-          .select(col("vec_id"),
-            sqdist(col("e"), typedLit(q.toSeq)).as("d"))
-          .orderBy(col("d"), col("vec_id")).limit(10)
-          .select(col("vec_id"), round(col("d"), 6).as("dist"))
+        val cand = idx.candidateIds(idx.coarsePq(q, 100))
+        idx.exactDist(cand, q)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
       },
-      None)
+      None,
+      lateOracle = () => QuantCache.pqOracleSql)
   )
 }

@@ -18,4 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    lateOracle: () => Option[String] = () => None) {
+
+  /** The oracle to dump NOW. `lateOracle` serves queries whose DuckDB
+    * twin embeds literals only known after the query has trained a
+    * model on the target scale factor (e.g. e8's PQ codebooks): Verify
+    * runs every query before dumping oracle_sql.json, so by dump time
+    * the trained literals are available. If the query never ran in
+    * this process the late oracle is empty and the driver falls back
+    * to the rows-only check — never a wrong oracle.
+    */
+  def oracleNow: Option[String] = oracle.orElse(lateOracle())
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.store.{QuantConfig, QuantIndex, QuantModel}
+import graft.functions.DuckSql
+
+/** Per-(session, scale-factor) cache of the built [[QuantIndex]] over
+  * the `embeddings` table, so e3/e6/e8 share one encode-once build —
+  * the index semantics the queries exercise: build cost is paid once
+  * (like `index_build` in the bench protocol), searches scan stored
+  * codes. Also publishes the PQ oracle SQL for the dir most recently
+  * built, with the trained codebooks injected as literals (the same
+  * trick v5 uses for the LSH matrix).
+  */
+object QuantCache {
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, QuantIndex]
+
+  @volatile private var pqOracle: Option[String] = None
+
+  /** e8's DuckDB twin for the last-built dir (None until a build). */
+  def pqOracleSql: Option[String] = pqOracle
+
+  def forDir(spark: SparkSession, dir: String): QuantIndex = {
+    val key = spark.sparkContext.applicationId + "|" + dir
+    cache.getOrElseUpdate(key, {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      val path = graft.util.TempDirs.create("graft_quant").toString + "/index"
+      val idx = QuantIndex.build(spark, emb, path, QuantConfig())
+      pqOracle = Some(pqSql(idx.model))
+      idx
+    })
+  }
+
+  // ----------------------------------------------------- oracle twin
+
+  private def dlit(d: Double): String = f"$d%.17e"
+
+  /** DuckDB SQL replicating the PQ pipeline bit-for-bit: encode each
+    * row against the INJECTED codebook literals (exact %.17e double
+    * round-trip), build the query's LUT in SQL from the same literals,
+    * ADC = Σ_j lut[j][code_j] with the same left-to-right fold, coarse
+    * top-100 by (adc, vec_id), exact re-rank to top-10 by rounded
+    * distance. Mirrors the Spark plan in EmbeddingQueries e8.
+    */
+  private[queries] def pqSql(m: QuantModel): String = {
+    val M = m.cfg.pqSubspaces
+    val sub = m.sub
+    val books = m.pqBooks.map(book =>
+      book.map(c => c.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    // Σ_i (x[(j-1)*sub+i] - cent[i])², the per-subspace distance of a
+    // list column `e` to one codebook centroid `cent` (both doubles).
+    def subDist(e: String): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i]) * " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i])))"
+    val adcTerms = (1 to M).map(j => s"lt[$j][c[$j]]").mkString(" + ")
+    s"""WITH bk AS (SELECT $books AS b),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT list_transform(range(1, ${M + 1}), j ->
+       |    list_transform(b[j], cent -> ${subDist("qe")})) AS lt
+       |  FROM q, bk),
+       |codes AS (
+       |  SELECT vec_id, list_transform(dl, dj ->
+       |    list_position(dj, list_min(dj))) AS c
+       |  FROM (
+       |    SELECT vec_id, list_transform(range(1, ${M + 1}), j ->
+       |      list_transform(b[j], cent -> ${subDist("embedding")})) AS dl
+       |    FROM embeddings, bk)),
+       |cand AS (
+       |  SELECT vec_id, $adcTerms AS adc
+       |  FROM codes, lut
+       |  ORDER BY adc, vec_id LIMIT 100)
+       |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
+       |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
+       |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
+  }
+}

@@ -1,0 +1,256 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Quantized-index configuration: PQ (product quantization, `m`
+  * subspaces × `k` centroids), SQ8 (per-dimension scalar quantization to
+  * 0–255), and IVF (coarse cells). Mirrors the FAISS index families the
+  * reference *claims* (`Readme.md:29-35`, HNSW/quantization story) while
+  * its code ships only FlatL2 (`shard/shard_node.py:46-48`) — here all
+  * three tiers are real: models are trained ONCE at `VectorStore.build`,
+  * codes are persisted as columns next to the vectors (FAISS
+  * encode-at-add semantics, `shard/shard_node.py:88`), and search scans
+  * codes only until the exact re-rank.
+  */
+final case class QuantConfig(
+    pqSubspaces: Int = 8,
+    pqCentroids: Int = 16,
+    ivfCells: Int = 16,
+    sampleCap: Int = 8192,
+    seed: Long = 42L)
+
+/** Trained quantization models + the encode/search column expressions.
+  *
+  * All encode/ADC math is built from codegen'd Catalyst expressions
+  * (`transform`/`zip_with`/`aggregate`/`element_at`) — no UDFs, fully
+  * distributed, and with a fixed left-to-right fold so the DuckDB twin
+  * (`list_reduce` left fold) is bit-identical.
+  */
+final class QuantModel(
+    val cfg: QuantConfig,
+    val dim: Int,
+    val mins: Array[Double],
+    val scales: Array[Double],
+    val ivfCentroids: Array[Array[Double]],
+    val pqBooks: Array[Array[Array[Double]]]) {
+
+  require(dim % cfg.pqSubspaces == 0,
+    s"dim $dim not divisible by pqSubspaces ${cfg.pqSubspaces}")
+  val sub: Int = dim / cfg.pqSubspaces
+
+  // ------------------------------------------------- encode (build time)
+
+  /** SQ8 codes 0–255: round((x - min_i) * 255/(max_i - min_i)).
+    * Non-negative, so Spark HALF_UP, Java Math.round and DuckDB round()
+    * agree; distances over codes are integer math — bit-identical on any
+    * engine.
+    */
+  def sq8Col(emb: Column): Column = {
+    val mnsL = typedlit(mins.toSeq)
+    val ssL = typedlit(scales.toSeq)
+    transform(emb, (x, i) =>
+      round((x.cast("double") - element_at(mnsL, i + 1)) *
+        element_at(ssL, i + 1), 0).cast("int"))
+  }
+
+  /** Σ (a_i - b_i)², left fold from 0.0 (DuckDB twin: list_reduce). */
+  private def sqd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF cell = argmin over the coarse centroids (0-based; ties go to
+    * the lowest cell id because `array_position` finds the first match).
+    */
+  def ivfCellCol(emb: Column): Column = {
+    val e = emb.cast("array<double>")
+    val dists = transform(typedLit(ivfCentroids.map(_.toSeq).toSeq),
+      c => VF.l2sq(e, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** PQ codes: per subspace j, the 1-based index of the nearest codebook
+    * centroid (1-based so ADC is a direct `element_at` into the LUT).
+    */
+  def pqCol(emb: Column): Column = {
+    val e = emb.cast("array<double>")
+    val codes = (0 until cfg.pqSubspaces).map { j =>
+      val dists = transform(typedLit(pqBooks(j).map(_.toSeq).toSeq),
+        cent => sqd(slice(e, j * sub + 1, sub), cent))
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  // ---------------------------------------------- query prep (driver)
+
+  /** SQ8-encode a query vector (same formula as [[sq8Col]]). */
+  def sq8Encode(q: Array[Double]): Array[Long] =
+    Array.tabulate(dim)(i => Math.round((q(i) - mins(i)) * scales(i)))
+
+  /** Asymmetric-distance lookup table: lut(j)(c) = ||q_j − centroid_jc||². */
+  def pqLut(q: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(cfg.pqSubspaces) { j =>
+      pqBooks(j).map { c =>
+        var acc = 0.0; var i = 0
+        while (i < sub) { val d = c(i) - q(j * sub + i); acc += d * d; i += 1 }
+        acc
+      }
+    }
+
+  /** The `nprobe` cells nearest the query, by (distance, cell id). */
+  def ivfNearestCells(q: Array[Double], nprobe: Int): Seq[Int] =
+    ivfCentroids.zipWithIndex
+      .map { case (c, i) => (VF.l2sqS(c, q), i) }
+      .sortBy(identity).take(math.max(1, nprobe)).map(_._2).toSeq
+
+  // ------------------------------------------------- ADC (search time)
+
+  /** Integer code distance of a stored SQ8 code array to the encoded
+    * query — the coarse candidate metric. Scans codes only.
+    */
+  def sq8AdcCol(codes: Column, q: Array[Double]): Column =
+    aggregate(zip_with(codes, typedlit(sq8Encode(q).toSeq),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+
+  /** PQ asymmetric distance: 8 LUT lookups + adds per row, no vector
+    * math — the scan touches only the nibble-sized code column.
+    */
+  def pqAdcCol(codes: Column, q: Array[Double]): Column = {
+    val lut = pqLut(q)
+    (0 until cfg.pqSubspaces).map(j =>
+      element_at(typedLit(lut(j).toSeq), element_at(codes, j + 1)))
+      .reduce(_ + _)
+  }
+
+  // ------------------------------------------------------- persistence
+
+  private def arr(a: Array[Double]): String =
+    a.map(d => f"$d%.17e").mkString("[", ",", "]")
+
+  /** Persist next to the index (flat row-major arrays: trivially
+    * re-parseable without a JSON library, exact via %.17e round-trip).
+    */
+  def save(path: String): Unit = {
+    val json = s"""{"pqSubspaces":${cfg.pqSubspaces},"pqCentroids":${cfg.pqCentroids},""" +
+      s""""ivfCells":${cfg.ivfCells},"sampleCap":${cfg.sampleCap},"seed":${cfg.seed},""" +
+      s""""dim":$dim,"mins":${arr(mins)},"scales":${arr(scales)},""" +
+      s""""ivf_flat":${arr(ivfCentroids.flatten)},"books_flat":${arr(pqBooks.flatten.flatten)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}
+
+object QuantModel {
+
+  /** Train all three models from the index input.
+    *
+    *  - SQ8 min/max: exact, one distributed aggregation pass;
+    *  - IVF coarse centroids: the embeddings of the `ivfCells` smallest
+    *    ids — deterministic and SQL-expressible (a k-means-trained
+    *    variant exists as `p4_kmeans_ivf`; this keeps the hash oracle);
+    *  - PQ codebooks: seeded k-means++/Lloyd's on a bounded ~sampleCap
+    *    driver sample (every step-th id) — the FAISS convention: PQ
+    *    *training* is in-memory over a capped sample regardless of corpus
+    *    size, while encode and search stay fully distributed.
+    */
+  def train(df: DataFrame, cfg: QuantConfig,
+            idCol: String = "id", embCol: String = "embedding"): QuantModel = {
+    val dim = df.select(size(col(embCol))).head.getInt(0)
+    val st = df.select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    require(st.length == dim, s"ragged embedding column: ${st.length} dims vs $dim")
+    val mins = st.map(_.getDouble(1))
+    val scales = st.map { r =>
+      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+      if (mx > mn) 255.0 / (mx - mn) else 0.0
+    }
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      col(embCol).cast("array<double>").as("e"))
+    val ivf = slim.orderBy("id").limit(cfg.ivfCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val n = slim.count()
+    val step = math.max(1L, n / cfg.sampleCap)
+    val sample = slim.where(pmod(col("id"), lit(step)) === 0)
+      .orderBy("id").collect().map(_.getSeq[Double](1).toArray)
+    val sub = dim / cfg.pqSubspaces
+    val books = Array.tabulate(cfg.pqSubspaces)(j =>
+      fitSub(sample.map(_.slice(j * sub, (j + 1) * sub)),
+        cfg.pqCentroids, cfg.seed + j))
+    new QuantModel(cfg, dim, mins, scales, ivf, books)
+  }
+
+  /** Seeded k-means++ init + 10 Lloyd iterations over driver-side points
+    * (an emptied cluster keeps its center). Deterministic for a given
+    * (data, seed).
+    */
+  private[store] def fitSub(pts: Array[Array[Double]], k: Int,
+                            seed: Long): Array[Array[Double]] = {
+    require(pts.nonEmpty, "PQ training sample is empty")
+    val rnd = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(
+      pts(rnd.nextInt(pts.length)).clone())
+    while (centers.size < k) {
+      val d2 = pts.map(p => centers.map(c => sq(p, c)).min)
+      val tot = d2.sum
+      if (tot <= 0) centers += pts(rnd.nextInt(pts.length)).clone()
+      else {
+        var r = rnd.nextDouble() * tot; var i = 0
+        while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        centers += pts(i).clone()
+      }
+    }
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(k)(new Array[Double](pts(0).length))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val dd = sq(p, centers(c))
+          if (dd < bd) { bd = dd; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      (0 until k).foreach { c =>
+        if (counts(c) > 0) centers(c) = sums(c).map(_ / counts(c))
+      }
+    }
+    centers.toArray
+  }
+
+  def load(path: String): QuantModel = {
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    def field(key: String): String = {
+      val i = s.indexOf("\"" + key + "\":") + key.length + 3
+      val end =
+        if (s.charAt(i) == '[') s.indexOf(']', i) + 1
+        else s.indexWhere(c => c == ',' || c == '}', i)
+      s.substring(i, end)
+    }
+    def nums(key: String): Array[Double] =
+      field(key).stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toDouble)
+    val cfg = QuantConfig(
+      field("pqSubspaces").trim.toInt, field("pqCentroids").trim.toInt,
+      field("ivfCells").trim.toInt, field("sampleCap").trim.toInt,
+      field("seed").trim.toLong)
+    val dim = field("dim").trim.toInt
+    val sub = dim / cfg.pqSubspaces
+    val ivf = nums("ivf_flat").grouped(dim).toArray
+    val books = nums("books_flat").grouped(sub).toArray
+      .grouped(cfg.pqCentroids).toArray
+    new QuantModel(cfg, dim, nums("mins"), nums("scales"), ivf, books)
+  }
+
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+}

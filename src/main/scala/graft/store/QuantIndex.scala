@@ -1,0 +1,112 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Quantized ANN index: the compressed sibling of [[VectorStore]].
+  *
+  * Where VectorStore partitions by LSH bucket and searches exact within
+  * pruned buckets, QuantIndex encodes ONCE at build time (the FAISS
+  * add-time convention, reference `shard/shard_node.py:88`) and persists
+  * next to each vector:
+  *   - `cell` — IVF coarse cell, the PARTITION column: probing `nprobe`
+  *     cells is parquet partition pruning, never a full scan;
+  *   - `sq8`  — per-dimension scalar-quantized codes (4 B/dim → ~1 B);
+  *   - `pq`   — product-quantizer codes (dim floats → M small ints).
+  *
+  * Search scans ONLY the code columns until the exact re-rank of a
+  * bounded candidate set (the coarse top-N ids → `isin` filter, pushed
+  * to the parquet scan, which row-group-skips on the id stats written
+  * by the build-time sort). At 100 TB this is the difference between
+  * reading the 16×-smaller code column vs the full float corpus per
+  * query — the round-3 implementations re-encoded the corpus per query
+  * and were slower than brute force; this one is an index.
+  */
+final class QuantIndex(
+    spark: SparkSession,
+    val path: String,
+    val model: QuantModel) {
+
+  def indexDf: DataFrame = spark.read.parquet(path)
+
+  /** (id, adc) coarse candidates by integer SQ8 code distance — the
+    * scan reads (id, sq8) only; top-N plans as TakeOrderedAndProject
+    * (per-partition heap, no full sort).
+    */
+  def coarseSq8(q: Array[Double], n: Int): DataFrame =
+    indexDf.select(col("id"), model.sq8AdcCol(col("sq8"), q).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(n)
+
+  /** (id, adc) coarse candidates by PQ asymmetric distance: the query's
+    * M×K lookup table is computed once on the driver and folded into a
+    * codegen'd projection — per row, M `element_at`s + adds. The scan
+    * reads (id, pq) only.
+    */
+  def coarsePq(q: Array[Double], n: Int): DataFrame =
+    indexDf.select(col("id"), model.pqAdcCol(col("pq"), q).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(n)
+
+  /** Exact squared-L2 for a bounded id set (the coarse survivors): the
+    * only stage that reads the float `embedding` column, under an id
+    * pushdown filter.
+    */
+  def exactDist(ids: Seq[Long], q: Array[Double]): DataFrame =
+    indexDf.where(col("id").isin(ids.map(Long.box): _*))
+      .select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
+
+  /** Coarse ids of a candidate frame — bounded by the coarse N by
+    * construction (the one acceptable driver materialization).
+    */
+  def candidateIds(coarse: DataFrame): Seq[Long] =
+    coarse.select("id").collect().map(_.getLong(0)).toSeq
+
+  private def rerank(coarse: DataFrame, q: Array[Double], k: Int): DataFrame =
+    exactDist(candidateIds(coarse), q)
+      .orderBy(col("dist"), col("id")).limit(math.max(1, k))
+
+  /** SQ8 two-stage search: coarse by stored int codes, exact re-rank. */
+  def searchSq8(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
+    rerank(coarseSq8(q, coarseN), q, k)
+
+  /** PQ two-stage search: ADC over stored codes, exact re-rank. */
+  def searchPq(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
+    rerank(coarsePq(q, coarseN), q, k)
+
+  /** IVF search: partition-pruned exact top-k over the `nprobe` cells
+    * nearest the query (cell choice is driver math over the broadcast-
+    * sized centroid table).
+    */
+  def searchIvf(q: Array[Double], k: Int, nprobe: Int = 2): DataFrame = {
+    val cells = model.ivfNearestCells(q, nprobe).map(Int.box)
+    indexDf.where(col("cell").isin(cells: _*))
+      .select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
+      .orderBy(col("dist"), col("id")).limit(math.max(1, k))
+  }
+}
+
+object QuantIndex {
+
+  /** Train the quantizers (one distributed stats pass + a bounded
+    * driver sample for PQ), encode every vector once, and write the
+    * cell-partitioned index. Rows are sorted by id within cells so the
+    * re-rank's id pushdown can skip row groups.
+    */
+  def build(spark: SparkSession, df: DataFrame, path: String,
+            cfg: QuantConfig = QuantConfig(),
+            idCol: String = "id", embCol: String = "embedding"): QuantIndex = {
+    val model = QuantModel.train(df, cfg, idCol, embCol)
+    df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
+      .withColumn("sq8", model.sq8Col(col("embedding")))
+      .withColumn("pq", model.pqCol(col("embedding")))
+      .withColumn("cell", model.ivfCellCol(col("embedding")))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    model.save(s"$path/_quant_model.json")
+    new QuantIndex(spark, path, model)
+  }
+
+  def open(spark: SparkSession, path: String): QuantIndex =
+    new QuantIndex(spark, path, QuantModel.load(s"$path/_quant_model.json"))
+}

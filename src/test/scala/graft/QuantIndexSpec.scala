@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.store.{QuantConfig, QuantIndex, QuantModel, VectorStore}
+import graft.queries.VectorQueries
+import graft.lsh.LshConfig
+
+/** Round-4 index-shape guarantees: the quantized tiers are INDEXES —
+  * codes persist at build, searches scan codes, and only the bounded
+  * re-rank reads the float vectors.
+  */
+class QuantIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val idx: QuantIndex = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant_spec").toString
+    QuantIndex.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index", QuantConfig())
+  }
+
+  private lazy val q: Array[Double] = VectorQueries.qvec(spark, TestSpark.sf, 0)
+
+  private def readFields(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet }
+      .foldLeft(Set.empty[String])(_ ++ _)
+
+  test("build persists codes + cell partitions; reopen round-trips the model") {
+    assert(idx.indexDf.columns.toSet == Set("id", "embedding", "sq8", "pq", "cell"))
+    assert(idx.indexDf.count() == 500)
+    val cells = new java.io.File(idx.path).listFiles
+      .count(_.getName.startsWith("cell="))
+    assert(cells > 1 && cells <= 16, s"unexpected cell partition count $cells")
+    val re = QuantIndex.open(spark, idx.path)
+    assert(re.model.mins.toSeq == idx.model.mins.toSeq)
+    assert(re.model.pqBooks.flatten.flatten.toSeq ==
+      idx.model.pqBooks.flatten.flatten.toSeq)
+    assert(re.model.ivfCentroids.flatten.toSeq ==
+      idx.model.ivfCentroids.flatten.toSeq)
+  }
+
+  test("coarse scans read ONLY the code columns, never the embeddings") {
+    assert(readFields(idx.coarseSq8(q, 100)) == Set("id", "sq8"))
+    assert(readFields(idx.coarsePq(q, 100)) == Set("id", "pq"))
+  }
+
+  test("re-rank reads embeddings under a pushed id filter") {
+    val cand = idx.candidateIds(idx.coarsePq(q, 100))
+    assert(cand.size == 100)
+    val rr = idx.exactDist(cand, q)
+    assert(readFields(rr) == Set("id", "embedding"))
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(id"), plan)
+  }
+
+  test("ivf search prunes to nprobe cell partitions") {
+    val s = idx.searchIvf(q, 10, nprobe = 2)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val scannedParts = s.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size }
+      .sum
+    assert(scannedParts == 2, s"expected 2 probed cells, scanned $scannedParts")
+  }
+
+  test("quantized searches recall most of the exact top-10 and are deterministic") {
+    val exact = VectorStore.searchIn(
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    for ((name, df) <- Seq("sq8" -> idx.searchSq8(q, 10),
+                           "pq" -> idx.searchPq(q, 10))) {
+      val got = df.collect().map(_.getLong(0))
+      assert(got.length == 10)
+      assert((got.toSet intersect exact).size >= 6,
+        s"$name recall too low: ${(got.toSet intersect exact).size}/10")
+      assert(got.head == 0L, s"$name should return the query vector first")
+    }
+    val a = idx.searchPq(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = idx.searchPq(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("512-D vectors (reference dim) through quant build → search and " +
+    "LSH store build → search → delete → upsert") {
+    // Deterministic synthetic 512-D corpus: 64 clustered vectors.
+    val dim = 512
+    val rnd = new scala.util.Random(7L)
+    val base = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 64).map { i =>
+      val b = base(i % 8)
+      (i.toLong, b.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    import spark.implicits._
+    val df = rows.toDF("id", "embedding")
+    val qv = rows.head._2.map(_.toDouble).toArray
+
+    val qdir = java.nio.file.Files.createTempDirectory("graft_q512").toString
+    val q512 = QuantIndex.build(spark, df, s"$qdir/index",
+      QuantConfig(pqSubspaces = 8, ivfCells = 8, sampleCap = 64))
+    assert(q512.model.dim == dim && q512.model.sub == 64)
+    val hits = q512.searchPq(qv, 5, coarseN = 32).collect().map(_.getLong(0))
+    assert(hits.head == 0L, s"512-D PQ search should find the query first: ${hits.toSeq}")
+    assert(q512.searchIvf(qv, 5, nprobe = 2).collect().map(_.getLong(0)).head == 0L)
+
+    val sdir = java.nio.file.Files.createTempDirectory("graft_s512").toString
+    val store = VectorStore.build(spark, df, s"$sdir/index",
+      LshConfig(dim = dim, seed = 42L))
+    assert(store.search(qv, 3, probes = 3).collect().map(_.getLong(0)).head == 0L)
+    assert(store.delete(Seq(1L, 2L)) == 2L)
+    assert(store.indexDf.count() == 62)
+    // upsert: replace id 3 with a copy of the query vector, add id 100
+    val up = Seq((3L, rows.head._2), (100L, rows.head._2)).toDF("id", "embedding")
+    store.upsert(up)
+    assert(store.indexDf.count() == 63)
+    val top = store.search(qv, 3, probes = store.model.numBuckets)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.contains(3L) && top.contains(100L),
+      s"upserted 512-D duplicates of the query should lead: $top")
+  }
+}
