@@ -91,13 +91,16 @@ final class VectorStore(
   }
 
   /** Upsert (id, embedding [, metadata…]) rows: replaces existing ids,
-    * inserts new ones. Fully distributed — the affected buckets are
-    * computed from the incoming embeddings (bucket = f(embedding), no
-    * index scan), existing rows of those buckets are anti-joined on id
-    * and unioned with the incoming batch, then dynamically overwritten.
-    * NOTE: an id whose embedding CHANGES BUCKET leaves its old row in
-    * the old bucket untouched by the bucket-local rewrite — those ids
-    * are cleaned with a targeted delete first.
+    * inserts new ones. Fully distributed — ids never leave the cluster:
+    * the rewrite set is every bucket receiving a new row PLUS every
+    * bucket holding a prior row of an incoming id (found with a
+    * left-semi join, covering ids whose new embedding changes bucket);
+    * existing rows of those buckets are anti-joined against the batch
+    * and unioned with it, then dynamically overwritten in one pass.
+    * Only BUCKET ids are collected (bounded by numBuckets — partition
+    * lists are inherently driver-side), so a bulk re-embed where every
+    * id moves shuffles ids executor-to-executor, not through the
+    * driver.
     */
   def upsert(df: DataFrame, idCol: String = "id",
              embCol: String = "embedding"): Unit = {
@@ -111,20 +114,26 @@ final class VectorStore(
       .where(col("__rn") === 1).drop("__rn", "__seq")
     val incoming = VectorStore.bucketize(dedupedIn, model, idCol, embCol)
       .localCheckpoint(true)
-    // ids already stored under a DIFFERENT bucket than their new one
-    val moved = indexDf.select(col("id"), col("bucket").cast("int").as("ob"))
-      .join(incoming.select(col("id"), col("bucket").as("nb")), "id")
-      .where(col("ob") =!= col("nb"))
-      .select("id").collect().map(_.getLong(0))
-    if (moved.nonEmpty) delete(moved.toSeq)
-    val af = incoming.select("bucket").distinct()
-      .collect().map(r => Int.box(r.getAs[Number]("bucket").intValue())).toSeq
+    val priorBuckets = indexDf.select(col("id"), col("bucket"))
+      .join(incoming.select("id"), Seq("id"), "left_semi")
+      .select(col("bucket"))
+    val af = incoming.select(col("bucket")).union(priorBuckets)
+      .distinct().collect()
+      .map(r => Int.box(r.getAs[Number](0).intValue())).toSeq
     val existing = indexDf.where(col("bucket").isin(af: _*))
       .join(incoming.select("id"), Seq("id"), "left_anti")
+    // localCheckpoint severs the file-source lineage so the dynamic
+    // overwrite of the same path is legal
     val merged = existing.unionByName(incoming).localCheckpoint(true)
+    val kept = merged.select("bucket").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSet
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path)
+    // a bucket fully emptied by moved-away ids gets no output rows and
+    // would keep its stale files — drop its directory
+    VectorStore.dropBucketDirs(spark, path,
+      af.map(_.intValue()).filterNot(kept))
   }
 }
 

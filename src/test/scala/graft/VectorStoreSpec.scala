@@ -159,4 +159,35 @@ class MutationSpec extends org.scalatest.funsuite.AnyFunSuite {
     val top5 = store.search(q5, 3, probes = 3).collect()
     assert(top5.exists(r => r.getLong(0) == 100000L && r.getDouble(1) == 0.0))
   }
+
+  test("bulk upsert where most ids change bucket: no stale rows, no dups") {
+    val spark = TestSpark.spark
+    val store = freshStore()
+    val before = store.indexDf.count()
+    // Re-embed 300 of 500 ids with a DIFFERENT stored vector (id+123's
+    // embedding) — across 3 LSH buckets, ~2/3 of them land in a new
+    // bucket, the bulk re-embed shape the id-collect path would have
+    // funneled through the driver.
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val batch = emb.where(col("vec_id") < 300)
+      .select(col("vec_id").as("id"),
+        (col("vec_id") + 123).as("src_id"))
+      .join(emb.select(col("vec_id").as("src_id"),
+        col("embedding")), "src_id")
+      .select(col("id"), col("embedding"))
+    val movedExpected = store.indexDf.as("o")
+      .join(graft.store.VectorStore.bucketize(batch, store.model).as("n"), "id")
+      .where(col("o.bucket") =!= col("n.bucket")).count()
+    assert(movedExpected > 150, s"fixture should move many ids, moved $movedExpected")
+    store.upsert(batch)
+    assert(store.indexDf.count() == before, "no inserts: count unchanged")
+    val dups = store.indexDf.groupBy("id").count().where(col("count") > 1).count()
+    assert(dups == 0, "an id must appear exactly once after a bulk move")
+    // every re-embedded id now sits in the bucket of its NEW embedding
+    val misplaced = store.indexDf.as("o")
+      .join(graft.store.VectorStore.bucketize(batch, store.model)
+        .select(col("id"), col("bucket").as("nb")), "id")
+      .where(col("o.bucket") =!= col("nb")).count()
+    assert(misplaced == 0, s"$misplaced ids left in their old bucket")
+  }
 }
