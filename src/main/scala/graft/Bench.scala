@@ -58,7 +58,14 @@ object Bench {
         Seq.empty
       }
 
-    val perQuery = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev aid (driver never sets it): restrict to named queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) => only(n) }
+
+    val perQuery = selected.map { case (name, fn) =>
       name -> timed {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

@@ -22,6 +22,29 @@ object StreamingQueries {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Run `body` with spark.sql.shuffle.partitions temporarily lowered.
+    *
+    * Every stateful streaming operator maintains one state store PER
+    * SHUFFLE PARTITION, each paying snapshot/commit file IO per
+    * micro-batch regardless of how little state it holds. The right
+    * number tracks state SIZE, not the relational-shuffle default: at
+    * bench scale (≤100k events) 32 stores are mostly per-batch commit
+    * overhead, while 8 still parallelizes fine. On a real cluster this
+    * knob is sized to state volume per executor, just like
+    * shuffle.partitions — the point is that streaming state
+    * partitioning is a deliberate per-pipeline decision, not an
+    * inherited batch default. (The partition count is captured in the
+    * checkpoint at stream start, so it applies for the stream's whole
+    * life; the final batch read of the memory sink runs outside and is
+    * unaffected.)
+    */
+  private[queries] def withStateShuffle[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Run a streaming transform of the events table to completion
     * through a memory sink and return the materialized result.
     * The file stream source wants a directory; the (read-only) events
@@ -528,5 +551,11 @@ object StreamingQueries {
           |  GROUP BY 1, 2)
           |SELECT win_start_s, event_type, n FROM w
           |ORDER BY 1, 2""".stripMargin))
-  )
+  ).map { q =>
+    // Every streaming run (source staging, stream start,
+    // processAllAvailable) executes under the lowered state-store
+    // partitioning; the returned batch frame over the memory sink is
+    // materialized later, outside the override.
+    q.copy(run = (s, d) => withStateShuffle(s)(q.run(s, d)))
+  }
 }
