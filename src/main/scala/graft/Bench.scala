@@ -144,6 +144,50 @@ object Bench {
       knn += "knn_pruned_recall_at10" -> recallAt10(2)
       knn += "knn_pruned_recall_at10_p1" -> recallAt10(1)
       indexDf.unpersist()
+
+      // Recall-vs-probes curve at a REAL bucket count. numBuckets=3
+      // (the reference's modulus) caps pruning at 1/3 of the IO no
+      // matter the probe budget; 16 buckets is the shape that scales
+      // (each probe reads 1/16 of the corpus). The reference Readme
+      // claims tunable recall but never measures it (Readme.md:19) —
+      // this is the measurement.
+      locally {
+        val idx16 = graft.util.TempDirs.create("graft_bench_idx16")
+          .toString + "/index"
+        knn += "index_build_b16" -> timed {
+          VectorStore.build(spark, emb, idx16,
+            LshConfig(numHashTables = 16, dim = 64, seed = 42L))
+        }
+        val store16 = VectorStore.open(spark, idx16)
+        val df16 = store16.indexDf.coalesce(8).cache()
+        df16.count()
+        def recall16(probes: Int): Double = {
+          val rs = queries.map { q =>
+            val exact = VectorStore.searchIn(df16, q, 10)
+              .collect().map(_.getLong(0)).toSet
+            val pruned = VectorStore.searchIn(
+              df16.where(store16.pruneFilter(q, probes)), q, 10)
+              .collect().map(_.getLong(0)).toSet
+            (exact intersect pruned).size.toDouble / exact.size
+          }
+          rs.sum / rs.size
+        }
+        (1 to 4).foreach { p =>
+          knn += s"knn_pruned_recall_at10_p${p}_of16" -> recall16(p)
+        }
+        knn += "knn_pruned_k10_of16" -> {
+          queries.take(5).foreach { q =>
+            VectorStore.searchIn(
+              df16.where(store16.pruneFilter(q, 2)), q, 10).collect()
+          }
+          val ts = queries.map { q =>
+            timed(VectorStore.searchIn(
+              df16.where(store16.pruneFilter(q, 2)), q, 10).collect())
+          }
+          ts.sum / ts.size
+        }
+        df16.unpersist()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] knn protocol failed: ${e.getMessage}")
     }

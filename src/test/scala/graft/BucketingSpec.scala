@@ -109,4 +109,37 @@ class PartitionPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains(s"bucket IN (${cands.mkString(",")})") ||
       plan.contains("bucket"), plan)
   }
+
+  test("16-bucket store: probes prune to probes/16 partitions, full probe = exact") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp16").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val store = graft.store.VectorStore.build(spark, emb, s"$dir/index",
+      graft.lsh.LshConfig(numHashTables = 16, dim = 64, seed = 42L))
+    val nParts = new java.io.File(s"$dir/index").listFiles
+      .count(_.getName.startsWith("bucket="))
+    assert(nParts > 4, s"16-bucket build produced only $nParts partitions")
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    for (p <- Seq(2, 4)) {
+      val pruned = store.search(q, 10, probes = p)
+      val scannedParts = pruned.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size }
+        .sum
+      assert(scannedParts <= p,
+        s"probes=$p should scan <= $p of $nParts partitions, scanned $scannedParts")
+    }
+    // recall curve is monotone in probes, and probes=16 degenerates to exact
+    val exact = graft.store.VectorStore.searchIn(emb, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = store.search(q, 10, probes = 16)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "probes >= numBuckets must equal exact search")
+    def recall(p: Int): Int = store.search(q, 10, probes = p)
+      .collect().map(_.getLong(0)).toSet.intersect(exact.toSet).size
+    val r = Seq(1, 2, 4).map(recall)
+    assert(r == r.sorted, s"recall should not decrease with probes: $r")
+  }
 }
