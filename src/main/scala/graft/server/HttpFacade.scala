@@ -1,0 +1,156 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.store.VectorStore
+
+/** HTTP facade over [[VectorStore]] — the reference coordinator's REST
+  * surface (`coordinator/coordinator_server.py:20-154`) re-hosted on the
+  * JDK's built-in server (zero added dependencies):
+  *
+  *  - `GET  /health`       → `{"status": "healthy"}` (`:21-24`)
+  *  - `POST /add_vectors`  → body `{"vectors": [[…]], "ids": […]?}`;
+  *    missing vectors → 400 `{"error": "No vectors provided"}`; ids
+  *    default to max(existing)+1… (the shard's FAISS sequential-add
+  *    rule, `shard/shard_node.py:88-100`); responds with the post-add
+  *    total vector count (`:25-74`)
+  *  - `POST /search`       → body `{"query_vector": […] | [[…]], "k": n}`;
+  *    missing fields → 400; k ≤ 0 clamps to 1 (`:99-103`); a 1-D query
+  *    is reshaped to one row (`:93-96`); empty index → empty arrays +
+  *    warning (`:110-118`); responds `{"status": "success",
+  *    "distances": [[…]…], "indices": [[…]…]}` row-per-query
+  *  - `GET  /stats`        → the coordinator stats record: total_nodes,
+  *    sharding_strategy, replication_factor, per-"node" stats where a
+  *    node = an LSH bucket partition (`coordinator.py:322-341`)
+  *
+  * The facade is a thin driver-side adapter: every request plans the
+  * same DataFrames the Scala API plans — `add` appends bucket-partitioned
+  * parquet, `search` is the partition-pruned scan + top-k. Throughput
+  * shape is the reference's too: interactive single requests; bulk
+  * ingest/search should use the DataFrame API directly.
+  */
+final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
+
+  private val server: HttpServer =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Bound port (useful when constructed with port=0 for an ephemeral one). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpFacade = {
+    server.createContext("/health", (ex: HttpExchange) =>
+      respond(ex, 200, Map("status" -> "healthy")))
+    server.createContext("/add_vectors", handle(addVectors))
+    server.createContext("/search", handle(search))
+    server.createContext("/stats", handle(stats))
+    server.setExecutor(null) // serial: Spark driver-side actions anyway
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------ routes
+
+  private def addVectors(body: Map[String, Any]): (Int, Any) =
+    body.get("vectors") match {
+      case None => (400, Map("error" -> "No vectors provided"))
+      case Some(vs: Vector[_]) if vs.nonEmpty =>
+        val vecs = vs.map(_.asInstanceOf[Vector[Any]]
+          .map(_.asInstanceOf[Double].toFloat))
+        val ids: Seq[Long] = body.get("ids") match {
+          case Some(is: Vector[_]) =>
+            is.map(_.asInstanceOf[Double].toLong)
+          case _ => // absent or JSON null: sequential auto-ids
+            val start = store.indexDf.agg(
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.max("id"),
+                org.apache.spark.sql.functions.lit(-1L)))
+              .head.getLong(0) + 1
+            start until (start + vecs.size)
+        }
+        require(ids.size == vecs.size, "ids/vectors length mismatch")
+        import spark.implicits._
+        store.add(ids.zip(vecs.map(_.toArray)).toSeq.toDF("id", "embedding"))
+        val total = store.indexDf.count()
+        (200, Map(
+          "status" -> "success",
+          "message" -> s"Added ${vecs.size} vectors",
+          "total_vectors" -> total))
+      case _ => (400, Map("error" -> "No vectors provided"))
+    }
+
+  private def search(body: Map[String, Any]): (Int, Any) = {
+    if (!body.contains("query_vector"))
+      return (400, Map("error" -> "No query vector provided"))
+    if (!body.contains("k"))
+      return (400, Map("error" -> "No k value provided"))
+    val raw = body("query_vector").asInstanceOf[Vector[Any]]
+    // 1-D query reshapes to a single row, 2-D passes through
+    val queries: Vector[Array[Double]] = raw match {
+      case v if v.nonEmpty && v.head.isInstanceOf[Vector[_]] =>
+        v.map(_.asInstanceOf[Vector[Any]]
+          .map(_.asInstanceOf[Double]).toArray)
+      case v => Vector(v.map(_.asInstanceOf[Double]).toArray)
+    }
+    val k = math.max(1, body("k").asInstanceOf[Double].toInt)
+    val rows = queries.map { q =>
+      store.search(q, k, probes = store.model.numBuckets)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    if (rows.forall(_.isEmpty))
+      (200, Map(
+        "status" -> "success",
+        "distances" -> Vector.empty,
+        "indices" -> Vector.empty,
+        "warning" -> "No results found"))
+    else
+      (200, Map(
+        "status" -> "success",
+        "distances" -> rows.map(_.map(_._2).toVector),
+        "indices" -> rows.map(_.map(_._1).toVector)))
+  }
+
+  private def stats(body: Map[String, Any]): (Int, Any) = {
+    val perBucket = store.stats().collect().map { r =>
+      val b = r.getAs[Number]("bucket").intValue()
+      s"bucket=$b" -> Map(
+        "vector_count" -> r.getAs[Long]("cnt"),
+        "share" -> r.getAs[Double]("pct"),
+        "memory_mb" -> r.getAs[Double]("memory_mb"),
+        "imbalance" -> r.getAs[Double]("imbalance"))
+    }
+    (200, Map(
+      "total_nodes" -> store.model.numBuckets,
+      "sharding_strategy" -> "lsh",
+      "replication_factor" -> 1,
+      "nodes" -> perBucket.toMap))
+  }
+
+  // ---------------------------------------------------------- plumbing
+
+  private def handle(route: Map[String, Any] => (Int, Any))(
+      ex: HttpExchange): Unit = {
+    val (code, payload) =
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val parsed =
+          if (body.trim.isEmpty) Map.empty[String, Any]
+          else Json.parse(body).asInstanceOf[Map[String, Any]]
+        route(parsed)
+      } catch {
+        case e: Throwable => (500, Map("error" -> String.valueOf(e.getMessage)))
+      }
+    respond(ex, code, payload)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, payload: Any): Unit = {
+    val bytes = Json.write(payload).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

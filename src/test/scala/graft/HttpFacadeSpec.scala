@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.server.{HttpFacade, Json}
+
+/** Round-trips the reference coordinator's REST semantics
+  * (`coordinator/coordinator_server.py`) against the facade.
+  */
+class HttpFacadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val facade: HttpFacade = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val store = graft.store.VectorStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index", graft.lsh.LshConfig(dim = 64, seed = 42L))
+    new HttpFacade(spark, store, port = 0).start()
+  }
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, Any) = {
+    val r = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${facade.boundPort}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  private def post(path: String, body: String): (Int, Any) = {
+    val r = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${facade.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  private def obj(v: Any) = v.asInstanceOf[Map[String, Any]]
+
+  test("GET /health") {
+    val (code, body) = get("/health")
+    assert(code == 200 && obj(body)("status") == "healthy")
+  }
+
+  test("POST /search: 1-D query reshapes, k clamps, self at distance 0") {
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val qj = q.mkString("[", ",", "]")
+    val (code, body) = post("/search", s"""{"query_vector": $qj, "k": 3}""")
+    assert(code == 200)
+    val m = obj(body)
+    assert(m("status") == "success")
+    val indices = m("indices").asInstanceOf[Vector[Vector[Any]]]
+    val dists = m("distances").asInstanceOf[Vector[Vector[Any]]]
+    assert(indices.size == 1 && indices.head.size == 3)
+    assert(indices.head.head.asInstanceOf[Double] == 0.0) // vec_id 0 itself
+    assert(dists.head.head.asInstanceOf[Double] == 0.0)
+    // k <= 0 clamps to 1 (coordinator_server.py:99-103)
+    val (c2, b2) = post("/search", s"""{"query_vector": $qj, "k": 0}""")
+    assert(c2 == 200 &&
+      obj(b2)("indices").asInstanceOf[Vector[Vector[Any]]].head.size == 1)
+  }
+
+  test("POST /search: missing fields give the reference's 400s") {
+    val (c1, b1) = post("/search", """{"k": 5}""")
+    assert(c1 == 400 && obj(b1)("error") == "No query vector provided")
+    val (c2, b2) = post("/search", """{"query_vector": [1.0]}""")
+    assert(c2 == 400 && obj(b2)("error") == "No k value provided")
+  }
+
+  test("POST /add_vectors with explicit ids, then search finds them") {
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val qj = q.mkString("[", ",", "]")
+    val (code, body) = post("/add_vectors",
+      s"""{"vectors": [$qj], "ids": [777000]}""")
+    assert(code == 200)
+    val m = obj(body)
+    assert(m("status") == "success" &&
+      m("total_vectors").asInstanceOf[Double] == 501.0)
+    val (_, sb) = post("/search", s"""{"query_vector": $qj, "k": 2}""")
+    val ids = obj(sb)("indices").asInstanceOf[Vector[Vector[Any]]]
+      .head.map(_.asInstanceOf[Double].toLong).toSet
+    assert(ids == Set(0L, 777000L), s"dup of vec 0 should tie at d=0: $ids")
+  }
+
+  test("POST /add_vectors without ids auto-assigns sequential ids") {
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 1)
+    val qj = q.mkString("[", ",", "]")
+    val (code, body) = post("/add_vectors", s"""{"vectors": [$qj, $qj]}""")
+    assert(code == 200)
+    assert(obj(body)("total_vectors").asInstanceOf[Double] == 503.0)
+    val (c2, b2) = post("/add_vectors", """{}""")
+    assert(c2 == 400 && obj(b2)("error") == "No vectors provided")
+  }
+
+  test("GET /stats returns the coordinator stats record per bucket") {
+    val (code, body) = get("/stats")
+    assert(code == 200)
+    val m = obj(body)
+    assert(m("sharding_strategy") == "lsh")
+    assert(m("total_nodes").asInstanceOf[Double] == 3.0)
+    val nodes = obj(m("nodes"))
+    assert(nodes.nonEmpty && nodes.keys.forall(_.startsWith("bucket=")))
+    val counts = nodes.values.map(n => obj(n)("vector_count")
+      .asInstanceOf[Double]).sum
+    assert(counts >= 500.0)
+  }
+}
