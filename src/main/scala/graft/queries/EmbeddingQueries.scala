@@ -237,6 +237,25 @@ object EmbeddingQueries {
           .orderBy(col("dist"), col("vec_id")).limit(10)
       },
       None,
-      lateOracle = () => QuantCache.pqOracleSql)
+      lateOracle = QuantCache.lateOracle("e8_pq_search")),
+
+    // E9 — IVF+PQ composed (the FAISS IVFPQ production layout): the
+    // coarse ADC pass runs only over the nprobe=2 partitions of the
+    // persisted `cell` column AND reads only the (id, pq) columns —
+    // at 100 TB the scan cost compounds to nprobe/nCells of the rows
+    // times ~1/16 of the bytes per row, then the bounded exact
+    // re-rank. Oracle: injected codebooks + SQL-recomputed cell
+    // assignment (same CTEs as e3's).
+    Q("e9_ivfpq_search",
+      (s, d) => {
+        val idx = QuantCache.forDir(s, d)
+        val q = VectorQueries.qvec(s, d, 0L)
+        val cand = idx.candidateIds(idx.coarseIvfPq(q, nprobe = 2, n = 100))
+        idx.exactDist(cand, q)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+      },
+      None,
+      lateOracle = QuantCache.lateOracle("e9_ivfpq_search"))
   )
 }

@@ -19,10 +19,13 @@ object QuantCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, QuantIndex]
 
-  @volatile private var pqOracle: Option[String] = None
+  @volatile private var oracles: Map[String, String] = Map.empty
 
-  /** e8's DuckDB twin for the last-built dir (None until a build). */
-  def pqOracleSql: Option[String] = pqOracle
+  /** Late-bound DuckDB twin for `name`, trained-literal-injected; empty
+    * until a build has run in this process.
+    */
+  def lateOracle(name: String): () => Option[String] =
+    () => oracles.get(name)
 
   def forDir(spark: SparkSession, dir: String): QuantIndex = {
     val key = spark.sparkContext.applicationId + "|" + dir
@@ -31,7 +34,9 @@ object QuantCache {
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
       val path = graft.util.TempDirs.create("graft_quant").toString + "/index"
       val idx = QuantIndex.build(spark, emb, path, QuantConfig())
-      pqOracle = Some(pqSql(idx.model))
+      oracles = Map(
+        "e8_pq_search" -> pqSql(idx.model, pruned = false),
+        "e9_ivfpq_search" -> pqSql(idx.model, pruned = true))
       idx
     })
   }
@@ -45,9 +50,12 @@ object QuantCache {
     * round-trip), build the query's LUT in SQL from the same literals,
     * ADC = Σ_j lut[j][code_j] with the same left-to-right fold, coarse
     * top-100 by (adc, vec_id), exact re-rank to top-10 by rounded
-    * distance. Mirrors the Spark plan in EmbeddingQueries e8.
+    * distance. Mirrors the Spark plan in EmbeddingQueries e8; with
+    * `pruned`, the coarse pass is additionally restricted to the 2 IVF
+    * cells nearest the query (the e9 IVFPQ twin; cell assignment is
+    * recomputed in SQL exactly like e3's oracle).
     */
-  private[queries] def pqSql(m: QuantModel): String = {
+  private[queries] def pqSql(m: QuantModel, pruned: Boolean): String = {
     val M = m.cfg.pqSubspaces
     val sub = m.sub
     val books = m.pqBooks.map(book =>
@@ -60,9 +68,30 @@ object QuantCache {
         s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i]) * " +
         s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i])))"
     val adcTerms = (1 to M).map(j => s"lt[$j][c[$j]]").mkString(" + ")
+    val ivfCtes = if (!pruned) "" else
+      s"""cl AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${m.cfg.ivfCells}),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, cl.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${DuckSql.l2sq("e.embedding", "cl.ce")}, cl.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cl)
+         |  WHERE rn = 1),
+         |qc AS (
+         |  SELECT cid FROM (
+         |    SELECT cl.cid,
+         |      row_number() OVER (ORDER BY ${DuckSql.l2sq("cl.ce", "q.qe")}, cl.cid) AS rn
+         |    FROM cl, q)
+         |  WHERE rn <= 2),
+         |""".stripMargin
+    val candFilter = if (!pruned) "" else
+      """
+        |  JOIN asg ON codes.vec_id = asg.vec_id
+        |    AND asg.cid IN (SELECT cid FROM qc)""".stripMargin
     s"""WITH bk AS (SELECT $books AS b),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |lut AS (
+       |${ivfCtes}lut AS (
        |  SELECT list_transform(range(1, ${M + 1}), j ->
        |    list_transform(b[j], cent -> ${subDist("qe")})) AS lt
        |  FROM q, bk),
@@ -74,8 +103,8 @@ object QuantCache {
        |      list_transform(b[j], cent -> ${subDist("embedding")})) AS dl
        |    FROM embeddings, bk)),
        |cand AS (
-       |  SELECT vec_id, $adcTerms AS adc
-       |  FROM codes, lut
+       |  SELECT codes.vec_id AS vec_id, $adcTerms AS adc
+       |  FROM codes$candFilter, lut
        |  ORDER BY adc, vec_id LIMIT 100)
        |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
        |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q

@@ -73,6 +73,24 @@ final class QuantIndex(
   def searchPq(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
     rerank(coarsePq(q, coarseN), q, k)
 
+  /** (id, adc) coarse candidates by PQ asymmetric distance WITHIN the
+    * `nprobe` IVF cells nearest the query — the FAISS IVFPQ layout:
+    * partition pruning cuts the scan to nprobe/nCells of the corpus,
+    * then the pruned scan reads only (id, pq). The compounding is the
+    * point at 100 TB: 2/16 of the rows × ~1/16 of the bytes per row.
+    */
+  def coarseIvfPq(q: Array[Double], nprobe: Int, n: Int): DataFrame = {
+    val cells = model.ivfNearestCells(q, nprobe).map(Int.box)
+    indexDf.where(col("cell").isin(cells: _*))
+      .select(col("id"), model.pqAdcCol(col("pq"), q).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(n)
+  }
+
+  /** IVF+PQ two-stage search: pruned ADC coarse pass, exact re-rank. */
+  def searchIvfPq(q: Array[Double], k: Int, nprobe: Int = 2,
+                  coarseN: Int = 100): DataFrame =
+    rerank(coarseIvfPq(q, nprobe, coarseN), q, k)
+
   /** IVF search: partition-pruned exact top-k over the `nprobe` cells
     * nearest the query (cell choice is driver math over the broadcast-
     * sized centroid table).

@@ -68,6 +68,20 @@ class QuantIndexSpec extends AnyFunSuite {
     assert(scannedParts == 2, s"expected 2 probed cells, scanned $scannedParts")
   }
 
+  test("ivfpq coarse pass prunes partitions AND reads only code columns") {
+    val c = idx.coarseIvfPq(q, nprobe = 2, n = 100)
+    assert(readFields(c) == Set("id", "pq"))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val scannedParts = c.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size }
+      .sum
+    assert(scannedParts == 2, s"expected 2 probed cells, scanned $scannedParts")
+    val got = idx.searchIvfPq(q, 10).collect().map(_.getLong(0))
+    assert(got.length == 10 && got.head == 0L)
+  }
+
   test("quantized searches recall most of the exact top-10 and are deterministic") {
     val exact = VectorStore.searchIn(
       Tables.embeddings(spark, TestSpark.sf)
