@@ -222,7 +222,12 @@ object TextQueries {
     // independent. The oracle computes the same components with a
     // recursive transitive-closure CTE.
     Q("m4_dedup_clusters",
-      (s, d) => {
+      // The iterative label-propagation loop runs ~4 rounds of 6
+      // shuffles each over an edge set far smaller than the corpus;
+      // sizing its shuffle partitioning to the EDGE data (like the
+      // streaming state stores) removes a pile of empty tasks per
+      // round. Result is partition-count independent.
+      (s, d) => StreamingQueries.withStateShuffle(s) {
         val pairs = all.find(_.name == "m1_minhash_pairs").get.run(s, d)
           .select("id_a", "id_b")
         val edges = pairs.union(

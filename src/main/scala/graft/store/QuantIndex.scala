@@ -118,7 +118,7 @@ object QuantIndex {
       .withColumn("sq8", model.sq8Col(col("embedding")))
       .withColumn("pq", model.pqCol(col("embedding")))
       .withColumn("cell", model.ivfCellCol(col("embedding")))
-      .repartition(col("cell"))
+      .repartition(cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     model.save(s"$path/_quant_model.json")

@@ -182,8 +182,14 @@ object VectorStore {
             cfg: LshConfig, idCol: String = "id",
             embCol: String = "embedding"): VectorStore = {
     val model = LshModel(cfg)
+    // One shuffle partition per bucket: hash-partitioning on the bucket
+    // key concentrates each bucket into a single task regardless of the
+    // partition count, so the default only adds empty tasks. (At sizes
+    // where one writer per bucket is a bottleneck, add a salt column to
+    // spread each bucket over N writers — the partitionBy layout is
+    // unchanged by that.)
     bucketize(df, model, idCol, embCol)
-      .repartition(col("bucket"))
+      .repartition(cfg.numHashTables, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     model.save(s"$path/_lsh_model.json")
     new VectorStore(spark, path, model)
