@@ -550,7 +550,50 @@ object StreamingQueries {
           |  WHERE ((us // 3600000000) + 1) * 3600000000 <= mx - 600000000
           |  GROUP BY 1, 2)
           |SELECT win_start_s, event_type, n FROM w
-          |ORDER BY 1, 2""".stripMargin))
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // S13 — streaming INDEX INGEST: the reference's batched HTTP ingest
+    // loop (`load_coco_embeddings.py:38-115`: 1000-vector POSTs with a
+    // sleep between batches) re-expressed as a Structured Streaming
+    // pipeline — embeddings staged as 4 parquet files, file-source
+    // micro-batches (maxFilesPerTrigger=1), each batch bucketized and
+    // appended to the partitioned store via foreachBatch (the
+    // idempotent ingest sink shape). Ingest must be semantically
+    // invisible: once drained, exact search over the streamed-in index
+    // equals v1 over the raw table, which is the oracle.
+    Q("s13_stream_index_ingest",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val srcDir = graft.util.TempDirs.create("graft_s13_src").toString
+        emb.repartition(4).write.mode("overwrite").parquet(s"$srcDir/files")
+        val ckpt = graft.util.TempDirs.create("graft_s13_ckpt").toString
+        val path = graft.util.TempDirs.create("graft_s13_idx").toString + "/index"
+        val model = graft.lsh.LshModel(
+          graft.lsh.LshConfig(dim = 64, seed = 42L))
+        val store = new graft.store.VectorStore(s, path, model)
+        val q = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$srcDir/files")
+          .select(col("vec_id").as("id"), col("embedding"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            store.add(batch)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        model.save(s"$path/_lsh_model.json")
+        store.search(VectorQueries.qvec(s, d, 0), 10,
+            probes = model.numBuckets)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          |SELECT vec_id, round(d, 6) AS dist FROM (
+          |  SELECT e.vec_id AS vec_id, ${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")} AS d
+          |  FROM embeddings e, q)
+          |ORDER BY d, vec_id LIMIT 10""".stripMargin))
   ).map { q =>
     // Every streaming run (source staging, stream start,
     // processAllAvailable) executes under the lowered state-store
