@@ -175,6 +175,26 @@ object Bench {
         (1 to 4).foreach { p =>
           knn += s"knn_pruned_recall_at10_p${p}_of16" -> recall16(p)
         }
+        // Quantized tiers, same 20 warm queries as knn_exact: per-query
+        // latency of the two-stage searches over STORED codes (each is
+        // two jobs — coarse top-100 over the code column, bounded exact
+        // re-rank — so the single-query floor is ~2× knn_exact's; the
+        // scan itself reads 4–16× fewer bytes, which is what wins at
+        // data sizes where IO dominates).
+        locally {
+          // resident index, mirroring the warm `indexDf.cache()` the
+          // exact-kNN protocol times against
+          val qidx = graft.queries.QuantCache.forDir(spark, sfDir).cacheIndex()
+          def meanQ(label: String)(f: Array[Double] => Unit): Unit = {
+            queries.take(5).foreach(f) // warm-up, not timed
+            val ts = queries.map(q => timed(f(q)))
+            knn += label -> ts.sum / ts.size
+          }
+          meanQ("knn_sq8_k10")(q => qidx.searchSq8(q, 10).collect())
+          meanQ("knn_pq_k10")(q => qidx.searchPq(q, 10).collect())
+          meanQ("knn_ivfpq_k10")(q => qidx.searchIvfPq(q, 10).collect())
+        }
+
         knn += "knn_pruned_k10_of16" -> {
           queries.take(5).foreach { q =>
             VectorStore.searchIn(

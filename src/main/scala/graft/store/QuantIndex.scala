@@ -28,7 +28,23 @@ final class QuantIndex(
     val path: String,
     val model: QuantModel) {
 
-  def indexDf: DataFrame = spark.read.parquet(path)
+  @transient private var resident: Option[DataFrame] = None
+
+  def indexDf: DataFrame =
+    resident.getOrElse(spark.read.parquet(path))
+
+  /** Pin the index in executor memory for interactive serving (the
+    * analogue of the reference's always-resident FAISS index): all
+    * searches then scan the in-memory columnar form — column pruning
+    * and the bounded re-rank shape are unchanged. Without this, every
+    * search plans a fresh parquet scan (the right default for batch).
+    */
+  def cacheIndex(): this.type = {
+    val df = spark.read.parquet(path).cache()
+    df.count()
+    resident = Some(df)
+    this
+  }
 
   /** (id, adc) coarse candidates by integer SQ8 code distance — the
     * scan reads (id, sq8) only; top-N plans as TakeOrderedAndProject
@@ -101,9 +117,28 @@ final class QuantIndex(
       .select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
       .orderBy(col("dist"), col("id")).limit(math.max(1, k))
   }
+
+  /** Append new vectors: encode against the TRAINED model (codes and
+    * cell assignment are functions of the persisted codebooks, so no
+    * retraining — exactly FAISS `add` after `train`) and append into
+    * the cell partitions. Quantizer drift from a shifting corpus is
+    * the operator's standard trade-off; rebuild to retrain.
+    */
+  def add(df: DataFrame, idCol: String = "id",
+          embCol: String = "embedding"): Unit =
+    QuantIndex.encode(df, model, idCol, embCol)
+      .write.mode("append").partitionBy("cell").parquet(path)
 }
 
 object QuantIndex {
+
+  /** (id, embedding, sq8, pq, cell) from raw (id, embedding) rows. */
+  private def encode(df: DataFrame, model: QuantModel,
+                     idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
+      .withColumn("sq8", model.sq8Col(col("embedding")))
+      .withColumn("pq", model.pqCol(col("embedding")))
+      .withColumn("cell", model.ivfCellCol(col("embedding")))
 
   /** Train the quantizers (one distributed stats pass + a bounded
     * driver sample for PQ), encode every vector once, and write the
@@ -114,10 +149,7 @@ object QuantIndex {
             cfg: QuantConfig = QuantConfig(),
             idCol: String = "id", embCol: String = "embedding"): QuantIndex = {
     val model = QuantModel.train(df, cfg, idCol, embCol)
-    df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
-      .withColumn("sq8", model.sq8Col(col("embedding")))
-      .withColumn("pq", model.pqCol(col("embedding")))
-      .withColumn("cell", model.ivfCellCol(col("embedding")))
+    encode(df, model, idCol, embCol)
       .repartition(cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)

@@ -82,6 +82,31 @@ class QuantIndexSpec extends AnyFunSuite {
     assert(got.length == 10 && got.head == 0L)
   }
 
+  test("add encodes against the trained model and appended rows are searchable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant_add").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q2 = QuantIndex.build(spark, emb.where(col("id") < 400),
+      s"$dir/index", QuantConfig())
+    assert(q2.indexDf.count() == 400)
+    q2.add(emb.where(col("id") >= 400)
+      .select((col("id") + 10000).as("id"), col("embedding")))
+    assert(q2.indexDf.count() == 500)
+    // a duplicate of the query vector appended under a new id must be
+    // found by every tier at distance 0
+    val probe = emb.where(col("id") === 0)
+      .select(lit(99999L).as("id"), col("embedding"))
+    q2.add(probe)
+    for ((name, df) <- Seq("sq8" -> q2.searchSq8(q, 2),
+                           "pq" -> q2.searchPq(q, 2),
+                           "ivf" -> q2.searchIvf(q, 2))) {
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1).toSet == Set(0L, 99999L) &&
+        got.forall(_._2 == 0.0),
+        s"$name should find both zero-distance copies: $got")
+    }
+  }
+
   test("quantized searches recall most of the exact top-10 and are deterministic") {
     val exact = VectorStore.searchIn(
       Tables.embeddings(spark, TestSpark.sf)
