@@ -97,8 +97,13 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
   /** Multi-probe candidate buckets for a query vector.
     *
     * Primary bucket first; then, per table, flip the ≤2 bits whose
-    * |projection| is smallest (closest to the decision boundary) and add
-    * the perturbed bucket; pad with 0,1,2,… until `probes` buckets.
+    * |projection| is smallest (closest to the decision boundary) and
+    * add the perturbed bucket; then (deliberate fix over the
+    * reference, which pads with ARBITRARY sequential bucket ids,
+    * `lsh_sharding.py:151-158`) flip boundary-bit PAIRS per table in
+    * increasing |proj| order — the next-most-probable buckets under
+    * the sign-LSH model (Lv et al. multi-probe ordering) — and only
+    * pad sequentially when informed perturbations run out.
     * `probes >= numBuckets` degenerates to all buckets (exact search).
     */
   def candidates(v: Array[Double], probes: Int): Seq[Int] = {
@@ -106,6 +111,12 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
     val proj = project(v)
     val b = proj.map(x => if (x > 0) 1 else 0)
     val out = scala.collection.mutable.LinkedHashSet[Int](bucketOfBits(b))
+    def flip(bits: Array[Int], js: Seq[Int]): Int = {
+      val f = bits.clone()
+      js.foreach(j => f(j) = 1 - f(j))
+      bucketOfBits(f)
+    }
+    // single boundary-bit flips, ≤2 per table
     var t = 0
     while (t < cfg.numHashTables && out.size < p) {
       val base = t * cfg.numHashFunctions
@@ -113,11 +124,23 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
         .sortBy(j => math.abs(proj(base + j))).take(2)
       var oi = 0
       while (oi < order.length && out.size < p) {
-        val j = base + order(oi)
-        val flipped = b.clone()
-        flipped(j) = 1 - flipped(j)
-        out += bucketOfBits(flipped)
+        out += flip(b, Seq(base + order(oi)))
         oi += 1
+      }
+      t += 1
+    }
+    // boundary-bit PAIR flips per table, cheapest pair first
+    t = 0
+    while (t < cfg.numHashTables && out.size < p) {
+      val base = t * cfg.numHashFunctions
+      val pairs = (0 until cfg.numHashFunctions)
+        .combinations(2).toSeq
+        .sortBy { case Seq(a, c) =>
+          math.abs(proj(base + a)) + math.abs(proj(base + c)) }
+      var pi = 0
+      while (pi < pairs.length && out.size < p) {
+        out += flip(b, pairs(pi).map(base + _))
+        pi += 1
       }
       t += 1
     }
