@@ -125,9 +125,44 @@ final class QuantIndex(
     * the operator's standard trade-off; rebuild to retrain.
     */
   def add(df: DataFrame, idCol: String = "id",
-          embCol: String = "embedding"): Unit =
+          embCol: String = "embedding"): Unit = {
     QuantIndex.encode(df, model, idCol, embCol)
       .write.mode("append").partitionBy("cell").parquet(path)
+    invalidateResident()
+  }
+
+  /** Delete vectors by id, rewriting ONLY the cells that contain them
+    * (dynamic partition overwrite — a few partition directories, never
+    * the whole table). Returns the number of rows removed.
+    */
+  def delete(ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val idSet = ids.map(Long.box)
+    val affected = indexDf.where(col("id").isin(idSet: _*))
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) return 0L
+    val inCells = indexDf.where(col("cell").isin(affected.map(Int.box).toSeq: _*))
+    val before = inCells.count()
+    // localCheckpoint severs the file-source lineage so the dynamic
+    // overwrite of the same path is legal
+    val remaining = inCells.where(!col("id").isin(idSet: _*))
+      .localCheckpoint(true)
+    val kept = remaining.select("cell").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSet
+    remaining.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(path)
+    VectorStore.dropPartitionDirs(spark, path, "cell",
+      affected.filterNot(kept).toSeq)
+    invalidateResident()
+    before - remaining.count()
+  }
+
+  private def invalidateResident(): Unit = resident.foreach { df =>
+    df.unpersist()
+    resident = None
+  }
 }
 
 object QuantIndex {

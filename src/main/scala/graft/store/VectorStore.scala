@@ -141,11 +141,19 @@ object VectorStore {
 
   /** Remove partition directories for buckets emptied by a delete. */
   private[store] def dropBucketDirs(spark: SparkSession, path: String,
-                                    buckets: Seq[Int]): Unit = {
-    if (buckets.isEmpty) return
+                                    buckets: Seq[Int]): Unit =
+    dropPartitionDirs(spark, path, "bucket", buckets)
+
+  /** Remove `<path>/<column>=<v>` partition directories (dynamic
+    * overwrite only rewrites partitions present in the output, so a
+    * fully-emptied partition keeps stale files unless dropped).
+    */
+  private[store] def dropPartitionDirs(spark: SparkSession, path: String,
+                                       column: String, values: Seq[Int]): Unit = {
+    if (values.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
-    buckets.foreach { b =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
+    values.foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$column=$v")
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, true)
     }

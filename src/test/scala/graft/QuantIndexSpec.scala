@@ -107,6 +107,24 @@ class QuantIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("delete rewrites only affected cells and removed ids vanish from every tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant_del").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qd = QuantIndex.build(spark, emb, s"$dir/index", QuantConfig())
+    // vec 0 is its own nearest neighbor everywhere; delete it
+    assert(qd.delete(Seq(0L, 1L, 2L)) == 3L)
+    assert(qd.indexDf.count() == 497)
+    assert(qd.delete(Seq(0L)) == 0L, "idempotent")
+    for ((name, df) <- Seq("sq8" -> qd.searchSq8(q, 10),
+                           "pq" -> qd.searchPq(q, 10),
+                           "ivf" -> qd.searchIvf(q, 10),
+                           "ivfpq" -> qd.searchIvfPq(q, 10))) {
+      val got = df.collect().map(_.getLong(0)).toSet
+      assert(!got.exists(Set(0L, 1L, 2L)), s"$name returned a deleted id: $got")
+    }
+  }
+
   test("quantized searches recall most of the exact top-10 and are deterministic") {
     val exact = VectorStore.searchIn(
       Tables.embeddings(spark, TestSpark.sf)
