@@ -256,6 +256,64 @@ object EmbeddingQueries {
           .orderBy(col("dist"), col("vec_id")).limit(10)
       },
       None,
-      lateOracle = QuantCache.lateOracle("e9_ivfpq_search"))
+      lateOracle = QuantCache.lateOracle("e9_ivfpq_search")),
+
+    // E10 — BATCHED PQ search, the amortized-throughput path for the
+    // quantized tier: 5 queries' 8×16 ADC LUTs fold into ONE 3-D
+    // literal, so a single job scans (id, pq) once, computes all
+    // (query, vector) ADCs, and the bounded TopKAgg buffer (k=20 per
+    // query per partition) does the map-side coarse cut — no window
+    // sort, no per-query rescans. The exact re-rank of the ≤100
+    // surviving pairs is one more job (id pushdown + two broadcast
+    // joins + a 100-row window). Per-query cost amortizes exactly
+    // like knn_batch100 does for the exact tier.
+    Q("e10_batch_pq_knn",
+      (s, d) => {
+        import s.implicits._
+        val idx = QuantCache.forDir(s, d)
+        val m = idx.model
+        val qs = Tables.embeddings(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").cast("long").as("query_id"),
+            col("embedding").cast("array<double>").as("qe"))
+          .orderBy("query_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val luts: Seq[Seq[Seq[Double]]] =
+          qs.map(q => m.pqLut(q._2).map(_.toSeq).toSeq).toSeq
+        val lutsL = typedlit(luts)
+        val qidDf = broadcast(qs.map(_._1).toSeq.toDF("query_id"))
+        val adc = (0 until m.cfg.pqSubspaces).map { j =>
+          element_at(element_at(element_at(lutsL,
+            (col("query_id") + 1).cast("int")), j + 1),
+            element_at(col("pq"), j + 1))
+        }.reduce(_ + _)
+        val pairs = idx.indexDf.select(col("id"), col("pq"))
+          .crossJoin(qidDf)
+          .where(col("id") =!= col("query_id"))
+          .select(col("query_id"), col("id"), adc.as("adc"))
+          .groupBy("query_id")
+          .agg(graft.functions.TopKAgg(col("id"), col("adc"), 20).as("topk"))
+          .select(col("query_id"), explode(col("topk")).as("e"))
+          .select(col("query_id"), col("e._1").as("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val pairsDf = broadcast(pairs.toSeq.toDF("query_id", "vec_id"))
+        val qeDf = broadcast(Tables.embeddings(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").cast("long").as("query_id"),
+            col("embedding").as("qe")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("d"), col("vec_id"))
+        idx.indexDf
+          .where(col("id").isin(pairs.map(p => Long.box(p._2)).distinct: _*))
+          .join(pairsDf, col("id") === col("vec_id"))
+          .join(qeDf, "query_id")
+          .select(col("query_id"), col("vec_id"),
+            VF.l2sq(col("embedding"), col("qe")).as("d"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            round(col("d"), 6).as("dist"))
+          .orderBy("query_id", "rank")
+      },
+      None,
+      lateOracle = QuantCache.lateOracle("e10_batch_pq_knn"))
   )
 }

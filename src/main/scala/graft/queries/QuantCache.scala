@@ -36,7 +36,8 @@ object QuantCache {
       val idx = QuantIndex.build(spark, emb, path, QuantConfig())
       oracles = Map(
         "e8_pq_search" -> pqSql(idx.model, pruned = false),
-        "e9_ivfpq_search" -> pqSql(idx.model, pruned = true))
+        "e9_ivfpq_search" -> pqSql(idx.model, pruned = true),
+        "e10_batch_pq_knn" -> batchPqSql(idx.model))
       idx
     })
   }
@@ -109,5 +110,56 @@ object QuantCache {
        |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
        |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB twin of the BATCHED PQ search (e10): 5 query vectors, a
+    * per-query LUT from the injected codebooks, ADC over every
+    * (query, vector) pair excluding self, coarse top-20 per query by
+    * (adc, vec_id), exact re-rank to top-5 per query.
+    */
+  private[queries] def batchPqSql(m: QuantModel): String = {
+    val M = m.cfg.pqSubspaces
+    val sub = m.sub
+    val books = m.pqBooks.map(book =>
+      book.map(c => c.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    def subDist(e: String): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i]) * " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i])))"
+    val adcTerms = (1 to M).map(j => s"l.lt[$j][c.c[$j]]").mkString(" + ")
+    s"""WITH bk AS (SELECT $books AS b),
+       |qs AS (SELECT vec_id AS query_id, embedding AS qe
+       |       FROM embeddings WHERE vec_id < 5),
+       |luts AS (
+       |  SELECT query_id, list_transform(range(1, ${M + 1}), j ->
+       |    list_transform(b[j], cent -> ${subDist("qe")})) AS lt
+       |  FROM qs, bk),
+       |codes AS (
+       |  SELECT vec_id, list_transform(dl, dj ->
+       |    list_position(dj, list_min(dj))) AS c
+       |  FROM (
+       |    SELECT vec_id, list_transform(range(1, ${M + 1}), j ->
+       |      list_transform(b[j], cent -> ${subDist("embedding")})) AS dl
+       |    FROM embeddings, bk)),
+       |coarse AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT l.query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY l.query_id
+       |        ORDER BY $adcTerms, c.vec_id) AS rn
+       |    FROM codes c, luts l WHERE c.vec_id <> l.query_id)
+       |  WHERE rn <= 20),
+       |rer AS (
+       |  SELECT co.query_id, e.vec_id,
+       |    ${DuckSql.l2sq("e.embedding", "qs.qe")} AS d
+       |  FROM coarse co
+       |  JOIN embeddings e ON co.vec_id = e.vec_id
+       |  JOIN qs ON co.query_id = qs.query_id)
+       |SELECT query_id, rank, vec_id, round(d, 6) AS dist FROM (
+       |  SELECT query_id, vec_id, d,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d, vec_id) AS INT) AS rank
+       |  FROM rer)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 }
