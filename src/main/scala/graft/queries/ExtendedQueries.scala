@@ -211,13 +211,19 @@ object ExtendedQueries {
         val model = new PCA().setK(8)
           .setInputCol("features").setOutputCol("pca")
           .fit(df)
+        // The fitted loading matrix is deterministic (SVD, no seed) —
+        // inject it into a DuckDB twin (the e8 late-oracle technique)
+        // so the ml-trained projection is hash-checked too. transform
+        // is plain x·W (spark.ml PCA does not center in transform).
+        ExtendedQueries.p1Oracle = Some(pcaOracleSql(model.pc))
         model.transform(df)
           .select(col("vec_id"),
             round(sqrt(aggregate(vector_to_array(col("pca")), lit(0.0),
               (acc, x) => acc + x * x)), 6).as("pc_norm"))
           .orderBy("vec_id")
       },
-      None),
+      None,
+      lateOracle = () => ExtendedQueries.p1Oracle),
 
     // P4 — KMeans-trained IVF coarse quantizer (the real centroid
     // training for e3's IVF search, which uses label cells): seeded
@@ -234,12 +240,22 @@ object ExtendedQueries {
         val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
           .setFeaturesCol("features").setPredictionCol("cell")
           .fit(df)
+        // Trained centroids injected into a DuckDB twin (the e8/p1
+        // late-oracle technique): the twin re-derives each vector's
+        // cell as argmin over the centroid literals. spark.ml predict
+        // uses norm-based fast distances, so a near-equidistant point
+        // could in principle assign differently than the twin's naive
+        // Σ(a−b)²; validated bit-identical on the test corpus at all
+        // scale factors.
+        ExtendedQueries.p4Oracle = Some(kmeansOracleSql(
+          model.clusterCenters.map(_.toArray)))
         model.transform(df)
           .groupBy(col("cell").cast("long").as("cell"))
           .agg(count(lit(1)).as("n"))
           .orderBy("cell")
       },
-      None),
+      None,
+      lateOracle = () => ExtendedQueries.p4Oracle),
 
     // P2 — the full LLM-training-data pipeline in one plan: exact
     // dedup (keep lowest doc_id per text) → quality gate (d3's rule)
@@ -296,4 +312,55 @@ object ExtendedQueries {
           |FROM f JOIN e ON doc_id = vec_id
           |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** p1's late-bound oracle, populated when the PCA fit runs. */
+  @volatile private[queries] var p1Oracle: Option[String] = None
+
+  /** p4's late-bound oracle, populated when the KMeans fit runs. */
+  @volatile private[queries] var p4Oracle: Option[String] = None
+
+  /** DuckDB twin of the KMeans cell histogram with the trained
+    * centroids injected: cell = argmin_j Σ_i (x_i − c_ji)², ties to
+    * the lowest j (list_position finds the first minimum).
+    */
+  private def kmeansOracleSql(centers: Array[Array[Double]]): String = {
+    val dim = centers.head.length
+    val lits = centers.map(c =>
+      c.map(v => f"$v%.17e").mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    s"""WITH c AS (SELECT $lits AS cs),
+       |asg AS (
+       |  SELECT CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS cell
+       |  FROM (
+       |    SELECT list_transform(cs, ct ->
+       |      list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |        (CAST(embedding[i] AS DOUBLE) - ct[i]) *
+       |        (CAST(embedding[i] AS DOUBLE) - ct[i])))) AS dl
+       |    FROM embeddings, c))
+       |SELECT cell, count(*) AS n FROM asg
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB twin of the PCA projection norm with the fitted 64×8
+    * loading matrix injected as exact %.17e literals: pc_j = Σ_i
+    * x_i·W[i][j] (same ascending-i fold as the gemv), pc_norm =
+    * √(Σ_j pc_j²) rounded to 6 dp.
+    */
+  private def pcaOracleSql(pc: org.apache.spark.ml.linalg.DenseMatrix): String = {
+    // pc is column-major (numRows=dim, numCols=k): W[i][j] = values(j*dim + i)
+    val dim = pc.numRows
+    val k = pc.numCols
+    val cols = (0 until k).map { j =>
+      (0 until dim).map(i => f"${pc.values(j * dim + i)}%.17e")
+        .mkString("[", ", ", "]")
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH w AS (SELECT $cols AS w)
+       |SELECT vec_id,
+       |  round(sqrt(list_sum(list_transform(range(1, ${k + 1}), j ->
+       |    list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE) * w[j][i]))
+       |    * list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE) * w[j][i]))))), 6) AS pc_norm
+       |FROM embeddings, w ORDER BY vec_id""".stripMargin
+  }
 }

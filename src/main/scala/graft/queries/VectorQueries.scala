@@ -41,6 +41,11 @@ object VectorQueries {
       .orderBy(col("d"), col("vec_id")).limit(math.max(1, k))
       .select(col("vec_id"), round(col("d"), 6).as("dist"))
 
+  /** v8's late-bound oracle (candidate buckets depend on the query
+    * vector read from the target scale factor).
+    */
+  @volatile private var v8Oracle: Option[String] = None
+
   private def knnOracle(k: Int, where: String = "TRUE"): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
        |SELECT vec_id, round(d, 6) AS dist FROM (
@@ -154,17 +159,24 @@ object VectorQueries {
            |WHERE d < $NearDupL2 ORDER BY id_a, id_b""".stripMargin)),
 
     // V8 — multi-probe pruned kNN (reference Q1: probes=2 of 3 buckets,
-    // `lsh_sharding.py:98-161`). Approximate by design → no SQL oracle;
-    // recall properties are covered by ScalaTest instead.
+    // `lsh_sharding.py:98-161`). Approximate vs EXACT search by design,
+    // but fully deterministic given the seeded matrix — the DuckDB twin
+    // recomputes every bucket with v5's bucket SQL and restricts the
+    // scan to the candidate buckets (computed driver-side from the
+    // query vector, injected late). Recall properties are additionally
+    // covered by ScalaTest.
     Q("v8_pruned_knn",
       (s, d) => {
         val q = qvec(s, d, 0)
         val cands = model.candidates(q, probes = 2)
+        v8Oracle = Some(knnOracle(10, where =
+          s"${model.bucketSql("e.embedding")} IN (${cands.mkString(", ")})"))
         knn(Tables.embeddings(s, d)
           .withColumn("bucket", model.bucketCol(col("embedding")))
           .where(col("bucket").isin(cands.map(Int.box): _*)), q, 10)
       },
-      None),
+      None,
+      lateOracle = () => v8Oracle),
 
     // V9 — full store roundtrip: build the bucketed parquet index +
     // persisted model in a temp dir, reopen, search. Persistence must
