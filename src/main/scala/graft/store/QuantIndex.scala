@@ -159,6 +159,40 @@ final class QuantIndex(
     before - remaining.count()
   }
 
+  /** Upsert (id, embedding) rows: replaces existing ids, inserts new
+    * ones — same fully-distributed shape as `VectorStore.upsert` (ids
+    * never transit the driver): rewrite set = cells receiving a new
+    * row ∪ cells holding a prior row of an incoming id; one dynamic
+    * overwrite.
+    */
+  def upsert(df: DataFrame, idCol: String = "id",
+             embCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val dedupedIn = df.withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__seq").desc)))
+      .where(col("__rn") === 1).drop("__rn", "__seq")
+    val incoming = QuantIndex.encode(dedupedIn, model, idCol, embCol)
+      .localCheckpoint(true)
+    val priorCells = indexDf.select(col("id"), col("cell"))
+      .join(incoming.select("id"), Seq("id"), "left_semi")
+      .select(col("cell"))
+    val af = incoming.select(col("cell")).union(priorCells)
+      .distinct().collect()
+      .map(r => Int.box(r.getAs[Number](0).intValue())).toSeq
+    val existing = indexDf.where(col("cell").isin(af: _*))
+      .join(incoming.select("id"), Seq("id"), "left_anti")
+    val merged = existing.unionByName(incoming).localCheckpoint(true)
+    val kept = merged.select("cell").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(path)
+    VectorStore.dropPartitionDirs(spark, path, "cell",
+      af.map(_.intValue()).filterNot(kept))
+    invalidateResident()
+  }
+
   private def invalidateResident(): Unit = resident.foreach { df =>
     df.unpersist()
     resident = None

@@ -125,6 +125,26 @@ class QuantIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert replaces ids across cells; every tier sees the new embedding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant_up").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qu = QuantIndex.build(spark, emb, s"$dir/index", QuantConfig())
+    // re-embed ids 50..99 with the QUERY vector (cells change for most)
+    val dup = emb.where(col("id") === 0).select(col("embedding")).head
+      .getSeq[Float](0)
+    import spark.implicits._
+    val batch = (50L until 100L).map(i => (i, dup)).toDF("id", "embedding")
+    qu.upsert(batch)
+    assert(qu.indexDf.count() == 500, "pure replacement keeps the count")
+    assert(qu.indexDf.groupBy("id").count()
+      .where(col("count") > 1).count() == 0, "no duplicate ids")
+    // all 50 replacements + vec 0 itself are at distance 0 from q
+    val top = qu.searchSq8(q, 51, coarseN = 200).collect()
+    assert(top.length == 51 && top.forall(_.getDouble(1) == 0.0),
+      s"expected 51 zero-distance rows, got ${top.count(_.getDouble(1) == 0.0)}")
+  }
+
   test("quantized searches recall most of the exact top-10 and are deterministic") {
     val exact = VectorStore.searchIn(
       Tables.embeddings(spark, TestSpark.sf)
