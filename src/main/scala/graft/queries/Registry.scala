@@ -13,7 +13,8 @@ object Registry {
       StreamingQueries.all ++
       ExtendedQueries.all ++
       BatteryQueries.all ++
-      Round3Queries.all
+      Round3Queries.all ++
+      Round4Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")
