@@ -14,7 +14,8 @@ object Registry {
       ExtendedQueries.all ++
       BatteryQueries.all ++
       Round3Queries.all ++
-      Round4Queries.all
+      Round4Queries.all ++
+      Round4bQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

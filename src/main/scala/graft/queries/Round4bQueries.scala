@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{DuckSql, VectorFunctions => VF}
+
+/** Round-4 LLM-pipeline additions over `documents` / `embeddings`:
+  * PII redaction, repetition-ratio quality signal, corpus chunk-level
+  * dedup (the CCNet/RefinedWeb line-dedup shape), and inner-product
+  * kNN (the metric FAISS `IndexFlatIP` serves; the reference ships
+  * only FlatL2, `shard/shard_node.py:46-48`).
+  *
+  * All text operators are pure Catalyst expressions (split/transform/
+  * window — no UDFs), so they stay inside whole-stage codegen and
+  * shuffle only on their group/partition keys.
+  */
+object Round4bQueries {
+
+  /** Conservative regex subset valid in BOTH Java regex (Spark) and
+    * RE2 (DuckDB): char classes, bounded/unbounded repetition — no
+    * backrefs, no lookaround.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9][0-9-]{4,}[0-9]"
+
+  /** Chunk width (words) for corpus-level dedup. */
+  private val W = 8
+
+  val all: Seq[Q] = Seq(
+
+    // D8 — PII redaction: mask emails and phone-shaped tokens. The
+    // synthetic corpus carries no PII, so each doc gets a
+    // DETERMINISTIC injected contact suffix (derived from doc_id) and
+    // the redaction must strip exactly that — the oracle checks the
+    // full redacted text, so a lazy "replace nothing" implementation
+    // fails. Row-local (one codegen'd projection), embarrassingly
+    // parallel at any scale.
+    Q("d8_pii_redact",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"), col("doc_id")).as("text"))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      text || ' contact user' || doc_id || '@example.com or +1-555-' || doc_id,
+           |      '$EmailRe', '<EMAIL>', 'g'),
+           |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // D9 — repetition ratio (Gopher-style quality signal): fraction
+    // of word trigrams that are duplicates within the document,
+    // 1 - distinct/total. Entirely row-local array math — no shuffle
+    // at all before the output sort.
+    Q("d9_repetition",
+      (s, d) => {
+        val ng = when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2), i =>
+            concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), ng.as("ng"))
+          .select(col("doc_id"),
+            size(col("ng")).cast("long").as("n_trigrams"),
+            when(size(col("ng")) === 0, lit(0.0))
+              .otherwise(round(lit(1.0) -
+                size(array_distinct(col("ng"))).cast("double") / size(col("ng")),
+                6)).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ng AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN len(t) >= 3 THEN
+          |       list_transform(range(1, len(t)-1),
+          |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+          |     ELSE [] END) AS ng
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+          |SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_trigrams,
+          |  (CASE WHEN len(ng) = 0 THEN 0.0
+          |   ELSE round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 6)
+          |   END) AS rep_ratio
+          |FROM ng ORDER BY doc_id""".stripMargin)),
+
+    // D10 — corpus chunk dedup (the line-level dedup of CCNet /
+    // RefinedWeb, reshaped for the newline-free corpus): split each
+    // doc into non-overlapping 8-word chunks, keep a chunk only at
+    // its FIRST corpus occurrence (ordered by doc_id, chunk_idx), and
+    // report per-doc survival. One shuffle partitioned by chunk (the
+    // window key) + one by doc_id — both scale-out keys; no
+    // all-pairs comparison anywhere.
+    Q("d10_chunk_dedup",
+      (s, d) => {
+        val nChunks = (size(col("t")) / lit(W)).cast("int")
+        val chunks = when(size(col("t")) >= W,
+          transform(sequence(lit(0), nChunks - 1), i =>
+            concat_ws(" ", slice(col("t"), i * W + 1, lit(W)))))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), chunks.as("chunks"))
+          .select(col("doc_id"),
+            posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH flat AS (
+           |  SELECT doc_id, u.ci AS chunk_idx, u.c AS chunk
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(0, len(t) // $W),
+           |        i -> {'ci': i, 'c': array_to_string(t[i*$W+1 : i*$W+$W], ' ')})) AS u
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+           |rn AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+           |  FROM flat)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM rn GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // V16 — inner-product kNN (FAISS IndexFlatIP metric): top-10 by
+    // dot product against the stored query vector, highest first.
+    // Same single-scan + TakeOrderedAndProject plan as v1; the score
+    // is the native VecDot expression (codegen'd, Double-accumulated
+    // in fixed order on both engines).
+    Q("v16_ip_knn",
+      (s, d) => {
+        val q = VectorQueries.qvec(s, d, 0)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), VF.dotLit(col("embedding"), q).as("score"))
+          .orderBy(desc("score"), col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(ip, 6) AS score FROM (
+           |  SELECT e.vec_id AS vec_id, ${DuckSql.dot("e.embedding", "q.qe")} AS ip
+           |  FROM embeddings e, q)
+           |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin))
+  )
+}
