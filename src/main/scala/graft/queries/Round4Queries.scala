@@ -363,7 +363,7 @@ object Round4Queries {
     Q("r67_tpch_q11",
       (s, d) => {
         val supN = Tables.supplier(s, d)
-          .join(Tables.nation(s, d).where(col("n_name") === "NATION_7"),
+          .join(Tables.nation(s, d).where(col("n_name") === "NATION_12"),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey")
         val v = Tables.lineitem(s, d)
@@ -382,7 +382,7 @@ object Round4Queries {
           |  FROM lineitem
           |  JOIN supplier ON l_suppkey = s_suppkey
           |  JOIN nation ON s_nationkey = n_nationkey
-          |  WHERE n_name = 'NATION_7' GROUP BY 1)
+          |  WHERE n_name = 'NATION_12' GROUP BY 1)
           |SELECT l_partkey, round(CAST(pvd AS DOUBLE), 6) AS part_value
           |FROM v, (SELECT CAST(sum(pvd) AS DOUBLE) * 0.001 AS thresh FROM v) t
           |WHERE CAST(pvd AS DOUBLE) > thresh

