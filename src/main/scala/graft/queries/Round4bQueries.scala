@@ -130,6 +130,41 @@ object Round4bQueries {
            |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM rn GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // D11 — token-budget sequence packing (training-shard assignment):
+    // docs are packed into ~512-token shards in doc_id order WITHIN
+    // each source — the window partitions by source, so packing is
+    // parallel across sources (at 100 TB you'd additionally sub-bucket
+    // each source; the key structure is what scales, not a global
+    // ordered scan). shard_id = floor(tokens-before-this-doc / 512),
+    // the fixed-capacity packing that IS expressible as one window —
+    // no stateful driver loop.
+    Q("d11_pack_shards",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum_before", sum("n_tok").over(w) - col("n_tok"))
+          .withColumn("shard_id", (col("cum_before") / lit(512)).cast("long"))
+          .groupBy("source", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"))
+          .orderBy("source", "shard_id")
+      },
+      Some("""WITH t AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |c AS (
+          |  SELECT source, n_tok,
+          |    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+          |      // 512 AS shard_id
+          |  FROM t)
+          |SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // V16 — inner-product kNN (FAISS IndexFlatIP metric): top-10 by
     // dot product against the stored query vector, highest first.
     // Same single-scan + TakeOrderedAndProject plan as v1; the score

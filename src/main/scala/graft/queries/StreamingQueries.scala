@@ -593,7 +593,62 @@ object StreamingQueries {
           |SELECT vec_id, round(d, 6) AS dist FROM (
           |  SELECT e.vec_id AS vec_id, ${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")} AS d
           |  FROM embeddings e, q)
-          |ORDER BY d, vec_id LIMIT 10""".stripMargin))
+          |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
+    // S14 — streaming sequence packing: the stateful twin of
+    // d11_pack_shards. flatMapGroupsWithState keyed by source carries
+    // the running token count across micro-batches, so shard ids keep
+    // advancing as new docs stream in (the state is ONE long per
+    // source — constant-size, RocksDB-friendly). A single staged file
+    // makes arrival order deterministic (one batch; rows sorted by
+    // doc_id inside the group function), which is what lets the batch
+    // window compute the exact same assignment as the oracle.
+    Q("s14_stream_pack",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val name = s"s14_sink_${sinkId.incrementAndGet()}"
+        val ckpt = graft.util.TempDirs.create("graft_s14_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s14_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"),
+          srcDir.resolve("documents.parquet"))
+        val src = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .as[(String, Long, Long)]
+        val q = src.groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (srcKey: String, rows: Iterator[(String, Long, Long)],
+             state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              var cum = state.getOption.getOrElse(0L)
+              val out = rows.toSeq.sortBy(_._2).map { case (_, id, tok) =>
+                val shard = cum / 512
+                cum += tok
+                (srcKey, id, tok, shard)
+              }
+              state.update(cum)
+              out.iterator
+          }
+          .toDF("source", "doc_id", "n_tok", "shard_id")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy("source", "doc_id")
+      },
+      Some("""WITH t AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents)
+          |SELECT source, doc_id, n_tok,
+          |  (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+          |    // 512 AS shard_id
+          |FROM t ORDER BY source, doc_id""".stripMargin))
   ).map { q =>
     // Every streaming run (source staging, stream start,
     // processAllAvailable) executes under the lowered state-store
