@@ -327,10 +327,15 @@ object Round4Queries {
         val parts = Tables.part(s, d)
           .where(col("p_size") === 15 && col("p_type") === "STANDARD")
           .select("p_partkey", "p_name")
+        // Part filter BEFORE the distinct: the correlated min only
+        // matters for parts that survive the size/type filter, so the
+        // (partkey, suppkey) distinct shuffle shrinks ~|filtered part|
+        // / |part| — the difference between shuffling the whole fact
+        // and a sliver of it at 100 TB.
         val elig = Tables.lineitem(s, d)
-          .select("l_partkey", "l_suppkey").distinct()
-          .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "l_suppkey", "p_partkey", "p_name").distinct()
+          .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
         elig
           .withColumn("min_bal",
             min("s_acctbal").over(Window.partitionBy("l_partkey")))

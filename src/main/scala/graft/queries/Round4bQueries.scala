@@ -165,6 +165,62 @@ object Round4bQueries {
           |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens
           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // D12 — data-quality expectations (the validation gate a training
+    // pipeline runs before ingest): null keys, duplicate PKs, orphan
+    // FKs, out-of-range values — as ONE query returning a tall
+    // (metric, violations) report. Same-table checks share a single
+    // scan (multi-agg + stack unpivot); referential checks are anti
+    // joins on the FK — every piece shuffles only on its key, so the
+    // report stays one bounded job at any corpus size.
+    Q("d12_data_quality",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val oAgg = o.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nullck"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dupok"))
+          .select(expr("stack(2, 'orders_null_custkey', nullck, " +
+            "'orders_dup_orderkey', dupok) as (metric, violations)"))
+        val liAgg = li.agg(
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpos"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("baddisc"))
+          .select(expr("stack(2, 'lineitem_nonpos_qty', nonpos, " +
+            "'lineitem_bad_discount', baddisc) as (metric, violations)"))
+        val orphanO = o.join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("orders_orphan_custkey").as("metric"), col("violations"))
+        val orphanLi = li.join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("lineitem_orphan_orderkey").as("metric"), col("violations"))
+        oAgg.unionAll(liAgg).unionAll(orphanO).unionAll(orphanLi)
+          .orderBy("metric")
+      },
+      Some("""SELECT metric, violations FROM (
+          |  SELECT 'orders_null_custkey' AS metric,
+          |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS violations FROM orders
+          |  UNION ALL
+          |  SELECT 'orders_dup_orderkey',
+          |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+          |  UNION ALL
+          |  SELECT 'lineitem_nonpos_qty',
+          |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    FROM lineitem
+          |  UNION ALL
+          |  SELECT 'lineitem_bad_discount',
+          |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT) FROM orders o
+          |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          |  UNION ALL
+          |  SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem l
+          |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          |ORDER BY metric""".stripMargin)),
+
     // V16 — inner-product kNN (FAISS IndexFlatIP metric): top-10 by
     // dot product against the stored query vector, highest first.
     // Same single-scan + TakeOrderedAndProject plan as v1; the score
