@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.{DuckSql, VectorFunctions => VF}
 
@@ -220,6 +221,81 @@ object Round4bQueries {
           |  SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem l
           |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
           |ORDER BY metric""".stripMargin)),
+
+    // P5 — the curation capstone: the round-4 operators composed as
+    // ONE declarative plan — token/repetition quality gate → PII
+    // redaction → exact dedup on the redacted text (first occurrence
+    // wins) → token-budget shard packing → per-shard stats. Catalyst
+    // fuses the row-local stages (gate, redact) into the scan
+    // projection; the only shuffles are the two window keys (redacted
+    // text for dedup, source for packing) and the final group — the
+    // same three keys a 100 TB curation run would partition by.
+    Q("p5_curation_pipeline",
+      (s, d) => {
+        val ng = when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2), i =>
+            concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val packW = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            split(col("text"), " ").as("t"))
+          .withColumn("n_tok", size(col("t")).cast("long"))
+          .withColumn("ng", ng)
+          .withColumn("rep_ratio", when(size(col("ng")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("ng"))).cast("double") / size(col("ng")),
+              6)))
+          .where(col("n_tok").between(20, 2000) && col("rep_ratio") <= 0.05)
+          .withColumn("redacted", regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("redacted").orderBy("doc_id")))
+          .where(col("rn") === 1)
+          .withColumn("cum_before", sum("n_tok").over(packW) - col("n_tok"))
+          .withColumn("shard_id", (col("cum_before") / lit(512)).cast("long"))
+          .groupBy("source", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"),
+            round(sum(col("rep_ratio").cast(DecimalType(18, 6))).cast("double") /
+              count(lit(1)), 6).as("avg_rep"))
+          .orderBy("source", "shard_id")
+      },
+      Some(s"""WITH t1 AS (
+           |  SELECT doc_id, source, text, CAST(len(t) AS BIGINT) AS n_tok,
+           |    (CASE WHEN len(t) >= 3 THEN
+           |       list_transform(range(1, len(t)-1),
+           |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           |     ELSE [] END) AS ng
+           |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t
+           |        FROM documents)),
+           |t2 AS (
+           |  SELECT doc_id, source, text, n_tok,
+           |    (CASE WHEN len(ng) = 0 THEN 0.0
+           |     ELSE round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 6)
+           |     END) AS rep_ratio
+           |  FROM t1 WHERE n_tok BETWEEN 20 AND 2000),
+           |t3 AS (
+           |  SELECT *, regexp_replace(regexp_replace(text,
+           |      '$EmailRe', '<EMAIL>', 'g'),
+           |      '$PhoneRe', '<PHONE>', 'g') AS redacted
+           |  FROM t2 WHERE rep_ratio <= 0.05),
+           |t4 AS (
+           |  SELECT * FROM t3
+           |  QUALIFY row_number() OVER (PARTITION BY redacted ORDER BY doc_id) = 1),
+           |t5 AS (
+           |  SELECT source, doc_id, n_tok, rep_ratio,
+           |    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+           |      // 512 AS shard_id
+           |  FROM t4)
+           |SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+           |  round(CAST(sum(CAST(rep_ratio AS DECIMAL(18,6))) AS DOUBLE)
+           |    / count(*), 6) AS avg_rep
+           |FROM t5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // V16 — inner-product kNN (FAISS IndexFlatIP metric): top-10 by
     // dot product against the stored query vector, highest first.
