@@ -222,6 +222,39 @@ object Round4bQueries {
           |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
           |ORDER BY metric""".stripMargin)),
 
+    // D13 — fuzzy near-duplicate pairs by edit distance: candidate
+    // pairs come from an EQUI join on a blocking key (the 12-char
+    // text prefix), then Levenshtein over a bounded 60-char prefix
+    // filters the survivors — the record-linkage shape that avoids
+    // all-pairs: comparisons scale with Σ|block|², not n². (At
+    // production scale you'd widen to multiple blocking passes and
+    // use Spark's 3-arg thresholded levenshtein, which short-circuits
+    // the DP; the 2-arg form here matches DuckDB exactly.)
+    Q("d13_fuzzy_pairs",
+      (s, d) => {
+        val b = Tables.documents(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 12).as("blk"),
+          substring(col("text"), 1, 60).as("pfx"))
+        val l = b.select(col("doc_id").as("id_a"), col("blk"),
+          col("pfx").as("pfx_a"))
+        val r = b.select(col("doc_id").as("id_b"), col("blk").as("blk_b"),
+          col("pfx").as("pfx_b"))
+        l.join(r, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+          .withColumn("dist",
+            levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+          .where(col("dist") <= 20)
+          .select("id_a", "id_b", "dist")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH b AS (
+          |  SELECT doc_id, substr(text, 1, 12) AS blk, substr(text, 1, 60) AS pfx
+          |  FROM documents)
+          |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+          |  CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
+          |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+          |WHERE levenshtein(a.pfx, c.pfx) <= 20
+          |ORDER BY 1, 2""".stripMargin)),
+
     // P5 — the curation capstone: the round-4 operators composed as
     // ONE declarative plan — token/repetition quality gate → PII
     // redaction → exact dedup on the redacted text (first occurrence
