@@ -386,17 +386,61 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH s AS (
-          |  SELECT doc_id, lang, source,
-          |    list_distinct($shingleHashesSql) AS sh
-          |  FROM (SELECT doc_id, lang, source, ${TF.wordHashesSql("text")} AS wh FROM documents)
-          |  WHERE len(wh) >= 3)
-          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          |      (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac
-          |  FROM s a JOIN s b
-          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-          |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin))
+      Some(jaccardOracle)),
+
+    // M5 — n-gram Jaccard via INVERTED INDEX (posting-list join): the
+    // at-scale formulation of m3. Each doc explodes to shingle→doc
+    // postings and candidate pairs arise ONLY from shared shingles —
+    // cost follows Σ|posting|² (controllable by frequency-capping hot
+    // shingles), and zero-overlap pairs are never materialized (they
+    // cannot pass the 0.2 threshold, so the result set is identical
+    // to m3's block-all-pairs form; Round4Spec asserts m5 ≡ m3 and
+    // the driver hashes both against the same DuckDB twin).
+    Q("m5_jaccard_inverted",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("wh", TF.wordHashes(col("text")))
+          .where(size(col("wh")) >= 3)
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(shingleHashes).as("sh"))
+          .withColumn("sz", size(col("sh")))
+        val posts = sh.select(col("lang"), col("source"), col("doc_id"),
+          col("sz"), explode(col("sh")).as("shingle"))
+        val l = posts.select(col("lang"), col("source"), col("shingle"),
+          col("doc_id").as("id_a"), col("sz").as("sz_a"))
+        val r = posts.select(col("lang").as("lang_b"),
+          col("source").as("source_b"), col("shingle").as("shingle_b"),
+          col("doc_id").as("id_b"), col("sz").as("sz_b"))
+        l.join(r, col("lang") === col("lang_b") &&
+            col("source") === col("source_b") &&
+            col("shingle") === col("shingle_b") &&
+            col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b", "sz_a", "sz_b")
+          .agg(count(lit(1)).cast("double").as("inter"))
+          .withColumn("jac",
+            col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .where(col("jac") >= 0.2)
+          .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(jaccardOracle))
   )
+
+  /** Shared DuckDB twin for m3 and m5 — the two are different physical
+    * strategies (blocked all-pairs vs posting-list join) for the same
+    * declared result set.
+    */
+  private lazy val jaccardOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct($shingleHashesSql) AS sh
+       |  FROM (SELECT doc_id, lang, source, ${TF.wordHashesSql("text")} AS wh FROM documents)
+       |  WHERE len(wh) >= 3)
+       |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac
+       |  FROM s a JOIN s b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin
 }

@@ -98,6 +98,13 @@ class Round4Spec extends AnyFunSuite {
     assert(kept == distinctChunks, s"kept=$kept distinct=$distinctChunks")
   }
 
+  test("m5 inverted-index Jaccard equals m3 blocked all-pairs") {
+    val m3 = run("m3_ngram_jaccard").collect().toSeq
+    val m5 = run("m5_jaccard_inverted").collect().toSeq
+    assert(m3 == m5, s"m3=${m3.take(5)} m5=${m5.take(5)}")
+    assert(m3.nonEmpty)
+  }
+
   test("v16 top score is the query vector's own self-dot-product") {
     val top = run("v16_ip_knn").head
     // vec_id 0 has the maximal dot product with itself only if its
