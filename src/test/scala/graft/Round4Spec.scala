@@ -98,6 +98,40 @@ class Round4Spec extends AnyFunSuite {
     assert(kept == distinctChunks, s"kept=$kept distinct=$distinctChunks")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // 90% of the left side lands on key 0 — the planted-hot-key shape
+    // that a static plan serializes into one straggler task. With the
+    // skew thresholds scaled to test size, AQE must mark the join
+    // skewed and split the hot partition.
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val left = s.range(200000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 997).as("k"),
+        col("id").as("v"))
+      val right = s.range(1000).select(col("id").as("k2"), (col("id") * 2).as("w"))
+      val j = left.join(right, col("k") === col("k2"))
+      // materialize THIS queryExecution (count() would plan a new one
+      // and leave j's adaptive plan unfinalized)
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("m5 inverted-index Jaccard equals m3 blocked all-pairs") {
     val m3 = run("m3_ngram_jaccard").collect().toSeq
     val m5 = run("m5_jaccard_inverted").collect().toSeq
