@@ -222,6 +222,64 @@ object Round4bQueries {
           |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
           |ORDER BY metric""".stripMargin)),
 
+    // X14 — zstd parquet round-trip: the at-rest codec a 100 TB lake
+    // actually uses (better ratio than snappy at comparable decode
+    // speed). Write → read → aggregate must be lossless; the oracle
+    // aggregates the original table.
+    Q("x14_zstd_roundtrip",
+      (s, d) => {
+        val out = graft.util.TempDirs.create("graft_x14").toString + "/li"
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").option("compression", "zstd").parquet(out)
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .cast("double"), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 6)))
+            .cast("double"), 6).as("sum_price"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS sum_qty,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS sum_price
+          |FROM lineitem""".stripMargin)),
+
+    // X15 — schema evolution: batch 1 lands without o_orderpriority,
+    // batch 2 adds it; a mergeSchema read presents the union schema
+    // with NULLs for the missing column — the append-only column-add
+    // pattern every long-lived lake table goes through. The oracle
+    // replays the evolution as UNION ALL with an explicit NULL.
+    Q("x15_schema_evolution",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x15").toString
+        val o = Tables.orders(s, d)
+        o.where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$dir/b1")
+        o.where(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$dir/b2")
+        s.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+          .groupBy(coalesce(col("o_orderpriority"), lit("<none>")).as("priority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+              .cast("double"), 6).as("total"))
+          .orderBy("priority")
+      },
+      Some("""WITH unioned AS (
+          |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+          |  FROM orders WHERE o_orderstatus = 'F'
+          |  UNION ALL
+          |  SELECT o_orderkey, o_totalprice, o_orderpriority
+          |  FROM orders WHERE o_orderstatus = 'O')
+          |SELECT coalesce(o_orderpriority, '<none>') AS priority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS total
+          |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // D13 — fuzzy near-duplicate pairs by edit distance: candidate
     // pairs come from an EQUI join on a blocking key (the 12-char
     // text prefix), then Levenshtein over a bounded 60-char prefix
