@@ -648,7 +648,60 @@ object StreamingQueries {
           |  (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
           |    // 512 AS shard_id
-          |FROM t ORDER BY source, doc_id""".stripMargin))
+          |FROM t ORDER BY source, doc_id""".stripMargin)),
+
+    // S15 — streaming quality routing: foreachBatch fans each
+    // micro-batch out to TWO sinks (accept/reject by token-count
+    // gate) — the multi-sink split every streaming curation pipeline
+    // needs and single-sink writeStream can't express. Each batch
+    // writes both partitions once (no per-row driver logic); the
+    // result re-reads both sinks and the oracle recomputes the gate
+    // as a CASE over the batch table.
+    Q("s15_stream_quality_route",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val ckpt = graft.util.TempDirs.create("graft_s15_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s15_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"),
+          srcDir.resolve("documents.parquet"))
+        val outRoot = graft.util.TempDirs.create("graft_s15_out").toString
+        val accept = s"$outRoot/accept"; val reject = s"$outRoot/reject"
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val scored = batch.persist()
+            scored.where(col("n_tok") >= 20)
+              .write.mode("append").parquet(accept)
+            scored.where(col("n_tok") < 20)
+              .write.mode("append").parquet(reject)
+            scored.unpersist()
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        val a = s.read.parquet(accept).withColumn("sink", lit("accept"))
+        val r = s.read.parquet(reject).withColumn("sink", lit("reject"))
+        a.unionByName(r)
+          .groupBy("sink")
+          .agg(count(lit(1)).as("n"), sum("n_tok").as("tokens"))
+          .orderBy("sink")
+      },
+      Some("""SELECT sink, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(n_tok) AS BIGINT) AS tokens
+          |FROM (
+          |  SELECT CASE WHEN len(string_split(text, ' ')) >= 20
+          |           THEN 'accept' ELSE 'reject' END AS sink,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents)
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   ).map { q =>
     // Every streaming run (source staging, stream start,
     // processAllAvailable) executes under the lowered state-store
