@@ -280,6 +280,59 @@ object Round4bQueries {
           |    AS total
           |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // X16 — query-by-image end-to-end with the decode STUBBED: the
+    // reference's image_search.py pipeline (decode → featurize →
+    // search) with a deterministic fake featurizer — payload bytes
+    // (text chars, the x7 stub rule) → normalized 64-bin byte
+    // histogram — standing in for ResNet50
+    // (`generate_coco_embeddings.py:33-76`, declared out of engine
+    // scope). The Spark-side plumbing is the real thing: featurize is
+    // pure Catalyst HOFs fused into the scan, the 5 query features
+    // broadcast into the corpus scan, per-query top-3 by ranking
+    // window — the same plan a real featurizer output would use.
+    Q("x16_featurize_search",
+      (s, d) => {
+        val px = transform(filter(split(col("text"), ""), ch => ch =!= ""),
+          ch => ascii(ch))
+        val feat = transform(sequence(lit(0), lit(63)), i =>
+          size(filter(col("px"), x => x % 64 === i)).cast("double") /
+            size(col("px")))
+        val queries = Tables.documents(s, d).where(col("doc_id") < 5)
+          .select(col("doc_id"), px.as("px"))
+          .select(col("doc_id"), feat.as("qf"))
+        val w = Window.partitionBy("doc_id").orderBy(col("d0"), col("vec_id"))
+        Tables.embeddings(s, d).crossJoin(broadcast(queries))
+          .select(col("doc_id"), col("vec_id"),
+            VF.l2sq(col("embedding"), col("qf")).as("d0"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("vec_id"),
+            round(col("d0"), 6).as("dist"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH px AS (
+           |  SELECT doc_id,
+           |    list_transform(list_filter(string_split(text, ''), ch -> ch <> ''),
+           |      ch -> ascii(ch)) AS px
+           |  FROM documents WHERE doc_id < 5),
+           |qf AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 64),
+           |      i -> CAST(len(list_filter(px, x -> x % 64 = i)) AS DOUBLE)
+           |        / len(px)) AS qf
+           |  FROM px),
+           |p AS (
+           |  SELECT q.doc_id AS doc_id, e.vec_id AS vec_id,
+           |    ${DuckSql.l2sq("e.embedding", "q.qf")} AS d
+           |  FROM embeddings e, qf q),
+           |r AS (
+           |  SELECT doc_id, vec_id, d,
+           |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY d, vec_id)
+           |      AS INT) AS rank
+           |  FROM p)
+           |SELECT doc_id, rank, vec_id, round(d, 6) AS dist
+           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // D13 — fuzzy near-duplicate pairs by edit distance: candidate
     // pairs come from an EQUI join on a blocking key (the 12-char
     // text prefix), then Levenshtein over a bounded 60-char prefix
