@@ -280,6 +280,63 @@ object Round4bQueries {
           |    AS total
           |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // R69 — time-series linear interpolation (the gap-fill every
+    // feature pipeline needs): every 5th event's value is deterministically
+    // nulled, then filled by interpolating between the nearest
+    // non-null neighbors within the user's timeline — four IGNORE
+    // NULLS windows over ONE partition ordering (Spark plans them in
+    // a single sort+window stage; partitioned by user_id, so it
+    // scales out by key like every window here). Edges fall back to
+    // the one available neighbor.
+    Q("r69_interpolate",
+      (s, d) => {
+        val wPrev = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val nn = col("value_n").isNotNull
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
+            when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+              .as("value_n"))
+          .withColumn("pv", last(col("value_n"), ignoreNulls = true).over(wPrev))
+          .withColumn("pt", last(when(nn, col("ts")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("value_n"), ignoreNulls = true).over(wNext))
+          .withColumn("nt", first(when(nn, col("ts")), ignoreNulls = true).over(wNext))
+          .select(col("user_id"), col("ts").as("ts_us"),
+            round(when(nn, col("value_n"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  ((col("ts") - col("pt")) / (col("nt") - col("pt"))))
+              .otherwise(coalesce(col("pv"), col("nv"))), 6).as("value_filled"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some("""WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS ts, event_id,
+          |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value_n
+          |  FROM events),
+          |w AS (
+          |  SELECT user_id, ts, value_n,
+          |    last_value(value_n IGNORE NULLS) OVER
+          |      (PARTITION BY user_id ORDER BY ts
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          |    last_value(CASE WHEN value_n IS NOT NULL THEN ts END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY ts
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          |    first_value(value_n IGNORE NULLS) OVER
+          |      (PARTITION BY user_id ORDER BY ts
+          |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          |    first_value(CASE WHEN value_n IS NOT NULL THEN ts END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY ts
+          |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+          |  FROM e)
+          |SELECT user_id, ts AS ts_us,
+          |  round(CASE WHEN value_n IS NOT NULL THEN value_n
+          |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+          |      THEN pv + (nv - pv) * ((ts - pt) / (nt - pt))
+          |    ELSE coalesce(pv, nv) END, 6) AS value_filled
+          |FROM w ORDER BY user_id, ts_us""".stripMargin)),
+
     // X16 — query-by-image end-to-end with the decode STUBBED: the
     // reference's image_search.py pipeline (decode → featurize →
     // search) with a deterministic fake featurizer — payload bytes
