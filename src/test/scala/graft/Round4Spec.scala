@@ -132,6 +132,25 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch estimates are overestimates within eps*N") {
+    // The mergeable heavy-hitter sketch (CMS) complements the HLL
+    // (r39) and quantile sketches: per-partition sketches merge
+    // associatively, so the build is one pass at any scale. CMS
+    // guarantees est >= true and est <= true + eps*N w.p. 1-delta.
+    val eps = 0.01; val delta = 0.01
+    val df = Tables.orders(spark, sf).select("o_orderpriority")
+    val cms = df.stat.countMinSketch("o_orderpriority", eps, delta, 42)
+    val truth = df.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    truth.foreach { case (k, exact) =>
+      val est = cms.estimateCount(k)
+      assert(est >= exact, s"$k: est $est < exact $exact")
+      assert(est <= exact + (eps * n).toLong + 1,
+        s"$k: est $est exceeds error bound for exact $exact, N=$n")
+    }
+  }
+
   test("m5 inverted-index Jaccard equals m3 blocked all-pairs") {
     val m3 = run("m3_ngram_jaccard").collect().toSeq
     val m5 = run("m5_jaccard_inverted").collect().toSeq
