@@ -498,6 +498,33 @@ object Round4bQueries {
            |    / count(*), 6) AS avg_rep
            |FROM t5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // V17 — hybrid search (keyword predicate + vector kNN): the
+    // metadata-filtered retrieval every production vector DB serves
+    // (v11 filters on a store column; this joins a TEXT predicate
+    // from a different table). The keyword filter runs as a semi-join
+    // from documents into the embedding scan BEFORE any distance
+    // work — at scale that is the difference between scoring the
+    // corpus and scoring the candidates.
+    Q("v17_hybrid_search",
+      (s, d) => {
+        val q = VectorQueries.qvec(s, d, 0)
+        val cand = Tables.documents(s, d)
+          .where(col("text").like("%vector%")).select("doc_id")
+        Tables.embeddings(s, d)
+          .join(cand, col("vec_id") === col("doc_id"), "left_semi")
+          .select(col("vec_id"), VF.l2sqLit(col("embedding"), q).as("d0"))
+          .orderBy(col("d0"), col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("d0"), 6).as("dist"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(d, 6) AS dist FROM (
+           |  SELECT e.vec_id AS vec_id, ${DuckSql.l2sq("e.embedding", "q.qe")} AS d
+           |  FROM embeddings e, q
+           |  WHERE EXISTS (SELECT 1 FROM documents doc
+           |                WHERE doc.doc_id = e.vec_id
+           |                  AND doc.text LIKE '%vector%'))
+           |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
     // V16 — inner-product kNN (FAISS IndexFlatIP metric): top-10 by
     // dot product against the stored query vector, highest first.
     // Same single-scan + TakeOrderedAndProject plan as v1; the score
