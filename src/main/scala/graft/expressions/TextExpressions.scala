@@ -34,6 +34,32 @@ object TextHash {
   def polyHashUtf8(s: UTF8String, maxChars: Int): Long =
     polyHash(s.toString, maxChars)
 
+  /** Static entry point for generated code: count DISTINCT word
+    * trigrams ("w1 w2 w3" joined with single spaces, split(-1)
+    * semantics) in one pass — the repetition-ratio kernel. An
+    * interpreted HOF pipeline for the same computation costs ~2 ms /
+    * row once CollapseProject inlines it into several consumers; this
+    * is one compiled pass and a hash set.
+    */
+  def trigramDistinct(s: UTF8String): Long = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < 3) 0L
+    else {
+      val set = new java.util.HashSet[String](words.length * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + 2 < words.length) {
+        sb.setLength(0)
+        sb.append(words(i)).append(' ')
+          .append(words(i + 1)).append(' ')
+          .append(words(i + 2))
+        set.add(sb.toString)
+        i += 1
+      }
+      set.size.toLong
+    }
+  }
+
   /** Static entry point for generated code: split + hash in one call. */
   def wordHashesData(s: UTF8String): GenericArrayData = {
     val words = s.toString.split(" ", -1)
@@ -84,6 +110,28 @@ case class TextWordHashes(child: Expression)
   override protected def withNewChildInternal(c: Expression): TextWordHashes =
     copy(child = c)
   override def prettyName: String = "text_word_hashes"
+}
+
+/** Count of DISTINCT word trigrams — the repetition-ratio kernel
+  * (total trigram count is `greatest(n_words - 2, 0)`, no array
+  * needed). Codegen'd via a static helper so it stays inside
+  * whole-stage spans and costs one pass however many consumers
+  * CollapseProject inlines it into.
+  */
+case class TextTrigramDistinct(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.trigramDistinct(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHash.trigramDistinct($c)")
+  override protected def withNewChildInternal(c: Expression): TextTrigramDistinct =
+    copy(child = c)
+  override def prettyName: String = "text_trigram_distinct"
 }
 
 /** Generator (UDTF tier) expression: one output row per word n-gram

@@ -37,6 +37,13 @@ object TextFunctions {
     ColumnBridge.column(graft.expressions.TextWordHashes(
       ColumnBridge.expression(text)))
 
+  /** Count of DISTINCT word trigrams (joined with single spaces) —
+    * native one-pass kernel for the repetition-ratio signal.
+    */
+  def trigramDistinct(text: Column): Column =
+    ColumnBridge.column(graft.expressions.TextTrigramDistinct(
+      ColumnBridge.expression(text)))
+
   /** DuckDB twin of [[charPolyHash]]. `expr` is a VARCHAR expression;
     * may reference lambda variables of an enclosing list_transform.
     */

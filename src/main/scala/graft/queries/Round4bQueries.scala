@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.functions.{DuckSql, VectorFunctions => VF}
+import graft.functions.{DuckSql, TextFunctions => TF, VectorFunctions => VF}
 
 /** Round-4 LLM-pipeline additions over `documents` / `embeddings`:
   * PII redaction, repetition-ratio quality signal, corpus chunk-level
@@ -57,24 +57,24 @@ object Round4bQueries {
 
     // D9 — repetition ratio (Gopher-style quality signal): fraction
     // of word trigrams that are duplicates within the document,
-    // 1 - distinct/total. Entirely row-local array math — no shuffle
-    // at all before the output sort.
+    // 1 - distinct/total. The distinct count is the native
+    // TextTrigramDistinct kernel (one compiled pass per row; the HOF
+    // formulation is interpreted per-element and gets inlined into
+    // every consumer by CollapseProject — measured ~2 ms/row in p5),
+    // and the total needs no array at all: greatest(n_words - 2, 0).
+    // No shuffle before the output sort.
     Q("d9_repetition",
       (s, d) => {
-        val ng = when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2), i =>
-            concat_ws(" ", element_at(col("t"), i),
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-          .otherwise(array().cast("array<string>"))
+        val nTri = greatest(size(split(col("text"), " ")) - 2, lit(0))
+          .cast("long")
         Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .select(col("doc_id"), ng.as("ng"))
-          .select(col("doc_id"),
-            size(col("ng")).cast("long").as("n_trigrams"),
-            when(size(col("ng")) === 0, lit(0.0))
+          .select(col("doc_id"), nTri.as("n_trigrams"),
+            TF.trigramDistinct(col("text")).as("nd"))
+          .select(col("doc_id"), col("n_trigrams"),
+            when(col("n_trigrams") === 0, lit(0.0))
               .otherwise(round(lit(1.0) -
-                size(array_distinct(col("ng"))).cast("double") / size(col("ng")),
-                6)).as("rep_ratio"))
+                col("nd").cast("double") / col("n_trigrams"), 6))
+              .as("rep_ratio"))
           .orderBy("doc_id")
       },
       Some("""WITH ng AS (
@@ -433,21 +433,15 @@ object Round4bQueries {
     // same three keys a 100 TB curation run would partition by.
     Q("p5_curation_pipeline",
       (s, d) => {
-        val ng = when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2), i =>
-            concat_ws(" ", element_at(col("t"), i),
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-          .otherwise(array().cast("array<string>"))
         val packW = Window.partitionBy("source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("text"),
-            split(col("text"), " ").as("t"))
-          .withColumn("n_tok", size(col("t")).cast("long"))
-          .withColumn("ng", ng)
-          .withColumn("rep_ratio", when(size(col("ng")) === 0, lit(0.0))
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("n_tri", greatest(col("n_tok") - 2, lit(0)))
+          .withColumn("rep_ratio", when(col("n_tri") === 0, lit(0.0))
             .otherwise(round(lit(1.0) -
-              size(array_distinct(col("ng"))).cast("double") / size(col("ng")),
+              TF.trigramDistinct(col("text")).cast("double") / col("n_tri"),
               6)))
           .where(col("n_tok").between(20, 2000) && col("rep_ratio") <= 0.05)
           .withColumn("redacted", regexp_replace(
