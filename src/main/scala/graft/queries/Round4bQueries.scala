@@ -492,6 +492,44 @@ object Round4bQueries {
            |    / count(*), 6) AS avg_rep
            |FROM t5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // D14 — benchmark decontamination: flag training docs sharing ANY
+    // 4-word shingle with a held-out eval set (doc_id < 5 stands in
+    // for the benchmark) — the n-gram-overlap check every serious
+    // pretraining pipeline runs. The eval shingle set is tiny and
+    // DISTINCT, so it broadcasts into the training-side shingle
+    // stream (the TextShingles UDTF, one generator pass — no arrays
+    // materialized per row); contaminated ids come out of one
+    // group-by. At real scale the same plan holds: eval benches are
+    // always broadcastable, the corpus side stays a streaming
+    // generate + semi-ish join.
+    Q("d14_decontaminate",
+      (s, d) => {
+        graft.extensions.GraftExtensions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("d14_docs")
+        s.sql("""
+          |WITH sh AS (
+          |  SELECT doc_id, shingle FROM d14_docs
+          |  LATERAL VIEW text_shingles(text, 4) t AS shingle),
+          |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+          |SELECT sh.doc_id,
+          |  CAST(count(DISTINCT sh.shingle) AS BIGINT) AS shared_shingles
+          |FROM sh JOIN ev ON sh.shingle = ev.shingle
+          |WHERE sh.doc_id >= 5
+          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)
+      },
+      Some("""WITH sh AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(1, len(w) - 2),
+          |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+          |      AS shingle
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+          |SELECT sh.doc_id,
+          |  CAST(count(DISTINCT sh.shingle) AS BIGINT) AS shared_shingles
+          |FROM sh JOIN ev ON sh.shingle = ev.shingle
+          |WHERE sh.doc_id >= 5
+          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
+
     // V17 — hybrid search (keyword predicate + vector kNN): the
     // metadata-filtered retrieval every production vector DB serves
     // (v11 filters on a store column; this joins a TEXT predicate
