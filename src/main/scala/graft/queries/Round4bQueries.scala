@@ -6,15 +6,22 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.{DuckSql, TextFunctions => TF, VectorFunctions => VF}
 
-/** Round-4 LLM-pipeline additions over `documents` / `embeddings`:
-  * PII redaction, repetition-ratio quality signal, corpus chunk-level
-  * dedup (the CCNet/RefinedWeb line-dedup shape), and inner-product
-  * kNN (the metric FAISS `IndexFlatIP` serves; the reference ships
-  * only FlatL2, `shard/shard_node.py:46-48`).
+/** Round-4 LLM-pipeline additions over `documents` / `embeddings` /
+  * `events`: PII redaction (d8), repetition ratio (d9, native
+  * TextTrigramDistinct kernel), corpus chunk dedup (d10, the CCNet/
+  * RefinedWeb line-dedup shape), token-budget packing (d11),
+  * data-quality expectations (d12), blocked edit-distance pairs
+  * (d13), benchmark decontamination (d14), the curation capstone
+  * composing them (p5), time-series interpolation (r69), zstd and
+  * schema-evolution sources (x14/x15), stub-featurizer query-by-image
+  * (x16), inner-product kNN (v16 — the FAISS `IndexFlatIP` metric;
+  * the reference ships only FlatL2, `shard/shard_node.py:46-48`),
+  * and hybrid keyword+vector search (v17).
   *
-  * All text operators are pure Catalyst expressions (split/transform/
-  * window — no UDFs), so they stay inside whole-stage codegen and
-  * shuffle only on their group/partition keys.
+  * All operators are declarative Catalyst plans over built-in
+  * functions or the repo's native codegen'd expressions — no UDFs in
+  * any hot path — so they stay inside whole-stage codegen and shuffle
+  * only on their group/partition keys.
   */
 object Round4bQueries {
 

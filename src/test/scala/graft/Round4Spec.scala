@@ -132,6 +132,24 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("Observation collects pipeline metrics without a second pass") {
+    // The curation pipeline wants row counts / token sums per stage
+    // WITHOUT re-running stages; df.observe attaches metric
+    // aggregates to the one materialization — free at any scale.
+    import org.apache.spark.sql.Observation
+    val obs = Observation("gate")
+    val gated = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .observe(obs, count(lit(1)).as("rows_in"),
+        sum(when(col("n_tok") >= 20, 1L).otherwise(0L)).as("rows_pass"))
+      .where(col("n_tok") >= 20)
+    val passed = gated.count()
+    val m = obs.get
+    assert(m("rows_pass") == passed, s"observed $m vs counted $passed")
+    assert(m("rows_in").asInstanceOf[Long] >= passed)
+  }
+
   test("count-min sketch estimates are overestimates within eps*N") {
     // The mergeable heavy-hitter sketch (CMS) complements the HLL
     // (r39) and quantile sketches: per-partition sketches merge
