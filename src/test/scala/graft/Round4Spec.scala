@@ -132,6 +132,16 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("p5 capstone plans exactly three exchanges") {
+    // dedup window (hash by redacted), pack window (hash by source —
+    // which then also satisfies the (source, shard_id) aggregation's
+    // distribution, so the group-by adds NO exchange), final sort
+    // (range). More exchanges = a stage stopped reusing partitioning.
+    val p = plan("p5_curation_pipeline")
+    val n = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(n == 3, s"expected 3 exchanges, found $n:\n$p")
+  }
+
   test("Observation collects pipeline metrics without a second pass") {
     // The curation pipeline wants row counts / token sums per stage
     // WITHOUT re-running stages; df.observe attaches metric
