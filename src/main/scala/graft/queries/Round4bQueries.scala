@@ -287,6 +287,33 @@ object Round4bQueries {
           |    AS total
           |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // R70 — DISTINCT-count over a running window: Spark has no native
+    // `count(DISTINCT) OVER`, so the declarative workaround is
+    // size(collect_set() OVER) — exact, and the set is bounded by the
+    // partition's key cardinality (here customers per priority;
+    // at scale you'd cap with an HLL-sketch column instead when the
+    // per-frame set would not fit). The frame is a total order
+    // (orderdate, orderkey) so both engines see identical prefixes.
+    Q("r70_distinct_window",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .where(col("o_orderkey") < 3000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            size(collect_set(col("o_custkey")).over(w)).cast("long")
+              .as("distinct_custs"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+          |  count(DISTINCT o_custkey) OVER (PARTITION BY o_orderpriority
+          |    ORDER BY o_orderdate, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS distinct_custs
+          |FROM orders WHERE o_orderkey < 3000
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // R69 — time-series linear interpolation (the gap-fill every
     // feature pipeline needs): every 5th event's value is deterministically
     // nulled, then filled by interpolating between the nearest
