@@ -135,6 +135,34 @@ final class VectorStore(
     VectorStore.dropBucketDirs(spark, path,
       af.map(_.intValue()).filterNot(kept))
   }
+
+  /** Compact the index's data files. Every `add`/streaming ingest
+    * appends at least one file per touched bucket, so a long-lived
+    * index accumulates small files and scan setup (footer reads, task
+    * scheduling) starts to dominate — the classic small-file problem
+    * at scale. Rewrites each bucket into ceil(bucketRows /
+    * targetRowsPerFile) files: rows are shuffled once on (bucket,
+    * hash(id) % filesPerBucket), so oversized buckets still split
+    * while small ones collapse to one file. Results are unchanged;
+    * returns (dataFilesBefore, dataFilesAfter).
+    */
+  def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
+    val before = VectorStore.countDataFiles(spark, path)
+    // localCheckpoint severs the file-source lineage so overwriting
+    // the same path is legal
+    val df = indexDf.localCheckpoint(true)
+    val maxBucketRows = df.groupBy("bucket").count()
+      .agg(max("count")).head.getLong(0)
+    val filesPerBucket =
+      math.max(1L, (maxBucketRows + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(
+        (model.numBuckets * filesPerBucket).toInt,
+        col("bucket"), pmod(hash(col("id")), lit(filesPerBucket)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+    (before, VectorStore.countDataFiles(spark, path))
+  }
 }
 
 object VectorStore {
@@ -143,6 +171,19 @@ object VectorStore {
   private[store] def dropBucketDirs(spark: SparkSession, path: String,
                                     buckets: Seq[Int]): Unit =
     dropPartitionDirs(spark, path, "bucket", buckets)
+
+  /** Count parquet data files under the index path (compaction metric). */
+  private[store] def countDataFiles(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
 
   /** Remove `<path>/<column>=<v>` partition directories (dynamic
     * overwrite only rewrites partitions present in the output, so a

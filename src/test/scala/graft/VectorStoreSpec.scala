@@ -190,4 +190,29 @@ class MutationSpec extends org.scalatest.funsuite.AnyFunSuite {
       .where(col("o.bucket") =!= col("nb")).count()
     assert(misplaced == 0, s"$misplaced ids left in their old bucket")
   }
+  test("compact merges small files without changing search results") {
+    // fresh store, ingested in 5 small appends -> >= 5 files total
+    val spark = TestSpark.spark
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val s2 = graft.store.VectorStore.build(spark, emb.where(col("id") < 100),
+      s"$dir/index", graft.lsh.LshConfig(dim = 64, seed = 42L))
+    (1 to 4).foreach { b =>
+      s2.add(emb.where(col("id") >= b * 100 && col("id") < (b + 1) * 100))
+    }
+    val exactBefore = s2.search(q, 20, probes = s2.model.numBuckets)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (before, after) = s2.compact()
+    assert(before >= 5, s"expected >=5 small files, saw $before")
+    assert(after < before, s"compaction did not reduce files: $before -> $after")
+    assert(after <= s2.model.numBuckets,
+      s"expected <= one file per bucket at this size, saw $after")
+    val exactAfter = s2.search(q, 20, probes = s2.model.numBuckets)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exactAfter == exactBefore)
+    assert(s2.indexDf.count() == 500)
+  }
+
 }
