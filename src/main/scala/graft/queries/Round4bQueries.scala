@@ -314,6 +314,45 @@ object Round4bQueries {
           |FROM orders WHERE o_orderkey < 3000
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // R71 — snapshot diff (poor-man's CDC): classify every key across
+    // two table snapshots as inserted / deleted / changed / unchanged
+    // with ONE full outer join on the key — the incremental-ingest
+    // primitive when the source has no change log. Both snapshots are
+    // deterministic slices of orders (B simulates drift by bumping
+    // every 7th price), the join shuffles once per side on the key,
+    // and the classification is a codegen'd CASE.
+    Q("r71_snapshot_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.where(col("o_orderkey") < 8000)
+          .select(col("o_orderkey").as("ka"), col("o_totalprice").as("va"))
+        val b = o.where(col("o_orderkey") >= 2000)
+          .select(col("o_orderkey").as("kb"),
+            (col("o_totalprice") +
+              when(col("o_orderkey") % 7 === 0, 1.0).otherwise(0.0)).as("vb"))
+        a.join(b, col("ka") === col("kb"), "full_outer")
+          .select(when(col("ka").isNull, "inserted")
+            .when(col("kb").isNull, "deleted")
+            .when(col("va") =!= col("vb"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (
+          |  SELECT o_orderkey AS k, o_totalprice AS v
+          |  FROM orders WHERE o_orderkey < 8000),
+          |b AS (
+          |  SELECT o_orderkey AS k,
+          |    o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END AS v
+          |  FROM orders WHERE o_orderkey >= 2000)
+          |SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+          |  SELECT CASE WHEN a.k IS NULL THEN 'inserted'
+          |              WHEN b.k IS NULL THEN 'deleted'
+          |              WHEN a.v <> b.v THEN 'changed'
+          |              ELSE 'unchanged' END AS status
+          |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // R69 — time-series linear interpolation (the gap-fill every
     // feature pipeline needs): every 5th event's value is deterministically
     // nulled, then filled by interpolating between the nearest
