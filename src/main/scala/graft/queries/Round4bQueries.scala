@@ -410,6 +410,42 @@ object Round4bQueries {
           |    ELSE coalesce(pv, nv) END, 6) AS value_filled
           |FROM w ORDER BY user_id, ts_us""".stripMargin)),
 
+    // X17 — glob-filtered lake ingestion: two landing sets share one
+    // root; the read selects only the `a_*` files via pathGlobFilter +
+    // recursiveFileLookup — the file-level selection (by naming
+    // convention, date prefix, etc.) that real lake ingestion uses to
+    // skip late/other-tenant files WITHOUT listing-then-filtering in
+    // the driver. The oracle replays the doc_id slice the `a` set was
+    // written from.
+    Q("x17_glob_source",
+      (s, d) => {
+        val root = graft.util.TempDirs.create("graft_x17").toString
+        val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+        def land(df: org.apache.spark.sql.DataFrame, sub: String,
+                 prefix: String): Unit = {
+          df.write.mode("overwrite").parquet(s"$root/$sub")
+          val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).foreach { f =>
+            val n = f.getPath.getName
+            if (n.endsWith(".parquet"))
+              fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(f.getPath.getParent, s"$prefix$n"))
+          }
+        }
+        land(docs.where(col("doc_id") < 100), "batch1", "a_")
+        land(docs.where(col("doc_id") >= 100), "batch2", "b_")
+        s.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "a_*.parquet")
+          .parquet(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("total_chars"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM documents WHERE doc_id < 100""".stripMargin)),
+
     // X16 — query-by-image end-to-end with the decode STUBBED: the
     // reference's image_search.py pipeline (decode → featurize →
     // search) with a deterministic fake featurizer — payload bytes

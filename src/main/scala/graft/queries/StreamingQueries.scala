@@ -701,7 +701,41 @@ object StreamingQueries {
           |           THEN 'accept' ELSE 'reject' END AS sink,
           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
           |  FROM documents)
-          |GROUP BY 1 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S16 — streaming dedup with WATERMARKED state eviction:
+    // dropDuplicatesWithinWatermark is the production form of s4's
+    // dropDuplicates — state for a key is dropped once the watermark
+    // passes it, so memory is bounded by the lateness window instead
+    // of the whole history. Only the KEY columns are emitted (which
+    // row of a duplicate group survives is arrival-order-dependent;
+    // the key set is not), so the oracle is the batch DISTINCT.
+    Q("s16_stream_dedup_watermark",
+      (s, d) => {
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"s16_sink_${sinkId.incrementAndGet()}"
+        val ckpt = graft.util.TempDirs.create("graft_s16_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s16_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        val q = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("user_id"), col("event_type"),
+            timestamp_micros(expr("ts div 1000")).as("evt"))
+          .withWatermark("evt", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+          |ORDER BY user_id, event_type""".stripMargin))
   ).map { q =>
     // Every streaming run (source staging, stream start,
     // processAllAvailable) executes under the lowered state-store
