@@ -314,6 +314,50 @@ object Round4bQueries {
           |FROM orders WHERE o_orderkey < 3000
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // R72 — funnel analysis (view → click → purchase): per user, the
+    // first view, the first click AFTER that view, the first purchase
+    // AFTER that click — then the conversion counts per stage. Three
+    // user-keyed aggregations; every join is on user_id so the plan
+    // re-uses one partitioning. Timestamps work in µs (ts div 1000 /
+    // epoch_us) for the same DuckDB-truncation reason as r69.
+    Q("r72_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_purchase"))
+        val counts = Seq(
+          ("1_view", v), ("2_click", c), ("3_purchase", p))
+        counts.map { case (stage, df) =>
+          df.agg(count(lit(1)).as("users")).select(lit(stage).as("stage"),
+            col("users"))
+        }.reduce(_ unionAll _).orderBy("stage")
+      },
+      Some("""WITH ev AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+          |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+          |      WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT ev.user_id, min(ev.ts) AS t_click
+          |      FROM ev JOIN v ON ev.user_id = v.user_id
+          |      WHERE ev.event_type = 'click' AND ev.ts > v.t_view GROUP BY 1),
+          |p AS (SELECT ev.user_id, min(ev.ts) AS t_purchase
+          |      FROM ev JOIN c ON ev.user_id = c.user_id
+          |      WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click GROUP BY 1)
+          |SELECT stage, users FROM (
+          |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+          |  UNION ALL
+          |  SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+          |  UNION ALL
+          |  SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p)
+          |ORDER BY stage""".stripMargin)),
+
     // R71 — snapshot diff (poor-man's CDC): classify every key across
     // two table snapshots as inserted / deleted / changed / unchanged
     // with ONE full outer join on the key — the incremental-ingest

@@ -735,7 +735,38 @@ object StreamingQueries {
         s.table(name).orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-          |ORDER BY user_id, event_type""".stripMargin))
+          |ORDER BY user_id, event_type""".stripMargin)),
+
+    // S17 — Trigger.AvailableNow: process everything available, then
+    // STOP — the scheduled-incremental pattern (a cron'd job drains
+    // the backlog with streaming-checkpoint exactly-once semantics,
+    // no always-on cluster). Query shape mirrors s1's tumbling count;
+    // the trigger is what's under test: awaitTermination returns on
+    // its own, no processAllAvailable/stop pair.
+    Q("s17_stream_available_now",
+      (s, d) => {
+        Tables.events(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"s17_sink_${sinkId.incrementAndGet()}"
+        val ckpt = graft.util.TempDirs.create("graft_s17_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s17_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        val q = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+          .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("event_type", "hour")
+      },
+      Some("""SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   ).map { q =>
     // Every streaming run (source staging, stream start,
     // processAllAvailable) executes under the lowered state-store
