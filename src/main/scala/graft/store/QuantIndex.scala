@@ -193,6 +193,29 @@ final class QuantIndex(
     invalidateResident()
   }
 
+  /** Compact the index's data files (every add/upsert appends at least
+    * one file per touched cell — see [[VectorStore.compact]]).
+    * Preserves the build's within-cell id ordering so the re-rank's id
+    * pushdown keeps row-group-skipping. Returns (filesBefore,
+    * filesAfter).
+    */
+  def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
+    val before = VectorStore.countDataFiles(spark, path)
+    val df = spark.read.parquet(path).localCheckpoint(true)
+    val maxCellRows = df.groupBy("cell").count()
+      .agg(max("count")).head.getLong(0)
+    val filesPerCell =
+      math.max(1L, (maxCellRows + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition((model.cfg.ivfCells * filesPerCell).toInt,
+        col("cell"), pmod(hash(col("id")), lit(filesPerCell)))
+      .sortWithinPartitions("cell", "id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(path)
+    invalidateResident()
+    (before, VectorStore.countDataFiles(spark, path))
+  }
+
   private def invalidateResident(): Unit = resident.foreach { df =>
     df.unpersist()
     resident = None

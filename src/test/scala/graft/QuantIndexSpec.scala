@@ -200,4 +200,24 @@ class QuantIndexSpec extends AnyFunSuite {
     assert(top.contains(3L) && top.contains(100L),
       s"upserted 512-D duplicates of the query should lead: $top")
   }
+  test("compact merges per-cell small files; searches unchanged") {
+    val spark2 = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant_cpt").toString
+    val emb = Tables.embeddings(spark2, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val i2 = QuantIndex.build(spark2, emb.where(col("id") < 200),
+      s"$dir/index", QuantConfig())
+    (1 to 3).foreach { b =>
+      i2.add(emb.where(col("id") >= b * 100 + 100 && col("id") < b * 100 + 200))
+    }
+    val before10 = i2.searchSq8(q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (fBefore, fAfter) = i2.compact()
+    assert(fAfter < fBefore, s"compaction did not reduce files: $fBefore -> $fAfter")
+    val after10 = i2.searchSq8(q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after10 == before10)
+    assert(i2.indexDf.count() == 500)
+  }
+
 }
