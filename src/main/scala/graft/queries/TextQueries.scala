@@ -423,7 +423,59 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
-      Some(jaccardOracle))
+      Some(jaccardOracle)),
+
+    // M7 — MinHash Jaccard ESTIMATION vs exact: for every banded
+    // candidate pair, the estimator (fraction of the 8 minhash slots
+    // that agree — the statistic LSH theory says is an unbiased
+    // Jaccard estimate) next to the exact distinct-shingle Jaccard.
+    // Because the hash family is seeded and shared with the DuckDB
+    // twin, even the ESTIMATE is hash-oracle-able — the measurement
+    // the reference's LSH design implies but never makes. Signatures
+    // are 8 longs per doc, so the pair join carries fixed-width rows.
+    Q("m7_minhash_estimate",
+      (s, d) => {
+        val sig = Tables.documents(s, d)
+          .withColumn("wh", TF.wordHashes(col("text")))
+          .withColumn("shs", shingleHashes)
+          .select(Seq(col("doc_id"), array_distinct(col("shs")).as("dsh")) ++
+            (0 until 8).map(j =>
+              array_min(transform(col("shs"),
+                x => (lit(A(j)) * x + lit(B(j))) % P)).as(s"mh$j")): _*)
+        val pairs = all.find(_.name == "m1_minhash_pairs").get.run(s, d)
+          .select("id_a", "id_b")
+        val a = sig.select(Seq(col("doc_id").as("id_a"),
+          col("dsh").as("dsh_a")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"a$j")): _*)
+        val b = sig.select(Seq(col("doc_id").as("id_b"),
+          col("dsh").as("dsh_b")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"b$j")): _*)
+        val agree = (0 until 8).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        val inter = size(array_intersect(col("dsh_a"), col("dsh_b"))).cast("double")
+        pairs.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(agree.cast("double") / 8.0, 6).as("est_jaccard"),
+            round(inter /
+              (size(col("dsh_a")) + size(col("dsh_b")) - inter), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $minhashPairsCte,
+           |dsh AS (SELECT doc_id, list_distinct(shs) AS dsh FROM sh)
+           |SELECT p.id_a, p.id_b,
+           |  round((${(0 until 8).map(j =>
+                  s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")})
+           |    / CAST(8.0 AS DOUBLE), 6) AS est_jaccard,
+           |  round(CAST(len(list_intersect(da.dsh, db.dsh)) AS DOUBLE) /
+           |    (len(da.dsh) + len(db.dsh) -
+           |     CAST(len(list_intersect(da.dsh, db.dsh)) AS DOUBLE)), 6) AS jaccard
+           |FROM mh_pairs p
+           |JOIN sig a ON a.doc_id = p.id_a
+           |JOIN sig b ON b.doc_id = p.id_b
+           |JOIN dsh da ON da.doc_id = p.id_a
+           |JOIN dsh db ON db.doc_id = p.id_b
+           |ORDER BY 1, 2""".stripMargin))
   )
 
   /** Shared DuckDB twin for m3 and m5 — the two are different physical
