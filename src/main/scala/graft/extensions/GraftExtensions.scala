@@ -39,6 +39,8 @@ object GraftExtensions {
     "vec_l2normalize" -> (es => VecL2Normalize(arg(es, 0, "vec_l2normalize", 1))),
     "text_poly_hash" -> (es => TextPolyHash(arg(es, 0, "text_poly_hash", 1), Int.MaxValue)),
     "text_word_hashes" -> (es => TextWordHashes(arg(es, 0, "text_word_hashes", 1))),
+    "text_trigram_distinct" -> (es =>
+      TextTrigramDistinct(arg(es, 0, "text_trigram_distinct", 1))),
     // UDTF: LATERAL VIEW text_shingles(text, 3). Shingle size must be a
     // literal int.
     "text_shingles" -> (es => {

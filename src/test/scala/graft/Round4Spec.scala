@@ -160,6 +160,29 @@ class Round4Spec extends AnyFunSuite {
     assert(m("rows_in").asInstanceOf[Long] >= passed)
   }
 
+  test("bloom filter has no false negatives and bounded false positives") {
+    // Completes the sketch trio (HLL r39, CMS above): the build-side
+    // membership structure AQE's runtime-filter pushdown uses — the
+    // semi-join pre-filter at 100 TB. df.stat.bloomFilter builds
+    // per-partition and merges (one pass, associative).
+    val keys = Tables.orders(spark, sf).select("o_custkey")
+    val bf = keys.stat.bloomFilter("o_custkey", 1000, 0.03)
+    val members = keys.distinct().collect().map(_.getLong(0))
+    members.foreach(k => assert(bf.mightContain(k), s"false negative on $k"))
+    val absentTried = (1000000L to 1002000L)
+    val fp = absentTried.count(bf.mightContain)
+    assert(fp <= absentTried.size * 0.1,
+      s"false-positive rate implausibly high: $fp/${absentTried.size}")
+  }
+
+  test("text_trigram_distinct is SQL-callable via GraftExtensions") {
+    graft.extensions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT text_trigram_distinct('a b a b a b c') AS n").head.getLong(0)
+    // trigrams: "a b a","b a b","a b a","b a b","a b c" -> 3 distinct
+    assert(r == 3L)
+  }
+
   test("count-min sketch estimates are overestimates within eps*N") {
     // The mergeable heavy-hitter sketch (CMS) complements the HLL
     // (r39) and quantile sketches: per-partition sketches merge
