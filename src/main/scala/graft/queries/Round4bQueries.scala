@@ -683,6 +683,41 @@ object Round4bQueries {
           |WHERE sh.doc_id >= 5
           |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
 
+    // V18 — batch radius search: for 5 broadcast query vectors, the
+    // count and exact-decimal mean distance of all neighbors within
+    // squared-L2 radius 1.5 — the range-query counterpart of v6's
+    // batch kNN (radius semantics are v14's, here in multi-query
+    // throughput shape: one scan serves all queries). Distance sums
+    // go through DECIMAL so the mean is partition-order-independent.
+    Q("v18_batch_radius",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        emb.crossJoin(broadcast(qs))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            VF.l2sq(col("embedding"), col("qe")).as("d0"))
+          .where(col("d0") < 1.5)
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_in_radius"),
+            round(sum(col("d0").cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1)), 6).as("mean_dist"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS qe
+           |  FROM embeddings WHERE vec_id < 5),
+           |p AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    ${DuckSql.l2sq("e.embedding", "q.qe")} AS d0
+           |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           |SELECT query_id, CAST(count(*) AS BIGINT) AS n_in_radius,
+           |  round(CAST(sum(CAST(d0 AS DECIMAL(28,12))) AS DOUBLE)
+           |    / count(*), 6) AS mean_dist
+           |FROM p WHERE d0 < 1.5
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // V17 — hybrid search (keyword predicate + vector kNN): the
     // metadata-filtered retrieval every production vector DB serves
     // (v11 filters on a store column; this joins a TEXT predicate
