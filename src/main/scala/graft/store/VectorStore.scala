@@ -163,6 +163,16 @@ final class VectorStore(
       .partitionBy("bucket").parquet(path)
     (before, VectorStore.countDataFiles(spark, path))
   }
+
+  /** Reshard into a NEW bucket layout at `newPath` (e.g. more hash
+    * tables once the corpus outgrows the old partition count) — the
+    * index-migration move: one re-bucketing shuffle + partitioned
+    * write, no driver-side data. Exact search is invariant under
+    * resharding (buckets only prune), which the spec asserts; pruned
+    * recall changes with the layout, as it must.
+    */
+  def reshard(newPath: String, newCfg: LshConfig): VectorStore =
+    VectorStore.build(spark, indexDf.drop("bucket"), newPath, newCfg)
 }
 
 object VectorStore {

@@ -215,4 +215,26 @@ class MutationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(s2.indexDf.count() == 500)
   }
 
+  test("reshard to a 16-bucket layout keeps exact search invariant") {
+    val spark = TestSpark.spark
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val store = freshStore()
+    val dir = java.nio.file.Files.createTempDirectory("graft_reshard").toString
+    val wide = store.reshard(s"$dir/index16",
+      graft.lsh.LshConfig(dim = 64, numHashTables = 16, seed = 99L))
+    assert(wide.model.numBuckets == 16)
+    assert(wide.indexDf.count() == store.indexDf.count())
+    def exact(s: graft.store.VectorStore) =
+      s.search(q, 10, probes = s.model.numBuckets)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact(wide) == exact(store),
+      "exact search must be invariant under resharding")
+    // new layout actually took: >1 bucket directory under the new path
+    val p0 = new org.apache.hadoop.fs.Path(wide.path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(p0)
+      .count(_.getPath.getName.startsWith("bucket="))
+    assert(bucketDirs > 3, s"expected a spread over 16 buckets, saw $bucketDirs")
+  }
+
 }
