@@ -683,6 +683,106 @@ object Round4bQueries {
           |WHERE sh.doc_id >= 5
           |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
 
+    // P6 — INCREMENTAL curation: process only the new landing batch
+    // (doc_id >= 400) against the already-curated corpus — exact
+    // dedup via anti join on the digest of the PRIOR corpus, then
+    // continue each source's shard packing from its prior token
+    // total (the batch complement of s14's streaming state: the
+    // "state" is an aggregate of the existing corpus, joined in).
+    // Cost scales with |new batch| + one aggregate over the prior
+    // corpus's digests/token sums — never a full recompute.
+    Q("p6_incremental_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val prior = docs.where(col("doc_id") < 400)
+        val fresh = docs.where(col("doc_id") >= 400)
+        val clean = fresh.join(
+          prior.select(md5(col("text")).as("h")).distinct(),
+          md5(col("text")) === col("h"), "left_anti")
+        val priorTok = prior.groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("prior_tok"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clean
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .join(priorTok, Seq("source"), "left")
+          .withColumn("cum_before",
+            coalesce(col("prior_tok"), lit(0L)) +
+              sum("n_tok").over(w) - col("n_tok"))
+          .withColumn("shard_id", (col("cum_before") / lit(512)).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_new_docs"),
+            min("shard_id").as("first_shard"),
+            max("shard_id").as("last_shard"))
+          .orderBy("source")
+      },
+      Some("""WITH prior AS (
+          |  SELECT doc_id, source, text FROM documents WHERE doc_id < 400),
+          |fresh AS (
+          |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 400),
+          |clean AS (
+          |  SELECT f.* FROM fresh f WHERE NOT EXISTS (
+          |    SELECT 1 FROM prior p WHERE md5(p.text) = md5(f.text))),
+          |pt AS (
+          |  SELECT source,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS prior_tok
+          |  FROM prior GROUP BY 1),
+          |c AS (
+          |  SELECT cl.source, cl.doc_id,
+          |    CAST(len(string_split(cl.text, ' ')) AS BIGINT) AS n_tok,
+          |    coalesce(pt.prior_tok, 0) AS prior_tok
+          |  FROM clean cl LEFT JOIN pt ON cl.source = pt.source),
+          |packed AS (
+          |  SELECT source,
+          |    (prior_tok + sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+          |      // 512 AS shard_id
+          |  FROM c)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_new_docs,
+          |  CAST(min(shard_id) AS BIGINT) AS first_shard,
+          |  CAST(max(shard_id) AS BIGINT) AS last_shard
+          |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A2 — shard-distribution stats VS corpus size (reference
+    // `performance_analysis.py` runs A1's analysis at several index
+    // sizes in a harness loop; here it is ONE query): explode a size
+    // dimension, filter each slice, and report per-size bucket count,
+    // vector count, and the A3 imbalance metric (max-min)/avg — the
+    // measurement that shows LSH balance as the corpus grows. One
+    // scan serves every size; sizes beyond the corpus degrade to the
+    // full table (visible in the output, by design).
+    Q("a2_stats_vs_size",
+      (s, d) => {
+        val m = VectorQueries.model
+        Tables.embeddings(s, d)
+          .withColumn("bucket", m.bucketCol(col("embedding")))
+          .select(col("vec_id"), col("bucket"),
+            explode(array(lit(100), lit(1000), lit(10000))).as("corpus_size"))
+          .where(col("vec_id") < col("corpus_size"))
+          .groupBy("corpus_size", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("corpus_size")
+          .agg(sum("cnt").cast("long").as("n_vectors"),
+            count(lit(1)).cast("long").as("n_buckets"),
+            round((max("cnt") - min("cnt")).cast("double") /
+              (sum("cnt").cast("double") / count(lit(1))), 6).as("imbalance"))
+          .orderBy("corpus_size")
+      },
+      Some(s"""WITH b AS (
+           |  SELECT vec_id, ${VectorQueries.model.bucketSql("embedding")} AS bucket
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, bucket, corpus_size
+           |  FROM b, (SELECT unnest([100, 1000, 10000]) AS corpus_size) s
+           |  WHERE vec_id < corpus_size),
+           |g AS (SELECT corpus_size, bucket, count(*) AS cnt FROM e GROUP BY 1, 2)
+           |SELECT corpus_size, CAST(sum(cnt) AS BIGINT) AS n_vectors,
+           |  CAST(count(*) AS BIGINT) AS n_buckets,
+           |  round(CAST(max(cnt) - min(cnt) AS DOUBLE) /
+           |    (CAST(sum(cnt) AS DOUBLE) / count(*)), 6) AS imbalance
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // V18 — batch radius search: for 5 broadcast query vectors, the
     // count and exact-decimal mean distance of all neighbors within
     // squared-L2 radius 1.5 — the range-query counterpart of v6's
