@@ -683,6 +683,59 @@ object Round4bQueries {
           |WHERE sh.doc_id >= 5
           |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
 
+    // R74 — windowed z-score anomaly detection (the monitoring shape):
+    // per event_type, flag values more than 2σ from the trailing
+    // 100-row mean. Mean and variance come from DECIMAL-exact sum and
+    // sum-of-squares over the frame (σ² = (Σx² − (Σx)²/n)/(n−1),
+    // computed in double only at the end) — the only way a windowed
+    // stddev is bit-identical across engines and partition counts;
+    // stddev_samp over raw doubles is accumulation-order-dependent.
+    Q("r74_zscore_anomaly",
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy("ts", "event_id").rowsBetween(-99, Window.currentRow)
+        val vdec = col("value").cast(DecimalType(18, 6))
+        val n = count(lit(1)).over(w)
+        val sumd = sum(vdec).over(w).cast("double")
+        val sumsq = sum(vdec * vdec).over(w).cast("double")
+        val avg = sumd / n
+        val variance = greatest(
+          (sumsq - sumd * sumd / n) / (n - lit(1)), lit(0.0))
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("ts div 1000").as("ts"), col("value"))
+          .withColumn("n", n)
+          .withColumn("is_anomaly",
+            col("n") > 1 &&
+              abs(col("value") - avg) > lit(2.0) * sqrt(variance))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+          |  SELECT event_type, event_id, epoch_us(ts) AS ts, value,
+          |    CAST(value AS DECIMAL(18,6)) AS vd
+          |  FROM events),
+          |w AS (
+          |  SELECT event_type, value,
+          |    count(*) OVER fr AS n,
+          |    CAST(sum(vd) OVER fr AS DOUBLE) AS sumd,
+          |    CAST(sum(vd * vd) OVER fr AS DOUBLE) AS sumsq
+          |  FROM e
+          |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+          |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+          |f AS (
+          |  SELECT event_type,
+          |    (n > 1 AND abs(value - sumd / n) >
+          |       2.0 * sqrt(greatest((sumsq - sumd * sumd / n) / (n - 1), 0.0)))
+          |      AS is_anomaly
+          |  FROM w)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_anomalies
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // P6 — INCREMENTAL curation: process only the new landing batch
     // (doc_id >= 400) against the already-curated corpus — exact
     // dedup via anti join on the digest of the PRIOR corpus, then
