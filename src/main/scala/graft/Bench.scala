@@ -14,8 +14,8 @@ import graft.lsh.LshConfig
   *    steady-state after a warm-up pass — the reference's measurement
   *    shape, `performance_analysis.py:60-70`);
   *  - the BASELINE.md kNN protocol: `index_build` (normalize-free LSH
-  *    bucketing + partitioned write), `knn_exact_k{1,10,100}` and
-  *    `knn_pruned_k{1,10,100}` = mean seconds/query over 20 warm
+  *    bucketing + partitioned write), `knn_exact_k{1,5,10,20,50,100}`
+  *    and `knn_pruned_k{same}` = mean seconds/query over 20 warm
   *    queries (queries = first 20 stored vectors), and
   *    `knn_pruned_recall_at10` (fraction, not seconds: measured recall
   *    of probes=2/3 pruned search vs exact top-10).
@@ -102,7 +102,9 @@ object Bench {
         }
         times.sum / times.size
       }
-      Seq(1, 10, 100).foreach { k =>
+      // Full BASELINE.md protocol sweep (performance_analysis.py:72-129):
+      // k ∈ {1,5,10,20,50,100}, exact and pruned at each point.
+      Seq(1, 5, 10, 20, 50, 100).foreach { k =>
         knn += s"knn_exact_k$k" -> meanLatency(k, probes = 3)
         knn += s"knn_pruned_k$k" -> meanLatency(k, probes = 2)
       }
@@ -118,14 +120,19 @@ object Bench {
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("d"), col("id"))
-        val t = timed {
+        def runBatch(): Unit =
           indexDf.crossJoin(broadcast(qdf))
             .select(col("query_id"), col("id"),
               VF.l2sq(col("embedding"), col("qe")).as("d"))
             .withColumn("rn", row_number().over(w))
             .where(col("rn") <= 10)
             .count()
-        }
+        // Warm-up + median of 3: the r4 close run recorded 7.0 ms/query
+        // against 3.6–4.4 ms in isolated runs — a single cold timing is
+        // hostage to ambient load from the preceding 175-query sweep.
+        // Median-of-3 after an untimed warm-up pins the steady state.
+        runBatch()
+        val t = Seq.fill(3)(timed(runBatch())).sorted.apply(1)
         knn += "knn_batch100_total" -> t
         knn += "knn_batch100_per_query" -> t / 100.0
       }

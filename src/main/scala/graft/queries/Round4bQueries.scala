@@ -165,9 +165,9 @@ object Round4bQueries {
           |  FROM documents),
           |c AS (
           |  SELECT source, n_tok,
-          |    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |    CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
-          |      // 512 AS shard_id
+          |      // 512 AS BIGINT) AS shard_id
           |  FROM t)
           |SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens
@@ -635,9 +635,9 @@ object Round4bQueries {
            |  QUALIFY row_number() OVER (PARTITION BY redacted ORDER BY doc_id) = 1),
            |t5 AS (
            |  SELECT source, doc_id, n_tok, rep_ratio,
-           |    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |    CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
            |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
-           |      // 512 AS shard_id
+           |      // 512 AS BIGINT) AS shard_id
            |  FROM t4)
            |SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,

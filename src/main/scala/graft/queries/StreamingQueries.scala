@@ -645,9 +645,9 @@ object StreamingQueries {
           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
           |  FROM documents)
           |SELECT source, doc_id, n_tok,
-          |  (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |  CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
-          |    // 512 AS shard_id
+          |    // 512 AS BIGINT) AS shard_id
           |FROM t ORDER BY source, doc_id""".stripMargin)),
 
     // S15 — streaming quality routing: foreachBatch fans each
@@ -667,6 +667,16 @@ object StreamingQueries {
           srcDir.resolve("documents.parquet"))
         val outRoot = graft.util.TempDirs.create("graft_s15_out").toString
         val accept = s"$outRoot/accept"; val reject = s"$outRoot/reject"
+        // Pre-create BOTH sinks with an empty zero-row batch: if every
+        // doc routes to one side, the other directory would otherwise
+        // never exist and the post-stream read would throw — the result
+        // must not depend on the fixture containing both classes.
+        val emptyBatch = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .limit(0)
+        emptyBatch.write.mode("append").parquet(accept)
+        emptyBatch.write.mode("append").parquet(reject)
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)

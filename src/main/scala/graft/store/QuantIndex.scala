@@ -202,11 +202,15 @@ final class QuantIndex(
   def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
     val before = VectorStore.countDataFiles(spark, path)
     val df = spark.read.parquet(path).localCheckpoint(true)
-    val maxCellRows = df.groupBy("cell").count()
-      .agg(max("count")).head.getLong(0)
+    // max over zero groups is NULL — nothing to compact
+    val maxRow = df.groupBy("cell").count().agg(max("count")).head
+    if (maxRow.isNullAt(0)) return (before, before)
+    val maxCellRows = maxRow.getLong(0)
     val filesPerCell =
       math.max(1L, (maxCellRows + targetRowsPerFile - 1) / targetRowsPerFile)
-    df.repartition((model.cfg.ivfCells * filesPerCell).toInt,
+    val numParts = // bounded Long math: Int overflow would go negative
+      math.min(model.cfg.ivfCells.toLong * filesPerCell, Int.MaxValue.toLong)
+    df.repartition(numParts.toInt,
         col("cell"), pmod(hash(col("id")), lit(filesPerCell)))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite")

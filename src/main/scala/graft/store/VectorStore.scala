@@ -151,12 +151,16 @@ final class VectorStore(
     // localCheckpoint severs the file-source lineage so overwriting
     // the same path is legal
     val df = indexDf.localCheckpoint(true)
-    val maxBucketRows = df.groupBy("bucket").count()
-      .agg(max("count")).head.getLong(0)
+    // max over zero groups is NULL — an empty index has nothing to
+    // compact, and writing would replace it with an empty layout
+    val maxRow = df.groupBy("bucket").count().agg(max("count")).head
+    if (maxRow.isNullAt(0)) return (before, before)
+    val maxBucketRows = maxRow.getLong(0)
     val filesPerBucket =
       math.max(1L, (maxBucketRows + targetRowsPerFile - 1) / targetRowsPerFile)
-    df.repartition(
-        (model.numBuckets * filesPerBucket).toInt,
+    val numParts = // bounded Long math: Int overflow would go negative
+      math.min(model.numBuckets.toLong * filesPerBucket, Int.MaxValue.toLong)
+    df.repartition(numParts.toInt,
         col("bucket"), pmod(hash(col("id")), lit(filesPerBucket)))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

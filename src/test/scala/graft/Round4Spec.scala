@@ -209,14 +209,28 @@ class Round4Spec extends AnyFunSuite {
     assert(m3.nonEmpty)
   }
 
-  test("v16 top score is the query vector's own self-dot-product") {
-    val top = run("v16_ip_knn").head
-    // vec_id 0 has the maximal dot product with itself only if its
-    // norm dominates; the guaranteed invariant is that scores are
-    // non-increasing and the self-match appears in the top-k.
-    val scores = run("v16_ip_knn").collect().map(_.getDouble(1))
+  test("v16 scores are exact dot products against the stored query") {
+    val rows = run("v16_ip_knn").collect()
+    val scores = rows.map(_.getDouble(1))
     assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
-    assert(run("v16_ip_knn").where(col("vec_id") === 0).count() == 1 ||
-      top.getDouble(1) >= scores.last)
+    // Independently recompute each returned score on the driver from
+    // the raw embeddings (bounded: 10 ids + the query vector) — this
+    // checks the native VecDot path against plain Scala arithmetic.
+    val ids = rows.map(_.getLong(0))
+    val need = (ids :+ 0L).distinct
+    val embs = Tables.embeddings(spark, sf)
+      .where(col("vec_id").isin(need: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = embs(0L)
+    rows.foreach { r =>
+      val e = embs(r.getLong(0))
+      var d = 0.0
+      var i = 0
+      while (i < q.length) { d += e(i).toDouble * q(i).toDouble; i += 1 }
+      val expect = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(r.getDouble(1) - expect.toDouble) <= 1e-6,
+        s"vec ${r.getLong(0)}: got ${r.getDouble(1)}, recomputed $d")
+    }
   }
 }
