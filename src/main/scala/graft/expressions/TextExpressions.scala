@@ -71,6 +71,36 @@ object TextHash {
     }
     new GenericArrayData(out)
   }
+
+  /** Static entry point for generated code: split + hash + word-trigram
+    * shingle hashes in ONE pass. shingle_i = (((wh_i*31 + wh_{i+1}) % P)
+    * *31 + wh_{i+2}) % P; texts with < 3 words fall back to their word
+    * hashes — identical values to the HOF formulation
+    * (transform/element_at over a wh column), but O(words) however many
+    * consumers CollapseProject inlines it into. The HOF shape
+    * re-evaluates the word-hash subexpression inside the interpreted
+    * lambda, which made shingle materialization the dominant cost of
+    * the whole m5 pipeline (~3 s of a 7.5 s query at sf0.1).
+    */
+  def shingleHashesData(s: UTF8String): GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val wh = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      wh(i) = polyHash(words(i), Int.MaxValue)
+      i += 1
+    }
+    if (words.length < 3) new GenericArrayData(wh)
+    else {
+      val out = new Array[Long](words.length - 2)
+      var j = 0
+      while (j < out.length) {
+        out(j) = ((wh(j) * 31 + wh(j + 1)) % P * 31 + wh(j + 2)) % P
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** Rolling polynomial hash of the first `maxChars` characters. Codegen
@@ -132,6 +162,28 @@ case class TextTrigramDistinct(child: Expression)
   override protected def withNewChildInternal(c: Expression): TextTrigramDistinct =
     copy(child = c)
   override def prettyName: String = "text_trigram_distinct"
+}
+
+/** Word-trigram shingle hashes straight from the text — split, word
+  * hash, and shingle fold in one compiled pass (see
+  * [[TextHash.shingleHashesData]]). Value-identical to the
+  * transform/element_at HOF chain over a [[TextWordHashes]] column,
+  * minus the interpreted-lambda re-evaluation tax.
+  */
+case class TextShingleHashes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingleHashesData(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHash.shingleHashesData($c)")
+  override protected def withNewChildInternal(c: Expression): TextShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "text_shingle_hashes"
 }
 
 /** Generator (UDTF tier) expression: one output row per word n-gram

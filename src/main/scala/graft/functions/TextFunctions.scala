@@ -44,6 +44,16 @@ object TextFunctions {
     ColumnBridge.column(graft.expressions.TextTrigramDistinct(
       ColumnBridge.expression(text)))
 
+  /** Word-trigram shingle hashes straight from the text (< 3 words
+    * falls back to the word hashes) — one compiled pass; value-equal
+    * to transform/element_at over [[wordHashes]] but immune to the
+    * interpreted-lambda re-evaluation that shape pays after
+    * CollapseProject inlines the wh column.
+    */
+  def shingleHashes(text: Column): Column =
+    ColumnBridge.column(graft.expressions.TextShingleHashes(
+      ColumnBridge.expression(text)))
+
   /** DuckDB twin of [[charPolyHash]]. `expr` is a VARCHAR expression;
     * may reference lambda variables of an enclosing list_transform.
     */
