@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Markdown performance/analysis report — the engine-side analog of the
+  * reference's PDF report + charts (`generate_report.py:80-239`:
+  * system overview, performance section, shard-distribution chart,
+  * conclusion; `visualize_results.py:91-155`: latency-vs-k and
+  * distribution plots). No plotting stack in this environment, so
+  * charts render as ASCII bars inside a markdown artifact — the
+  * content (latency vs k, recall vs probes, shard distribution,
+  * imbalance, memory estimate) is the same analysis.
+  *
+  * Usage: runMain graft.Report [detailJson] [outMd]
+  *   detailJson defaults to ./BENCH_DETAIL.json (a `graft.Bench` run's
+  *   detail output); outMd defaults to ./REPORT.md. The shard section
+  *   additionally runs the live v10 stats query against
+  *   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+  */
+object Report {
+  private val BarWidth = 40
+
+  private def bar(frac: Double): String =
+    "█" * math.max(0, math.min(BarWidth, math.round(frac * BarWidth).toInt))
+
+  /** Minimal parser for Bench's flat detail line:
+    * {"metric":...,"queries":{"name":1.23,...},"sf":"..."} — every
+    * value in `queries` is a bare number, so a regex scan is exact.
+    */
+  private def parseQueries(json: String): Seq[(String, Double)] = {
+    val m = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+    m.findAllMatchIn(json)
+      .map(g => g.group(1) -> g.group(2).toDouble)
+      .filter { case (k, _) => k != "value" && k != "sf" }
+      .toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val detailPath = args.headOption.getOrElse("BENCH_DETAIL.json")
+    val outPath = args.drop(1).headOption.getOrElse("REPORT.md")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    val detail = new String(
+      Files.readAllBytes(Paths.get(detailPath)), "UTF-8")
+    val q = parseQueries(detail).toMap
+    val totalRe = """"metric":"total","value":([0-9.]+)""".r
+    val total = totalRe.findFirstMatchIn(detail).map(_.group(1)).getOrElse("?")
+    val sfRe = """"sf":"([^"]+)"""".r
+    val benchSf = sfRe.findFirstMatchIn(detail).map(_.group(1)).getOrElse("?")
+
+    val sb = new StringBuilder
+    sb ++= "# graft engine report\n\n"
+    sb ++= s"Source: `$detailPath` (bench sf `$benchSf`), " +
+      s"stats sf `$sfDir`.\n\n"
+
+    // ---- 1. Overview (generate_report.py:80 system overview) -------
+    sb ++= "## 1. Overview\n\n"
+    sb ++= s"- bench total: **$total s** across " +
+      s"${q.size} recorded metrics\n"
+    q.get("index_build").foreach(v =>
+      sb ++= f"- LSH index build: $v%.3f s\n")
+    q.get("quant_index_build").foreach(v =>
+      sb ++= f"- quantized index build (SQ8+IVF+PQ): $v%.3f s\n")
+    sb ++= "\n"
+
+    // ---- 2. Latency vs k (visualize_results.py:91 latency_vs_k) ----
+    sb ++= "## 2. Search latency vs k (ms/query, 20 warm queries)\n\n"
+    sb ++= "| k | exact | pruned |\n|---|---|---|\n"
+    Seq(1, 5, 10, 20, 50, 100).foreach { k =>
+      (q.get(s"knn_exact_k$k"), q.get(s"knn_pruned_k$k")) match {
+        case (Some(e), Some(p)) =>
+          sb ++= f"| $k | ${e * 1000}%.1f | ${p * 1000}%.1f |\n"
+        case _ => ()
+      }
+    }
+    q.get("knn_batch100_per_query").foreach { v =>
+      sb ++= f"\nBatched (100 queries, one job): **${v * 1000}%.1f ms/query** " +
+        f"(${q.getOrElse("knn_batch100_total", 0.0)}%.2f s total)\n"
+    }
+    sb ++= "\n"
+
+    // ---- 3. Recall vs probes ---------------------------------------
+    sb ++= "## 3. Pruned-search recall@10 vs probes (16-bucket store)\n\n"
+    sb ++= "```\n"
+    (1 to 4).foreach { p =>
+      q.get(s"knn_pruned_recall_at10_p${p}_of16").foreach { r =>
+        sb ++= f"probes=$p  ${bar(r)}%-40s $r%.3f\n"
+      }
+    }
+    sb ++= "```\n\n"
+
+    // ---- 4. Query-group totals + slowest ---------------------------
+    // The detail file carries per-query entries only; derive group
+    // totals from name prefixes (same mapping as Bench's headline).
+    val groupOf: String => String = n => n.head match {
+      case 'r' => "relational_total"
+      case 'v' => "vector_total"
+      case 'd' | 'm' => "text_dedup_total"
+      case 'e' => "embed_total"
+      case 's' => "stream_total"
+      case 'x' => "source_total"
+      case _   => "misc_total"
+    }
+    val groupable = q.filterNot { case (k, _) =>
+      k.startsWith("knn_") || k.startsWith("index_build") ||
+        k == "quant_index_build" || k.endsWith("_total")
+    }
+    val groups = groupable.groupBy { case (n, _) => groupOf(n) }
+      .map { case (g, es) => g -> es.values.sum }
+    if (groups.nonEmpty) {
+      sb ++= "## 4. Query-group wall time (s)\n\n```\n"
+      val mx = groups.values.max
+      groups.toSeq.sortBy(-_._2).foreach { case (g, v) =>
+        sb ++= f"$g%-22s ${bar(v / mx)}%-40s $v%.2f\n"
+      }
+      sb ++= "```\n\n"
+    }
+    val perQuery = q.filterNot { case (k, _) =>
+      k.startsWith("knn_") || k.startsWith("index_build") ||
+        k.endsWith("_total") || k == "quant_index_build"
+    }
+    if (perQuery.nonEmpty) {
+      sb ++= "### Slowest 10 queries\n\n| query | s |\n|---|---|\n"
+      perQuery.toSeq.sortBy(-_._2).take(10).foreach { case (k, v) =>
+        sb ++= f"| $k | $v%.2f |\n"
+      }
+      sb ++= "\n"
+    }
+
+    // ---- 5. Shard distribution (generate_report.py:207,
+    //         performance_analysis.py:224-235) ----------------------
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val stats = SparkEntry.queries("v10_stats")(spark, sfDir).collect()
+      if (stats.nonEmpty) {
+        val cols = SparkEntry.queries("v10_stats")(spark, sfDir).columns
+        val cntIdx = cols.indexOf("cnt")
+        val maxCnt = stats.map(_.getLong(cntIdx)).max.toDouble
+        sb ++= "## 5. Shard (bucket) distribution\n\n```\n"
+        stats.foreach { r =>
+          val b = r.get(cols.indexOf("bucket"))
+          val c = r.getLong(cntIdx)
+          sb ++= f"bucket $b%-4s ${bar(c / maxCnt)}%-40s $c%d\n"
+        }
+        sb ++= "```\n\n"
+        val iIdx = cols.indexOf("imbalance")
+        if (iIdx >= 0)
+          sb ++= f"- imbalance (max−min)/avg: ${stats.head.getDouble(iIdx)}%.4f\n"
+        val mIdx = cols.indexOf("memory_mb")
+        if (mIdx >= 0)
+          sb ++= f"- estimated resident size: ${stats.map(_.getDouble(mIdx)).sum}%.2f MB\n"
+        sb ++= "\n"
+      }
+    } catch { case e: Throwable =>
+      sb ++= s"## 5. Shard distribution\n\n_unavailable: ${e.getMessage}_\n\n"
+    } finally spark.stop()
+
+    Files.write(Paths.get(outPath), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $outPath")
+  }
+}
