@@ -15,7 +15,8 @@ object Registry {
       BatteryQueries.all ++
       Round3Queries.all ++
       Round4Queries.all ++
-      Round4bQueries.all
+      Round4bQueries.all ++
+      Round5Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

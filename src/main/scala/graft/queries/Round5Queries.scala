@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Round-5 training-data-pipeline additions over `documents`:
+  * deterministic domain-mixture sampling (d15), quality-tiered epoch
+  * upsampling (d16), and a dataset-card statistics rollup (p7).
+  *
+  * These are the corpus-composition operators a 100 TB pretraining
+  * pipeline runs after cleaning/dedup: rebalance the language/domain
+  * mix, upsample the high-quality tail, and publish the dataset card.
+  * The reference has no analog (its corpus is one homogeneous vector
+  * table); these generalize its A-series statistics operators
+  * (`performance_analysis.py:224-235`) to the curation domain.
+  *
+  * All three are single-pass declarative plans: d15/d16 are row-local
+  * (filter / generator inside whole-stage codegen, no shuffle at any
+  * scale); p7 shuffles once on its rollup keys with partial
+  * aggregation map-side.
+  */
+object Round5Queries {
+
+  /** Deterministic per-doc uniform hash in [0, 2^20): a Knuth
+    * multiplicative hash expressed in plain BIGINT arithmetic so the
+    * DuckDB oracle computes the identical value — this is what makes
+    * SAMPLING oracle-checkable (a6_sample's engine-seeded RNG can
+    * only ever get a rows-only check). At scale the same trick makes
+    * the sample reproducible across reruns and engines — a property
+    * training-data pipelines need for auditability.
+    */
+  private val HashMod = 1L << 20
+  private def mixHash = (col("doc_id") * lit(2654435761L)) % lit(HashMod)
+  private val MixHashSql = s"(doc_id * 2654435761) % ${HashMod}"
+
+  val all: Seq[Q] = Seq(
+
+    // D15 — domain-mixture sampling: downsample over-represented
+    // languages (en to 50%, es/fr to 75%, keep de/zh whole) with the
+    // deterministic doc_id hash. Row-local predicate -> pushed to the
+    // scan, zero shuffle, and the kept set is stable under reruns,
+    // repartitioning, and engine choice.
+    Q("d15_domain_mix",
+      (s, d) => {
+        val thr = when(col("lang") === "en", lit(HashMod / 2))
+          .when(col("lang").isin("es", "fr"), lit(HashMod * 3 / 4))
+          .otherwise(lit(HashMod))
+        Tables.documents(s, d)
+          .where(mixHash < thr)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+           |WHERE $MixHashSql <
+           |  CASE WHEN lang = 'en' THEN ${HashMod / 2}
+           |       WHEN lang IN ('es', 'fr') THEN ${HashMod * 3 / 4}
+           |       ELSE ${HashMod} END
+           |ORDER BY doc_id""".stripMargin)),
+
+    // D16 — quality-tiered epoch upsampling: long documents are seen
+    // 3 times per training epoch, medium 2, short 1 (the "repeat the
+    // good data" knob every LLM data recipe exposes). The repeat
+    // factor is a row-local CASE and the expansion is a generator
+    // (explode of a bounded sequence) — no join, no shuffle; output
+    // size is sum(n_epochs), known up front.
+    Q("d16_upsample_epochs",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_epochs",
+          when(col("n_chars") >= 400, lit(3L))
+            .when(col("n_chars") >= 200, lit(2L))
+            .otherwise(lit(1L)))
+        .select(col("doc_id"), col("n_epochs"),
+          explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+        .orderBy("doc_id", "epoch"),
+      Some("""SELECT doc_id, ne AS n_epochs,
+           |  unnest(generate_series(1, ne)) AS epoch
+           |FROM (SELECT doc_id,
+           |        CAST(CASE WHEN n_chars >= 400 THEN 3
+           |                  WHEN n_chars >= 200 THEN 2
+           |                  ELSE 1 END AS BIGINT) AS ne
+           |      FROM documents)
+           |ORDER BY doc_id, epoch""".stripMargin)),
+
+    // P7 — dataset card: the publishable per-(source, lang) corpus
+    // statistics table with rollup subtotals and a grand total — doc
+    // counts, exact char/token sums, mean length. One shuffle on the
+    // grouping keys; counts and sums combine map-side, so the
+    // exchange carries one row per (source, lang, grouping-set)
+    // triple regardless of corpus size. Sums stay integer-exact
+    // (BIGINT on both engines; DuckDB's HUGEINT sum is cast back).
+    Q("p7_dataset_card",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tok", size(TF.words(col("text"))).cast("long"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(col("n_tok")).as("n_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("source"), col("lang")),
+      Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           |  round(avg(n_chars), 6) AS avg_chars
+           |FROM documents GROUP BY ROLLUP (source, lang)
+           |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin))
+  )
+}

@@ -776,6 +776,61 @@ object StreamingQueries {
       },
       Some("""SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
           |  CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S18 — the Spark 4 transformWithState API (the successor to
+    // mapGroupsWithState used by s8): a StatefulProcessor holding a
+    // typed MapState[event_type -> count] per user, emitting updated
+    // counts each micro-batch. MapState is the right state shape here
+    // because updates touch ONE sub-key per row — under RocksDB each
+    // (user, event_type) entry is its own store key, so a hot user
+    // with many event types doesn't rewrite a monolithic blob per
+    // update the way a ValueState[Map] (or s8's tuple state) would.
+    // transformWithState requires the RocksDB provider; set/restore
+    // like s12. Final per-key counts = the batch group-by.
+    Q("s18_transform_with_state",
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+          Tables.events(s, d)
+          val schema = s.read.parquet(s"$d/events.parquet").schema
+          val name = s"s18_sink_${sinkId.incrementAndGet()}"
+          val ckpt = graft.util.TempDirs.create("graft_s18_ckpt").toString
+          val srcDir = graft.util.TempDirs.create("graft_s18_src")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            srcDir.resolve("events.parquet"))
+          val q = s.readStream.schema(schema).parquet(srcDir.toString)
+            .select(col("user_id"), col("event_type"))
+            .as[(Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(new EventTypeCountsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "event_type", "n")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          // one emission per (key, batch); the final count per
+          // (user, event_type) is the largest emitted
+          s.table(name).groupBy("user_id", "event_type")
+            .agg(max("n").as("n"))
+            .orderBy("user_id", "event_type")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   ).map { q =>
     // Every streaming run (source staging, stream start,
@@ -783,5 +838,37 @@ object StreamingQueries {
     // partitioning; the returned batch frame over the memory sink is
     // materialized later, outside the override.
     q.copy(run = (s, d) => withStateShuffle(s)(q.run(s, d)))
+  }
+}
+
+/** s18's StatefulProcessor: per-user running counts by event type in
+  * a typed MapState. Emits (user, event_type, updated_count) for each
+  * sub-key touched in the micro-batch — update-mode granularity, so
+  * downstream sees only changed counts, never a full re-emission.
+  */
+private class EventTypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String)],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, String, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { case (_, et) =>
+      val n = if (counts.containsKey(et)) counts.getValue(et) else 0L
+      counts.updateValue(et, n + 1)
+      touched += et
+    }
+    touched.iterator.map(et => (key, et, counts.getValue(et)))
   }
 }
