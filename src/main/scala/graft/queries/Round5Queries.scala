@@ -103,6 +103,68 @@ object Round5Queries {
            |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            |  round(avg(n_chars), 6) AS avg_chars
            |FROM documents GROUP BY ROLLUP (source, lang)
-           |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin))
+           |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
+
+    // X18 — REAL image decode (javax.imageio, pure JDK, headless):
+    // closes the S5 decode gap that x7/x16 stub. Each row encodes a
+    // deterministic 8×8 grayscale PNG (pixel (x,y) = (doc_id·31 +
+    // 8x + y) mod 256), then DECODES the actual PNG bytes back and
+    // reports decoded dimensions + pixel sum/min/max. The oracle
+    // computes the same statistics in closed form from the generation
+    // rule — so a broken encoder, decoder, or raster traversal all
+    // hash-mismatch. The decode runs in a typed mapPartitions (the
+    // documented multimodal tier: binary column in, typed features
+    // out, one codec instance per partition, embarrassingly parallel
+    // at any scale). Only the NEURAL featurizer stays out of scope
+    // (no model weights in-container); the codec path is real.
+    Q("x18_image_decode",
+      (s, d) => {
+        import s.implicits._
+        val stats = Tables.documents(s, d).where(col("doc_id") < 100)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              var x = 0
+              while (x < 8) {
+                var y = 0
+                while (y < 8) {
+                  img.getRaster.setSample(x, y, 0,
+                    ((id * 31 + x * 8 + y) % 256).toInt)
+                  y += 1
+                }
+                x += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val png = bos.toByteArray // real PNG bytes on the wire
+              val back = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(png))
+              var sum = 0L; var mn = 255L; var mx = 0L
+              var i = 0
+              while (i < back.getWidth) {
+                var j = 0
+                while (j < back.getHeight) {
+                  val v = back.getRaster.getSample(i, j, 0).toLong
+                  sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                  j += 1
+                }
+                i += 1
+              }
+              (id, back.getWidth.toLong, back.getHeight.toLong, sum, mn, mx)
+            }
+          }
+          .toDF("doc_id", "width", "height", "px_sum", "px_min", "px_max")
+        stats.orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(8 AS BIGINT) AS width,
+           |  CAST(8 AS BIGINT) AS height,
+           |  CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS px_sum,
+           |  CAST(min((doc_id * 31 + i) % 256) AS BIGINT) AS px_min,
+           |  CAST(max((doc_id * 31 + i) % 256) AS BIGINT) AS px_max
+           |FROM documents, (SELECT unnest(range(0, 64)) AS i) g
+           |WHERE doc_id < 100
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
