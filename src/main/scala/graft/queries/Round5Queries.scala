@@ -105,6 +105,31 @@ object Round5Queries {
            |FROM documents GROUP BY ROLLUP (source, lang)
            |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
 
+    // D17 — deterministic train/val/test split (90/5/5): the same
+    // BIGINT-hash trick as d15 but with an additive salt, so split
+    // assignment is INDEPENDENT of the mix-sampling decision (a doc
+    // downsampled by d15 is not biased toward any split). Row-local,
+    // shuffle-free, reproducible across engines and reruns — the
+    // properties an auditable corpus split needs. The oracle checks
+    // every row's assignment, not just the proportions.
+    Q("d17_train_split",
+      (s, d) => {
+        val h = (col("doc_id") * lit(2654435761L) + lit(40503L)) % lit(HashMod)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(h < lit(HashMod * 9 / 10), "train")
+              .when(h < lit(HashMod * 19 / 20), "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+           |  CASE WHEN (doc_id * 2654435761 + 40503) % ${HashMod}
+           |         < ${HashMod * 9 / 10} THEN 'train'
+           |       WHEN (doc_id * 2654435761 + 40503) % ${HashMod}
+           |         < ${HashMod * 19 / 20} THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // X18 — REAL image decode (javax.imageio, pure JDK, headless):
     // closes the S5 decode gap that x7/x16 stub. Each row encodes a
     // deterministic 8×8 grayscale PNG (pixel (x,y) = (doc_id·31 +
