@@ -105,6 +105,39 @@ object Round5Queries {
            |FROM documents GROUP BY ROLLUP (source, lang)
            |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
 
+    // R73 — wide→long reshaping with the native DataFrame `unpivot`
+    // (Spark 4 melt): four measure columns become (metric, value)
+    // rows. Catalyst plans this as an Expand projection in the scan
+    // stage — 4× the rows but ZERO shuffle, the shape that survives
+    // any scale (vs the naive 4-way self-union that scans the table
+    // four times). Oracle is the equivalent UNION ALL.
+    Q("r73_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"),
+            col("l_discount").cast("double").as("discount"),
+            col("l_tax").cast("double").as("tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, metric,
+           |  CAST(value AS DOUBLE) AS value
+           |FROM (
+           |  SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+           |         l_quantity AS value FROM lineitem
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+           |WHERE l_orderkey < 100
+           |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
     // D17 — deterministic train/val/test split (90/5/5): the same
     // BIGINT-hash trick as d15 but with an additive salt, so split
     // assignment is INDEPENDENT of the mix-sampling decision (a doc
