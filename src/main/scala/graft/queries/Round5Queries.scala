@@ -105,6 +105,62 @@ object Round5Queries {
            |FROM documents GROUP BY ROLLUP (source, lang)
            |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
 
+    // P8 — PMI collocation scoring: pointwise mutual information of
+    // adjacent word pairs, the classic corpus-quality / phrase-mining
+    // signal (word-salad text scores near 0; real text surfaces
+    // collocations). Bigrams come from a GENERATOR over each doc's
+    // word array (no self-join); the two marginal joins are plain
+    // equi joins on the word key — shuffle-bounded by vocabulary,
+    // never broadcast-forced (a 100 TB corpus vocabulary may exceed
+    // broadcast limits; AQE still broadcasts when it fits). The only
+    // nested loop is the 1-row token-total broadcast. Inclusion is
+    // decided by an INTEGER count threshold (n_ab >= 5), never by an
+    // FP comparison, so the row set is engine-exact; PMI itself is
+    // the same double expression on both sides, rounded to 6dp.
+    // Marginal products go through DOUBLE before multiplying — BIGINT
+    // n_a * n_b overflows at corpus scale.
+    Q("p8_pmi_collocations",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("w", TF.words(col("text")))
+        val uni = docs.select(explode(col("w")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n_w"))
+        val tot = uni.agg(sum("n_w").cast("double").as("n_tok"))
+        val big = docs.where(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(w) - 2), " +
+              "i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 5)
+        big
+          .join(uni.select(col("word").as("a"), col("n_w").as("n_a")), "a")
+          .join(uni.select(col("word").as("b"), col("n_w").as("n_b")), "b")
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("n_ab"),
+            round(log(col("n_ab") * col("n_tok") /
+              (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+              .as("pmi"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |uni AS (
+           |  SELECT u.word, count(*) AS n_w
+           |  FROM w, unnest(l) AS u(word) GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n_tok FROM uni),
+           |big AS (
+           |  SELECT l[i] AS a, l[i + 1] AS b, count(*) AS n_ab
+           |  FROM w, unnest(range(1, len(l))) AS u(i)
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT big.a, big.b, CAST(n_ab AS BIGINT) AS n_ab,
+           |  round(ln(n_ab * n_tok /
+           |    (CAST(ua.n_w AS DOUBLE) * CAST(ub.n_w AS DOUBLE))), 6) AS pmi
+           |FROM big, tot
+           |JOIN uni ua ON ua.word = big.a
+           |JOIN uni ub ON ub.word = big.b
+           |ORDER BY a, b""".stripMargin)),
+
     // R73 — wide→long reshaping with the native DataFrame `unpivot`
     // (Spark 4 melt): four measure columns become (metric, value)
     // rows. Catalyst plans this as an Expand projection in the scan

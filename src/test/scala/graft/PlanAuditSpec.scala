@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "v18_batch_radius",   // 5 broadcast radius queries × corpus scan
     "x16_featurize_search", // 5 broadcast query features × corpus
     "r46_cross_join",     // explicit tiny-dim cross join (5×5)
+    "p8_pmi_collocations", // 1-row token-total broadcast
     "r39_hll_sketch",     // 1-row sketch × 1-row sketch merge
     "r67_tpch_q11",       // 1-row global threshold, Cross BuildRight
     "r62_tpch_q15"        // 1-row max-revenue scalar (plan varies

@@ -75,6 +75,27 @@ class Round5Spec extends AnyFunSuite {
     assert(grand.head.getAs[Long]("n_docs") == nDocs)
   }
 
+  test("r73 unpivot is an Expand in the scan stage, not a multi-scan union") {
+    val p = plan("r73_unpivot")
+    assert(p.contains("Expand"), s"expected Expand:\n$p")
+    assert(!p.contains("Union"), s"should not plan a union of scans:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no wide shuffle belongs here:\n$p")
+  }
+
+  test("p8 bigrams come from a generator and join marginals on the word key") {
+    val p = plan("p8_pmi_collocations")
+    assert(p.contains("Generate"), s"expected generator bigrams:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // d17/d15 hashes must be independent: the salted split of the
+    // d15-kept docs still lands ~90/5/5
+    val kept = run("d15_domain_mix").select("doc_id")
+    val split = run("d17_train_split").join(kept, "doc_id")
+    val frac = split.where(col("split") === "train").count().toDouble /
+      split.count()
+    assert(frac > 0.8 && frac < 0.97, s"train fraction off: $frac")
+  }
+
   test("s18 transformWithState keeps MapState across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
