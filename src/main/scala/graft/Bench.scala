@@ -21,6 +21,20 @@ import graft.lsh.LshConfig
   *    of probes=2/3 pruned search vs exact top-10).
   */
 object Bench {
+
+  /** Query-name prefix → headline group total. Shared with Report so
+    * its section-4 group bars always match the bench's group totals.
+    */
+  private[graft] def groupOf(n: String): String = n.head match {
+    case 'r' => "relational_total"
+    case 'v' => "vector_total"
+    case 'd' | 'm' => "text_dedup_total"
+    case 'e' => "embed_total"
+    case 's' => "stream_total"
+    case 'x' => "source_total"
+    case _   => "misc_total"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -241,16 +255,7 @@ object Bench {
 
     // Compact headline line for the driver: the BASELINE.md kNN
     // protocol verbatim + per-group totals + a few flagship queries.
-    val groupOf: String => String = n => n.head match {
-      case 'r' => "relational_total"
-      case 'v' => "vector_total"
-      case 'd' | 'm' => "text_dedup_total"
-      case 'e' => "embed_total"
-      case 's' => "stream_total"
-      case 'x' => "source_total"
-      case _   => "misc_total"
-    }
-    val groups = perQuery.groupBy { case (n, _) => groupOf(n) }
+    val groups = perQuery.groupBy { case (n, _) => Bench.groupOf(n) }
       .map { case (g, es) => g -> es.map(_._2).sum }
       .toSeq.sortBy(_._1)
     val flagship = Set("r6_tpch_q1", "r9_window_rank", "m1_minhash_pairs",

@@ -92,21 +92,12 @@ object Report {
 
     // ---- 4. Query-group totals + slowest ---------------------------
     // The detail file carries per-query entries only; derive group
-    // totals from name prefixes (same mapping as Bench's headline).
-    val groupOf: String => String = n => n.head match {
-      case 'r' => "relational_total"
-      case 'v' => "vector_total"
-      case 'd' | 'm' => "text_dedup_total"
-      case 'e' => "embed_total"
-      case 's' => "stream_total"
-      case 'x' => "source_total"
-      case _   => "misc_total"
-    }
-    val groupable = q.filterNot { case (k, _) =>
+    // totals via Bench.groupOf (the single shared mapping).
+    val perQuery = q.filterNot { case (k, _) =>
       k.startsWith("knn_") || k.startsWith("index_build") ||
         k == "quant_index_build" || k.endsWith("_total")
     }
-    val groups = groupable.groupBy { case (n, _) => groupOf(n) }
+    val groups = perQuery.groupBy { case (n, _) => Bench.groupOf(n) }
       .map { case (g, es) => g -> es.values.sum }
     if (groups.nonEmpty) {
       sb ++= "## 4. Query-group wall time (s)\n\n```\n"
@@ -115,10 +106,6 @@ object Report {
         sb ++= f"$g%-22s ${bar(v / mx)}%-40s $v%.2f\n"
       }
       sb ++= "```\n\n"
-    }
-    val perQuery = q.filterNot { case (k, _) =>
-      k.startsWith("knn_") || k.startsWith("index_build") ||
-        k.endsWith("_total") || k == "quant_index_build"
     }
     if (perQuery.nonEmpty) {
       sb ++= "### Slowest 10 queries\n\n| query | s |\n|---|---|\n"
@@ -140,9 +127,10 @@ object Report {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val stats = SparkEntry.queries("v10_stats")(spark, sfDir).collect()
+      val statsDf = SparkEntry.queries("v10_stats")(spark, sfDir)
+      val stats = statsDf.collect()
       if (stats.nonEmpty) {
-        val cols = SparkEntry.queries("v10_stats")(spark, sfDir).columns
+        val cols = statsDf.columns
         val cntIdx = cols.indexOf("cnt")
         val maxCnt = stats.map(_.getLong(cntIdx)).max.toDouble
         sb ++= "## 5. Shard (bucket) distribution\n\n```\n"

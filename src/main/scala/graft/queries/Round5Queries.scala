@@ -29,10 +29,21 @@ object Round5Queries {
     * only ever get a rows-only check). At scale the same trick makes
     * the sample reproducible across reruns and engines — a property
     * training-data pipelines need for auditability.
+    *
+    * The id is reduced mod 2^20 BEFORE the multiply, keeping the
+    * product below ~2.8e15 for any BIGINT doc_id: without it,
+    * doc_id >= ~3.5e9 silently wraps negative in Spark (non-ANSI
+    * multiply) while DuckDB raises an overflow error — cross-engine
+    * drift on exactly the corpora this operator targets. The odd
+    * multiplier is a bijection on [0, 2^20), so the hash stays
+    * exactly uniform over any full residue range; ids 2^20 apart
+    * share a decision (documented correlation, harmless for
+    * rate-based sampling).
     */
   private val HashMod = 1L << 20
-  private def mixHash = (col("doc_id") * lit(2654435761L)) % lit(HashMod)
-  private val MixHashSql = s"(doc_id * 2654435761) % ${HashMod}"
+  private def mixHash =
+    ((col("doc_id") % lit(HashMod)) * lit(2654435761L)) % lit(HashMod)
+  private val MixHashSql = s"((doc_id % ${HashMod}) * 2654435761) % ${HashMod}"
 
   val all: Seq[Q] = Seq(
 
@@ -203,7 +214,8 @@ object Round5Queries {
     // every row's assignment, not just the proportions.
     Q("d17_train_split",
       (s, d) => {
-        val h = (col("doc_id") * lit(2654435761L) + lit(40503L)) % lit(HashMod)
+        val h = ((col("doc_id") % lit(HashMod)) * lit(2654435761L) +
+          lit(40503L)) % lit(HashMod)
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             when(h < lit(HashMod * 9 / 10), "train")
@@ -212,10 +224,10 @@ object Round5Queries {
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, lang,
-           |  CASE WHEN (doc_id * 2654435761 + 40503) % ${HashMod}
-           |         < ${HashMod * 9 / 10} THEN 'train'
-           |       WHEN (doc_id * 2654435761 + 40503) % ${HashMod}
-           |         < ${HashMod * 19 / 20} THEN 'val'
+           |  CASE WHEN ((doc_id % ${HashMod}) * 2654435761 + 40503)
+           |         % ${HashMod} < ${HashMod * 9 / 10} THEN 'train'
+           |       WHEN ((doc_id % ${HashMod}) * 2654435761 + 40503)
+           |         % ${HashMod} < ${HashMod * 19 / 20} THEN 'val'
            |       ELSE 'test' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin)),
 

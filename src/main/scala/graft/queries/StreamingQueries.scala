@@ -845,8 +845,10 @@ object StreamingQueries {
   * a typed MapState. Emits (user, event_type, updated_count) for each
   * sub-key touched in the micro-batch — update-mode granularity, so
   * downstream sees only changed counts, never a full re-emission.
+  * Visible to tests so Round5Spec drives THIS class (not a clone)
+  * across multiple micro-batches.
   */
-private class EventTypeCountsProcessor
+private[graft] class EventTypeCountsProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, String), (Long, String, Long)] {
   import org.apache.spark.sql.Encoders

@@ -41,8 +41,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    // structural exclusion: the streaming queries are exactly the ones
+    // declared in StreamingQueries (not a name-prefix convention)
+    val streaming = graft.queries.StreamingQueries.all.map(_.name).toSet
     graft.queries.Registry.all
-      .filterNot(_.name.startsWith("s"))
+      .filterNot(q => streaming(q.name))
       .foreach { q =>
         val plan =
           try q.run(spark, sf).queryExecution.executedPlan.toString

@@ -120,7 +120,7 @@ class Round5Spec extends AnyFunSuite {
         .parquet(srcDir.toString + "/part_*")
         .as[(Long, String)]
         .groupByKey(_._1)
-        .transformWithState(new EventTypeCountsProcessorProbe,
+        .transformWithState(new graft.queries.EventTypeCountsProcessor,
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "event_type", "n")
         .writeStream.format("memory").queryName("s18_spec_sink")
@@ -145,32 +145,5 @@ class Round5Spec extends AnyFunSuite {
         case None => spark.conf.unset(key)
       }
     }
-  }
-}
-
-/** Test-visible clone of s18's processor (the query's own class is
-  * file-private to StreamingQueries).
-  */
-private class EventTypeCountsProcessorProbe
-    extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, String), (Long, String, Long)] {
-  import org.apache.spark.sql.Encoders
-  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode}
-  @transient private var counts: MapState[String, Long] = _
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    counts = getHandle.getMapState[String, Long](
-      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
-  override def handleInputRows(
-      key: Long,
-      rows: Iterator[(Long, String)],
-      timers: org.apache.spark.sql.streaming.TimerValues)
-      : Iterator[(Long, String, Long)] = {
-    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
-    rows.foreach { case (_, et) =>
-      val n = if (counts.containsKey(et)) counts.getValue(et) else 0L
-      counts.updateValue(et, n + 1)
-      touched += et
-    }
-    touched.iterator.map(et => (key, et, counts.getValue(et)))
   }
 }
