@@ -16,7 +16,8 @@ object Registry {
       Round3Queries.all ++
       Round4Queries.all ++
       Round4bQueries.all ++
-      Round5Queries.all
+      Round5Queries.all ++
+      Round5bQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

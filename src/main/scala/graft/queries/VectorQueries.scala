@@ -46,7 +46,7 @@ object VectorQueries {
     */
   @volatile private var v8Oracle: Option[String] = None
 
-  private def knnOracle(k: Int, where: String = "TRUE"): String =
+  private[queries] def knnOracle(k: Int, where: String = "TRUE"): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
        |SELECT vec_id, round(d, 6) AS dist FROM (
        |  SELECT e.vec_id AS vec_id, ${DuckSql.l2sq("e.embedding", "q.qe")} AS d

@@ -1,0 +1,410 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataOutputStream, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.JavaConverters._
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Hadoop Configuration is not Serializable; DSv2 reader/writer
+  * factories are shipped to executors, so snapshot the conf as plain
+  * key/value pairs at plan time and rebuild lazily on the executor.
+  * (Public-API alternative to Spark's private SerializableConfiguration.)
+  */
+final class HadoopConfSnapshot(entries: Array[(String, String)]) extends Serializable {
+  @transient lazy val conf: Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+object HadoopConfSnapshot {
+  def capture(c: Configuration): HadoopConfSnapshot =
+    new HadoopConfSnapshot(c.iterator().asScala.map(e => e.getKey -> e.getValue).toArray)
+}
+
+/** DataSource V2 connector for the reference's true at-rest format:
+  * NumPy NPZ shards — a zip holding `embeddings.npy` (n×d float32) and
+  * `image_ids.npy` (n int64), exactly what
+  * `generate_coco_embeddings.py:87-91` persists and
+  * `load_coco_embeddings.py:17-22` re-reads. A user of the reference
+  * can point this source at their existing NPZ files unchanged:
+  *
+  *   spark.read.format("npz").load(dir)          // id BIGINT, vector ARRAY<FLOAT>
+  *   df.write.format("npz").mode("append").save(dir)
+  *
+  * Scale posture:
+  *  - parallelism is per FILE (the reference writes one NPZ per shard;
+  *    a 100 TB corpus is many shard files). A zip entry body cannot be
+  *    row-split without an offset index because entries may be
+  *    DEFLATE-compressed (savez_compressed), so within-file splitting
+  *    is intentionally not attempted — size files at write time instead
+  *    (one file per task, below).
+  *  - column pruning is pushed into the scan: a query touching only
+  *    `id` streams the 8-byte/row ids entry and never opens the d×4
+  *    bytes/row vectors entry (asserted in NpzSourceSpec against a file
+  *    with a deliberately truncated vectors entry). An empty projection
+  *    (count(*)) reads only the ids NPY header.
+  *  - the reader streams: O(d) per-row buffer for vectors plus the ids
+  *    array (8 bytes/row of one file) — no whole-entry materialization.
+  *  - the writer buffers vector bytes in a task-local scratch file (the
+  *    NPY header needs the row count up front and zip streams cannot
+  *    seek back), so task memory stays O(d); each task commits one
+  *    `part-<partition>-<task>.npz` via write-to-hidden-tmp + rename.
+  *
+  * Accepted dtypes: vectors `<f4`/`<f8` (doubles narrowed to float),
+  * ids `<i8`/`<i4`. Entry names are options `vectorsEntry`/`idsEntry`
+  * (defaults match the reference).
+  */
+class NpzVectorSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "npz"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NpzVectorSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new NpzTable(new CaseInsensitiveStringMap(properties))
+}
+
+object NpzVectorSource {
+  val DefaultVectorsEntry = "embeddings.npy"
+  val DefaultIdsEntry = "image_ids.npy"
+
+  // Nullable-typed for append-resolution friendliness (parquet-sourced
+  // frames carry nullable columns); the reader never emits nulls and
+  // the writer rejects them.
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("vector", ArrayType(FloatType, containsNull = true), nullable = true)))
+
+  /** Position the stream at the body of the named zip entry. */
+  def openEntry(fs: FileSystem, path: Path, entryName: String): (InputStream, NpyHeader) = {
+    val zin = new ZipInputStream(new BufferedInputStream(fs.open(path), 1 << 16))
+    try {
+      var e = zin.getNextEntry
+      while (e != null && e.getName != entryName) e = zin.getNextEntry
+      require(e != null, s"$path: zip entry '$entryName' not found")
+      (zin, Npy.readHeader(zin))
+    } catch { case t: Throwable => zin.close(); throw t }
+  }
+}
+
+final class NpzTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val pathOpt: String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "npz source requires a path")
+    p
+  }
+  private val vectorsEntry =
+    options.getOrDefault("vectorsEntry", NpzVectorSource.DefaultVectorsEntry)
+  private val idsEntry =
+    options.getOrDefault("idsEntry", NpzVectorSource.DefaultIdsEntry)
+
+  private def hadoopConf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def name(): String = s"npz($pathOpt)"
+  override def schema(): StructType = NpzVectorSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // Resolve files driver-side, once: glob, then expand directories one
+    // level (the write layout), taking *.npz and skipping hidden files.
+    val conf = hadoopConf
+    val p = new Path(pathOpt)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".npz") &&
+            !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    new NpzScanBuilder(files, vectorsEntry, idsEntry, HadoopConfSnapshot.capture(conf))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NpzWriteBuilder(pathOpt, info.schema(), vectorsEntry, idsEntry,
+      HadoopConfSnapshot.capture(hadoopConf))
+}
+
+// ---------------------------------------------------------------- read
+
+final class NpzScanBuilder(
+    files: Seq[String], vectorsEntry: String, idsEntry: String,
+    snap: HadoopConfSnapshot)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = NpzVectorSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new NpzScan(files, required, vectorsEntry, idsEntry, snap)
+}
+
+final class NpzScan(
+    files: Seq[String], required: StructType,
+    vectorsEntry: String, idsEntry: String, snap: HadoopConfSnapshot)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"NpzScan[files=${files.size}, columns=${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => NpzInputPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NpzReaderFactory(required, vectorsEntry, idsEntry, snap)
+}
+
+final case class NpzInputPartition(path: String) extends InputPartition
+
+final class NpzReaderFactory(
+    required: StructType, vectorsEntry: String, idsEntry: String,
+    snap: HadoopConfSnapshot)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NpzPartitionReader(
+      partition.asInstanceOf[NpzInputPartition].path,
+      required, vectorsEntry, idsEntry, snap)
+}
+
+/** Streams one NPZ file. Ids are read in a first cheap pass (8 B/row);
+  * vectors stream row-by-row in the second, only if projected.
+  */
+final class NpzPartitionReader(
+    pathStr: String, required: StructType,
+    vectorsEntry: String, idsEntry: String, snap: HadoopConfSnapshot)
+    extends PartitionReader[InternalRow] {
+
+  private val needId = required.fieldNames.contains("id")
+  private val needVec = required.fieldNames.contains("vector")
+  private val path = new Path(pathStr)
+  private val fs = path.getFileSystem(snap.conf)
+
+  private var ids: Array[Long] = null
+  private var n: Long = -1L
+  private var vecIn: InputStream = null
+  private var dim = 0
+  private var elemSize = 4
+  private var isF8 = false
+  private var rowBuf: Array[Byte] = null
+  private var floats: Array[Float] = null
+  private var i = -1L
+
+  // ids pass — also the row count when vectors aren't projected
+  if (needId || !needVec) {
+    val (in, hdr) = NpzVectorSource.openEntry(fs, path, idsEntry)
+    try {
+      if (needId) ids = Npy.readLongs(in, hdr)
+      n = hdr.rows
+    } finally in.close()
+  }
+  if (needVec) {
+    val (in, hdr) = NpzVectorSource.openEntry(fs, path, vectorsEntry)
+    vecIn = in
+    require(hdr.shape.length == 2,
+      s"$pathStr: expected 2-D vectors in '$vectorsEntry', got shape ${hdr.shape}")
+    require(n < 0 || hdr.shape.head == n,
+      s"$pathStr: '$vectorsEntry' has ${hdr.shape.head} rows but '$idsEntry' has $n")
+    n = hdr.shape.head
+    dim = hdr.shape(1).toInt
+    isF8 = hdr.descr == "<f8"
+    elemSize = hdr.elemSize
+    require(hdr.descr == "<f4" || isF8,
+      s"$pathStr: unsupported vector descr '${hdr.descr}'")
+    rowBuf = new Array[Byte](dim * elemSize)
+    floats = new Array[Float](dim)
+  }
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= n) false
+    else {
+      if (needVec) {
+        Npy.readFully(vecIn, rowBuf)
+        val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
+        var j = 0
+        if (isF8) while (j < dim) { floats(j) = bb.getDouble().toFloat; j += 1 }
+        else while (j < dim) { floats(j) = bb.getFloat(); j += 1 }
+      }
+      true
+    }
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var f = 0
+    while (f < required.length) {
+      vals(f) = required.fields(f).name match {
+        case "id" => ids(i.toInt)
+        // fromPrimitiveArray copies, so the float buffer is reusable
+        case "vector" => UnsafeArrayData.fromPrimitiveArray(floats)
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+      f += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = if (vecIn != null) vecIn.close()
+}
+
+// --------------------------------------------------------------- write
+
+final class NpzWriteBuilder(
+    dir: String, schema: StructType, vectorsEntry: String, idsEntry: String,
+    snap: HadoopConfSnapshot)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new NpzBatchWrite(dir, schema, vectorsEntry, idsEntry, doTruncate, snap)
+  }
+}
+
+final case class NpzCommitMessage(file: String, rows: Long) extends WriterCommitMessage
+
+final class NpzBatchWrite(
+    dir: String, schema: StructType, vectorsEntry: String, idsEntry: String,
+    truncate: Boolean, snap: HadoopConfSnapshot)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // Driver-side setup: mkdir; on overwrite drop prior shard files
+    // (non-atomic replace, documented — same guarantee as Hadoop's
+    // non-transactional committers without a _temporary protocol).
+    val p = new Path(dir)
+    val fs = p.getFileSystem(snap.conf)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    if (truncate && fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".npz")) fs.delete(st.getPath, false)
+      }
+    new NpzWriterFactory(dir, schema, vectorsEntry, idsEntry, snap)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class NpzWriterFactory(
+    dir: String, schema: StructType, vectorsEntry: String, idsEntry: String,
+    snap: HadoopConfSnapshot)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NpzDataWriter(dir, schema, vectorsEntry, idsEntry, partitionId, taskId, snap)
+}
+
+/** One NPZ shard per task. Vector bytes spool to an executor-local
+  * scratch file (row count is unknown until the partition is drained,
+  * and NPY headers lead the body); ids accumulate at 8 B/row. Task
+  * commit assembles the zip at `.name.tmp` and renames — task-atomic.
+  */
+final class NpzDataWriter(
+    dir: String, schema: StructType, vectorsEntry: String, idsEntry: String,
+    partitionId: Int, taskId: Long, snap: HadoopConfSnapshot)
+    extends DataWriter[InternalRow] {
+
+  private val idIdx = schema.fieldIndex("id")
+  private val vecIdx = schema.fieldIndex("vector")
+  private val ids = new ArrayBuffer[Long]
+  private var dim = -1
+  private val scratch = java.io.File.createTempFile(s"npz-$partitionId-", ".vecs")
+  private val out = new DataOutputStream(
+    new BufferedOutputStream(new java.io.FileOutputStream(scratch), 1 << 16))
+  private var rowBB: ByteBuffer = null
+
+  override def write(record: InternalRow): Unit = {
+    require(!record.isNullAt(idIdx) && !record.isNullAt(vecIdx),
+      "npz sink rejects null id/vector")
+    ids += record.getLong(idIdx)
+    val arr = record.getArray(vecIdx)
+    val d = arr.numElements()
+    if (dim < 0) {
+      dim = d
+      rowBB = ByteBuffer.allocate(d * 4).order(ByteOrder.LITTLE_ENDIAN)
+    } else require(d == dim, s"ragged vector: $d elements, expected $dim")
+    rowBB.clear()
+    var j = 0
+    while (j < d) {
+      require(!arr.isNullAt(j), "npz sink rejects null vector elements")
+      rowBB.putFloat(arr.getFloat(j)); j += 1
+    }
+    out.write(rowBB.array(), 0, d * 4)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (ids.isEmpty) { scratch.delete(); return NpzCommitMessage(null, 0L) }
+    val name = f"part-$partitionId%05d-$taskId.npz"
+    val fs = new Path(dir).getFileSystem(snap.conf)
+    val tmp = new Path(dir, s".$name.tmp")
+    val dst = new Path(dir, name)
+    val zos = new ZipOutputStream(new BufferedOutputStream(fs.create(tmp, true), 1 << 16))
+    try {
+      zos.setLevel(1) // npz entries are deflated; favor speed over ratio
+      zos.putNextEntry(new ZipEntry(vectorsEntry))
+      zos.write(Npy.headerBytes("<f4", Seq(ids.length.toLong, dim.toLong)))
+      val in = new BufferedInputStream(new java.io.FileInputStream(scratch), 1 << 16)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r >= 0) { zos.write(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+      zos.closeEntry()
+      zos.putNextEntry(new ZipEntry(idsEntry))
+      zos.write(Npy.headerBytes("<i8", Seq(ids.length.toLong)))
+      val idBB = ByteBuffer.allocate(8 * 1024).order(ByteOrder.LITTLE_ENDIAN)
+      var k = 0
+      while (k < ids.length) {
+        idBB.clear()
+        val batch = math.min(1024, ids.length - k)
+        var j = 0
+        while (j < batch) { idBB.putLong(ids(k + j)); j += 1 }
+        zos.write(idBB.array(), 0, batch * 8)
+        k += batch
+      }
+      zos.closeEntry()
+    } finally {
+      zos.close()
+      scratch.delete()
+    }
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    NpzCommitMessage(dst.toString, ids.length.toLong)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    scratch.delete()
+    val fs = new Path(dir).getFileSystem(snap.conf)
+    val tmp = new Path(dir, f".part-$partitionId%05d-$taskId.npz.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
+}
