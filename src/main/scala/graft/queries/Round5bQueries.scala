@@ -141,6 +141,44 @@ object Round5bQueries {
           |FROM tok JOIN bl ON w = term
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S20 — STREAMING NPZ ingest: readStream over the shard directory
+    // (NpzMicroBatchStream) picks up newly-arrived files per trigger —
+    // the Spark-native analog of the reference's incremental loader
+    // (`load_coco_embeddings.py:58-112`). Two arrival waves; the
+    // checksum proves exactly-once pickup (re-reading wave-1 files in
+    // the wave-2 batch would double id_sum and hash-fail).
+    Q("s20_stream_npz_ingest",
+      (s, d) => {
+        val npzDir = graft.util.TempDirs.create("graft_s20_npz").toString
+        val outDir = graft.util.TempDirs.create("graft_s20_out").toString
+        val ckpt = graft.util.TempDirs.create("graft_s20_ckpt").toString
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vector"))
+        emb.where(col("id") % 2 === 0).repartition(2)
+          .write.format("npz").mode("append").save(npzDir)
+        val q = s.readStream.format("npz").load(npzDir)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        emb.where(col("id") % 2 === 1).repartition(2)
+          .write.format("npz").mode("append").save(npzDir)
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(outDir)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("id")).as("id_sum"),
+            sum(floor(element_at(col("vector"), 1).cast("double") * 1000)
+              .cast("long")).as("v1_milli_sum"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT))
+          |       AS BIGINT) AS v1_milli_sum
+          |FROM embeddings""".stripMargin)),
+
     // P9 — the reference-user migration capstone: NPZ shard files
     // (the reference's on-disk corpus, staged here through the npz
     // SINK) → read via the native npz SOURCE → LSH-bucketed

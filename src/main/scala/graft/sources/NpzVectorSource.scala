@@ -96,6 +96,25 @@ object NpzVectorSource {
     StructField("id", LongType, nullable = true),
     StructField("vector", ArrayType(FloatType, containsNull = true), nullable = true)))
 
+  /** Resolve the path option to concrete shard files: glob, then
+    * expand directories one level (the write layout), taking *.npz
+    * and skipping hidden/metadata files. Driver-side, one listing —
+    * the streaming source calls this once per trigger (the same
+    * O(files) cadence as Spark's own FileStreamSource).
+    */
+  def listFiles(conf: Configuration, pathStr: String): Seq[String] = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".npz") &&
+            !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+  }
+
   /** Position the stream at the body of the named zip entry. */
   def openEntry(fs: FileSystem, path: Path, entryName: String): (InputStream, NpyHeader) = {
     val zin = new ZipInputStream(new BufferedInputStream(fs.open(path), 1 << 16))
@@ -128,25 +147,12 @@ final class NpzTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = NpzVectorSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
-    // Resolve files driver-side, once: glob, then expand directories one
-    // level (the write layout), taking *.npz and skipping hidden files.
-    val conf = hadoopConf
-    val p = new Path(pathOpt)
-    val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".npz") &&
-            !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
-      else Seq(st)
-    }.map(_.getPath.toString).sorted
-    new NpzScanBuilder(files, vectorsEntry, idsEntry, HadoopConfSnapshot.capture(conf))
-  }
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new NpzScanBuilder(pathOpt, vectorsEntry, idsEntry,
+      HadoopConfSnapshot.capture(hadoopConf))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new NpzWriteBuilder(pathOpt, info.schema(), vectorsEntry, idsEntry,
@@ -156,20 +162,23 @@ final class NpzTable(options: CaseInsensitiveStringMap)
 // ---------------------------------------------------------------- read
 
 final class NpzScanBuilder(
-    files: Seq[String], vectorsEntry: String, idsEntry: String,
+    pathOpt: String, vectorsEntry: String, idsEntry: String,
     snap: HadoopConfSnapshot)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = NpzVectorSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new NpzScan(files, required, vectorsEntry, idsEntry, snap)
+    new NpzScan(pathOpt, required, vectorsEntry, idsEntry, snap)
 }
 
 final class NpzScan(
-    files: Seq[String], required: StructType,
+    pathOpt: String, required: StructType,
     vectorsEntry: String, idsEntry: String, snap: HadoopConfSnapshot)
     extends Scan with Batch {
+  // batch reads resolve the file set once, at plan time
+  private lazy val files: Seq[String] =
+    NpzVectorSource.listFiles(snap.conf, pathOpt)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -178,6 +187,59 @@ final class NpzScan(
     files.map(f => NpzInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new NpzReaderFactory(required, vectorsEntry, idsEntry, snap)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NpzMicroBatchStream(pathOpt, required, vectorsEntry, idsEntry, snap)
+}
+
+/** Streaming ingest over an append-only directory of NPZ shards — the
+  * Spark-native analog of the reference's incremental loader
+  * (`load_coco_embeddings.py:58-112`: NPZ → batched POSTs). An offset
+  * is the set of shard files seen so far (newline-joined in the
+  * checkpoint log); each trigger's batch is the newly-arrived files,
+  * one partition per file. Monotonicity is guaranteed by unioning the
+  * current listing with everything already seen, so a file deleted
+  * mid-stream can never move an offset backwards. Listing cadence is
+  * one `listStatus` per trigger — the same cost model as Spark's own
+  * FileStreamSource (at very large file counts, use its notification
+  * pattern; shard files at 100 TB are COARSE, sized by write tasks).
+  */
+final class NpzMicroBatchStream(
+    pathOpt: String, required: StructType,
+    vectorsEntry: String, idsEntry: String, snap: HadoopConfSnapshot)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var seen: Set[String] = Set.empty
+
+  override def initialOffset(): Offset = NpzOffset(Nil)
+
+  override def latestOffset(): Offset = {
+    seen = seen ++ NpzVectorSource.listFiles(snap.conf, pathOpt)
+    NpzOffset(seen.toSeq.sorted)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    NpzOffset(json.split('\n').toSeq.filter(_.nonEmpty))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val prev = start.asInstanceOf[NpzOffset].files.toSet
+    end.asInstanceOf[NpzOffset].files.filterNot(prev)
+      .map(f => NpzInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NpzReaderFactory(required, vectorsEntry, idsEntry, snap)
+
+  override def commit(end: Offset): Unit =
+    seen = seen ++ end.asInstanceOf[NpzOffset].files
+
+  override def stop(): Unit = ()
+}
+
+final case class NpzOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = files.mkString("\n")
 }
 
 final case class NpzInputPartition(path: String) extends InputPartition

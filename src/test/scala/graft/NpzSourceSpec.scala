@@ -107,6 +107,29 @@ class NpzSourceSpec extends AnyFunSuite {
     assert(spark.read.format("npz").load(dir).count() == 20)
   }
 
+  test("streaming read: each trigger picks up only newly arrived shard files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_npz_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_npz_stream_ck").toString
+    mkDf(10, 4).write.format("npz").mode("append").save(dir)
+    val q = spark.readStream.format("npz").load(dir)
+      .writeStream.format("memory").queryName("npz_stream_spec")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("npz_stream_spec").count() == 10)
+    // second wave: distinct ids, must arrive exactly once (no re-read
+    // of wave-1 files)
+    mkDf(10, 4).withColumn("id", col("id") + 1000)
+      .write.format("npz").mode("append").save(dir)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("npz_stream_spec")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.length == 20)
+    assert(ids.distinct.length == 20, "a shard file was read twice")
+    assert(ids.count(_ >= 1000) == 10)
+  }
+
   test("npy header writer round-trips through its own parser") {
     val h = Npy.headerBytes("<f4", Seq(123L, 64L))
     assert(h.length % 64 == 0)

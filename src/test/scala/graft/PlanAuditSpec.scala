@@ -44,8 +44,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     // structural exclusion: the streaming queries are exactly the ones
     // declared in StreamingQueries (not a name-prefix convention)
-    val streaming = graft.queries.StreamingQueries.all.map(_.name).toSet +
-      "s19_stream_session_timers" // declared in Round5bQueries
+    val streaming = graft.queries.StreamingQueries.all.map(_.name).toSet ++
+      // streaming queries declared in Round5bQueries
+      Set("s19_stream_session_timers", "s20_stream_npz_ingest")
     graft.queries.Registry.all
       .filterNot(q => streaming(q.name))
       .foreach { q =>
