@@ -130,6 +130,19 @@ class NpzSourceSpec extends AnyFunSuite {
     assert(ids.count(_ >= 1000) == 10)
   }
 
+  test("SQL surface: npz reads query through a registered view") {
+    // `SELECT ... FROM npz.`path`` direct-file SQL is restricted by
+    // Spark to FileFormat sources (ResolveSQLOnFile); the supported
+    // SQL route for a TableProvider is a registered view.
+    val dir = java.nio.file.Files.createTempDirectory("graft_npz_sql").toString
+    mkDf(12, 4).write.format("npz").mode("append").save(dir)
+    spark.read.format("npz").load(dir).createOrReplaceTempView("npz_sql_spec")
+    val n = spark.sql(
+      "SELECT count(*) AS n, sum(id) AS s FROM npz_sql_spec").head()
+    assert(n.getLong(0) == 12)
+    assert(n.getLong(1) == (0 until 12).map(_.toLong * 7).sum)
+  }
+
   test("npy header writer round-trips through its own parser") {
     val h = Npy.headerBytes("<f4", Seq(123L, 64L))
     assert(h.length % 64 == 0)
