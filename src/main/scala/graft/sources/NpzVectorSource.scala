@@ -50,12 +50,14 @@ object HadoopConfSnapshot {
   *   df.write.format("npz").mode("append").save(dir)
   *
   * Scale posture:
-  *  - parallelism is per FILE (the reference writes one NPZ per shard;
-  *    a 100 TB corpus is many shard files). A zip entry body cannot be
-  *    row-split without an offset index because entries may be
-  *    DEFLATE-compressed (savez_compressed), so within-file splitting
-  *    is intentionally not attempted — size files at write time instead
-  *    (one file per task, below).
+  *  - parallelism is per file AND within files: STORED zip entries
+  *    (numpy `savez`, and everything this sink writes) are raw byte
+  *    ranges, so batch planning row-splits them by seek offset under
+  *    `spark.sql.files.maxPartitionBytes` (ZipIndex reads the central
+  *    directory, zip64 included) — one huge shard file fans out
+  *    across tasks exactly like a parquet file. DEFLATE entries
+  *    (`savez_compressed`) cannot be random-accessed and fall back to
+  *    one partition per file.
   *  - column pruning is pushed into the scan: a query touching only
   *    `id` streams the 8-byte/row ids entry and never opens the d×4
   *    bytes/row vectors entry (asserted in NpzSourceSpec against a file
@@ -183,13 +185,84 @@ final class NpzScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"NpzScan[files=${files.size}, columns=${required.fieldNames.mkString(",")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => NpzInputPartition(f): InputPartition).toArray
+
+  /** Batch planning splits WITHIN files when it can: STORED zip
+    * entries (numpy `savez` and this sink) are raw byte ranges, so a
+    * row range is a seek — one huge shard never serializes onto one
+    * task. Rows per split follow `spark.sql.files.maxPartitionBytes`,
+    * the same knob the parquet scan obeys. DEFLATE entries
+    * (`savez_compressed`) and index-parse failures fall back to one
+    * whole-file partition (the streaming reader reports real errors).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxBytes = NpzScan.maxSplitBytes()
+    files.flatMap(planFile(_, maxBytes)).toArray
+  }
+
+  private def planFile(f: String, maxBytes: Long): Seq[InputPartition] = {
+    try {
+      val p = new Path(f)
+      val fs = p.getFileSystem(snap.conf)
+      val ents = ZipIndex.entries(fs, p)
+      val vec = ents.find(_.name == vectorsEntry)
+      val ids = ents.find(_.name == idsEntry)
+      if (vec.isEmpty || ids.isEmpty || vec.get.method != 0 || ids.get.method != 0)
+        return Seq(NpzInputPartition(f))
+      val in = fs.open(p)
+      val (vh, vHdrLen, ih, iHdrLen) =
+        try {
+          in.seek(vec.get.dataOffset)
+          val c1 = new CountingInputStream(in)
+          val vh = Npy.readHeader(c1)
+          in.seek(ids.get.dataOffset)
+          val c2 = new CountingInputStream(in)
+          val ih = Npy.readHeader(c2)
+          (vh, c1.count, ih, c2.count)
+        } finally in.close()
+      if (vh.shape.length != 2 || ih.shape.length != 1 ||
+          vh.shape.head != ih.shape.head)
+        return Seq(NpzInputPartition(f))
+      val n = vh.shape.head
+      val rowBytes = math.max(1L, vh.shape(1) * vh.elemSize + ih.elemSize)
+      val rowsPerSplit = math.max(1L, maxBytes / rowBytes)
+      if (n <= rowsPerSplit) Seq(NpzInputPartition(f))
+      else (0L until n by rowsPerSplit).map { s =>
+        NpzSplitPartition(f, s, math.min(rowsPerSplit, n - s),
+          vec.get.dataOffset + vHdrLen, vh.descr, vh.shape(1).toInt,
+          ids.get.dataOffset + iHdrLen, ih.descr): InputPartition
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq(NpzInputPartition(f))
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new NpzReaderFactory(required, vectorsEntry, idsEntry, snap)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new NpzMicroBatchStream(pathOpt, required, vectorsEntry, idsEntry, snap)
+}
+
+object NpzScan {
+  /** The scan-side split size, from the session's file-split knob. */
+  private[sources] def maxSplitBytes(): Long =
+    try
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        SparkSession.active.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    catch { case scala.util.control.NonFatal(_) => 128L * 1024 * 1024 }
+}
+
+/** Counts logical bytes consumed — measures NPY header length when
+  * parsing at a seek offset.
+  */
+private[sources] final class CountingInputStream(in: InputStream) extends InputStream {
+  var count: Long = 0L
+  override def read(): Int = {
+    val b = in.read(); if (b >= 0) count += 1; b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val n = in.read(b, off, len); if (n > 0) count += n; n
+  }
 }
 
 /** Streaming ingest over an append-only directory of NPZ shards — the
@@ -244,14 +317,95 @@ final case class NpzOffset(files: Seq[String])
 
 final case class NpzInputPartition(path: String) extends InputPartition
 
+/** A row range of one STORED-entry file: bodies are raw byte ranges,
+  * so the reader seeks straight to its slice of each entry.
+  */
+final case class NpzSplitPartition(
+    path: String, rowStart: Long, rowCount: Long,
+    vecBodyOffset: Long, vecDescr: String, dim: Int,
+    idsBodyOffset: Long, idsDescr: String) extends InputPartition
+
 final class NpzReaderFactory(
     required: StructType, vectorsEntry: String, idsEntry: String,
     snap: HadoopConfSnapshot)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NpzPartitionReader(
-      partition.asInstanceOf[NpzInputPartition].path,
-      required, vectorsEntry, idsEntry, snap)
+    partition match {
+      case NpzInputPartition(path) =>
+        new NpzPartitionReader(path, required, vectorsEntry, idsEntry, snap)
+      case sp: NpzSplitPartition =>
+        new NpzSplitReader(sp, required, snap)
+    }
+}
+
+/** Reads one row range of a STORED-entry NPZ: the id slice arrives in
+  * one positioned read; vectors stream sequentially from a single
+  * seek. An empty projection (count) touches no bytes at all.
+  */
+final class NpzSplitReader(
+    p: NpzSplitPartition, required: StructType, snap: HadoopConfSnapshot)
+    extends PartitionReader[InternalRow] {
+
+  private val needId = required.fieldNames.contains("id")
+  private val needVec = required.fieldNames.contains("vector")
+  private val idElem = p.idsDescr match {
+    case "<i8" => 8
+    case "<i4" => 4
+    case other => throw new IllegalArgumentException(s"id descr '$other'")
+  }
+  private val isF8 = p.vecDescr == "<f8"
+  private val vecElem = if (isF8) 8 else 4
+  private val in =
+    if (needId || needVec)
+      new Path(p.path).getFileSystem(snap.conf).open(new Path(p.path))
+    else null
+
+  private val ids: Array[Long] = if (needId) {
+    val buf = new Array[Byte]((p.rowCount * idElem).toInt)
+    in.readFully(p.idsBodyOffset + p.rowStart * idElem, buf, 0, buf.length)
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Long](p.rowCount.toInt)
+    var j = 0
+    if (idElem == 8) while (j < out.length) { out(j) = bb.getLong(); j += 1 }
+    else while (j < out.length) { out(j) = bb.getInt().toLong; j += 1 }
+    out
+  } else null
+
+  private val rowBuf = if (needVec) new Array[Byte](p.dim * vecElem) else null
+  private val floats = if (needVec) new Array[Float](p.dim) else null
+  if (needVec) in.seek(p.vecBodyOffset + p.rowStart * p.dim.toLong * vecElem)
+  private var i = -1L
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= p.rowCount) false
+    else {
+      if (needVec) {
+        Npy.readFully(in, rowBuf)
+        val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
+        var j = 0
+        if (isF8) while (j < p.dim) { floats(j) = bb.getDouble().toFloat; j += 1 }
+        else while (j < p.dim) { floats(j) = bb.getFloat(); j += 1 }
+      }
+      true
+    }
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var f = 0
+    while (f < required.length) {
+      vals(f) = required.fields(f).name match {
+        case "id" => ids(i.toInt)
+        case "vector" => UnsafeArrayData.fromPrimitiveArray(floats)
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+      f += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** Streams one NPZ file. Ids are read in a first cheap pass (8 B/row);
@@ -427,11 +581,44 @@ final class NpzDataWriter(
     val fs = new Path(dir).getFileSystem(snap.conf)
     val tmp = new Path(dir, s".$name.tmp")
     val dst = new Path(dir, name)
+
+    // Entries are written STORED, numpy-savez style: uncompressed raw
+    // ranges keep the file SPLITTABLE on read (NpzScan row-splits
+    // STORED entries by seek). STORED needs size+crc up front: one
+    // extra sequential pass over the local scratch spool computes the
+    // vectors CRC before the copy.
+    val vecHeader = Npy.headerBytes("<f4", Seq(ids.length.toLong, dim.toLong))
+    val vecSize = vecHeader.length.toLong + scratch.length()
+    val vcrc = new java.util.zip.CRC32
+    vcrc.update(vecHeader)
+    locally {
+      val in = new BufferedInputStream(new java.io.FileInputStream(scratch), 1 << 16)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r >= 0) { vcrc.update(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+    }
+    val idsHeader = Npy.headerBytes("<i8", Seq(ids.length.toLong))
+    val idsBody = {
+      val bb = ByteBuffer.allocate(ids.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      ids.foreach(bb.putLong)
+      bb.array()
+    }
+    val icrc = new java.util.zip.CRC32
+    icrc.update(idsHeader); icrc.update(idsBody)
+
+    def storedEntry(entryName: String, size: Long, crc: Long): ZipEntry = {
+      val e = new ZipEntry(entryName)
+      e.setMethod(ZipEntry.STORED)
+      e.setSize(size); e.setCompressedSize(size); e.setCrc(crc)
+      e
+    }
+
     val zos = new ZipOutputStream(new BufferedOutputStream(fs.create(tmp, true), 1 << 16))
     try {
-      zos.setLevel(1) // npz entries are deflated; favor speed over ratio
-      zos.putNextEntry(new ZipEntry(vectorsEntry))
-      zos.write(Npy.headerBytes("<f4", Seq(ids.length.toLong, dim.toLong)))
+      zos.putNextEntry(storedEntry(vectorsEntry, vecSize, vcrc.getValue))
+      zos.write(vecHeader)
       val in = new BufferedInputStream(new java.io.FileInputStream(scratch), 1 << 16)
       try {
         val buf = new Array[Byte](1 << 16)
@@ -439,18 +626,10 @@ final class NpzDataWriter(
         while (r >= 0) { zos.write(buf, 0, r); r = in.read(buf) }
       } finally in.close()
       zos.closeEntry()
-      zos.putNextEntry(new ZipEntry(idsEntry))
-      zos.write(Npy.headerBytes("<i8", Seq(ids.length.toLong)))
-      val idBB = ByteBuffer.allocate(8 * 1024).order(ByteOrder.LITTLE_ENDIAN)
-      var k = 0
-      while (k < ids.length) {
-        idBB.clear()
-        val batch = math.min(1024, ids.length - k)
-        var j = 0
-        while (j < batch) { idBB.putLong(ids(k + j)); j += 1 }
-        zos.write(idBB.array(), 0, batch * 8)
-        k += batch
-      }
+      zos.putNextEntry(storedEntry(idsEntry,
+        idsHeader.length.toLong + idsBody.length, icrc.getValue))
+      zos.write(idsHeader)
+      zos.write(idsBody)
       zos.closeEntry()
     } finally {
       zos.close()

@@ -143,6 +143,44 @@ class NpzSourceSpec extends AnyFunSuite {
     assert(n.getLong(1) == (0 until 12).map(_.toLong * 7).sum)
   }
 
+  test("STORED shards row-split under maxPartitionBytes; values intact") {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    val dir = java.nio.file.Files.createTempDirectory("graft_npz_split").toString
+    // ONE shard file of 200 rows × 16 dims (the sink writes STORED)
+    mkDf(200, 16).coalesce(1).write.format("npz").mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles.count(_.getName.endsWith(".npz")) == 1)
+    try {
+      spark.conf.set(key, "2048") // ≈ 30 rows per split
+      val df = spark.read.format("npz").load(dir)
+      assert(df.rdd.getNumPartitions > 3,
+        s"expected row splits, got ${df.rdd.getNumPartitions} partition(s)")
+      val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+      assert(got.length == 200 && got.map(_._1).distinct.length == 200)
+      val want = mkDf(200, 16).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+      got.foreach { case (id, v) => assert(want(id) == v, s"row $id diverged") }
+      // pruned + empty projections work on splits too
+      assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0 until 200).map(_.toLong * 7).sorted)
+      assert(df.count() == 200)
+      // numpy's own savez fixture (STORED) splits as well
+      val fx = spark.read.format("npz")
+        .load(getClass.getResource("/npz/ref_style.npz").getPath)
+      assert(fx.rdd.getNumPartitions == 1) // 10 rows fit one 2 KiB split
+      spark.conf.set(key, "128")
+      val fx2 = spark.read.format("npz")
+        .load(getClass.getResource("/npz/ref_style.npz").getPath)
+      assert(fx2.rdd.getNumPartitions > 1)
+      assert(fx2.collect().map(_.getLong(0)).sorted.toSeq == (1000L to 1009L))
+      // DEFLATE (savez_compressed) cannot split: one partition per file
+      val cz = spark.read.format("npz")
+        .load(getClass.getResource("/npz/alt_dtypes.npz").getPath)
+      assert(cz.rdd.getNumPartitions == 1)
+      assert(cz.count() == 7)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("npy header writer round-trips through its own parser") {
     val h = Npy.headerBytes("<f4", Seq(123L, 64L))
     assert(h.length % 64 == 0)
