@@ -43,6 +43,7 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, Map("status" -> "healthy")))
     server.createContext("/add_vectors", handle(addVectors))
+    server.createContext("/load_npz", handle(loadNpz))
     server.createContext("/search", handle(search))
     server.createContext("/stats", handle(stats))
     server.setExecutor(null) // serial: Spark driver-side actions anyway
@@ -80,6 +81,31 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
           "message" -> s"Added ${vecs.size} vectors",
           "total_vectors" -> total))
       case _ => (400, Map("error" -> "No vectors provided"))
+    }
+
+  /** `POST /load_npz` body `{"path": "..."}`: server-side version of the
+    * reference's loader pipeline (`load_coco_embeddings.py:58-112` reads
+    * NPZ client-side and POSTs slices of 1000) — here the path is read
+    * by the distributed npz source and appended in one job, so ingest
+    * scales with the cluster instead of the HTTP client.
+    */
+  private def loadNpz(body: Map[String, Any]): (Int, Any) =
+    body.get("path") match {
+      case Some(p: String) if p.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        val df = spark.read.format("npz").load(p)
+          .select(col("id"), col("vector").as("embedding"))
+        val n = df.count()
+        if (n == 0) (400, Map("error" -> s"no vectors found at $p"))
+        else {
+          store.add(df)
+          (200, Map(
+            "status" -> "success",
+            "message" -> s"Loaded $n vectors from npz",
+            "loaded" -> n,
+            "total_vectors" -> store.indexDf.count()))
+        }
+      case _ => (400, Map("error" -> "No path provided"))
     }
 
   private def search(body: Map[String, Any]): (Int, Any) = {

@@ -110,4 +110,20 @@ class HttpFacadeSpec extends AnyFunSuite {
       .asInstanceOf[Double]).sum
     assert(counts >= 500.0)
   }
+
+  test("POST /load_npz ingests NPZ shards server-side") {
+    val npzDir = java.nio.file.Files.createTempDirectory("graft_http_npz").toString
+    Tables.embeddings(spark, TestSpark.sf).limit(5)
+      .select((col("vec_id") + 9000).as("id"), col("embedding").as("vector"))
+      .coalesce(1)
+      .write.format("npz").mode("append").save(npzDir)
+    val before = obj(get("/stats")._2)("nodes").asInstanceOf[Map[String, Any]]
+      .values.map(n => obj(n)("vector_count").asInstanceOf[Double]).sum
+    val (code, body) = post("/load_npz", s"""{"path": "$npzDir"}""")
+    assert(code == 200, s"got $code: $body")
+    assert(obj(body)("loaded").asInstanceOf[Double] == 5.0)
+    assert(obj(body)("total_vectors").asInstanceOf[Double] == before + 5.0)
+    val (c2, b2) = post("/load_npz", """{}""")
+    assert(c2 == 400 && obj(b2)("error") == "No path provided")
+  }
 }
