@@ -181,6 +181,18 @@ class NpzSourceSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("column pruning is visible in the physical plan description") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_npz_plan").toString
+    mkDf(5, 4).write.format("npz").mode("append").save(dir)
+    val pruned = spark.read.format("npz").load(dir).select("id")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("NpzScan") && pruned.contains("columns=id]"),
+      s"expected pruned NpzScan in plan:\n$pruned")
+    val full = spark.read.format("npz").load(dir)
+      .queryExecution.executedPlan.toString
+    assert(full.contains("columns=id,vector]"), s"plan:\n$full")
+  }
+
   test("npy header writer round-trips through its own parser") {
     val h = Npy.headerBytes("<f4", Seq(123L, 64L))
     assert(h.length % 64 == 0)
