@@ -203,6 +203,11 @@ final class NpzScan(
     try {
       val p = new Path(f)
       val fs = p.getFileSystem(snap.conf)
+      // Length gate: a file that fits one split can never row-split,
+      // so it skips the central-directory reads entirely — driver-side
+      // planning IO is paid only by the (few, large) files it helps.
+      if (fs.getFileStatus(p).getLen <= maxBytes)
+        return Seq(NpzInputPartition(f))
       val ents = ZipIndex.entries(fs, p)
       val vec = ents.find(_.name == vectorsEntry)
       val ids = ents.find(_.name == idsEntry)
