@@ -12,6 +12,12 @@ import graft.functions.{DuckSql, VectorFunctions => VF}
   *  - x19: the NPZ DataSource V2 roundtrip — the reference's true
   *    at-rest format (`generate_coco_embeddings.py:87-91`) as a
   *    first-class Spark source/sink (graft.sources.NpzVectorSource).
+  *  - s20: STREAMING NPZ ingest — `readStream.format("npz")` turns
+  *    newly-arrived shard files into exactly-once micro-batches (the
+  *    reference's incremental loader, `load_coco_embeddings.py`).
+  *  - p9: the migration capstone — NPZ shards → native source →
+  *    LSH-bucketed store build → exact kNN, oracled against brute
+  *    force (a reference user's full workflow in one query).
   *  - e11: SemDeDup-style embedding-space dedup — cluster-blocked
   *    cosine near-dup pruning (Abbas et al., "SemDeDup", 2023): the
   *    all-pairs comparison happens only WITHIN a coarse cluster, so
