@@ -181,6 +181,29 @@ class NpzSourceSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("entry order in the zip does not matter; vector-only projection works") {
+    // numpy writes entries in kwargs order — this fixture has
+    // image_ids BEFORE embeddings; the reader locates entries by name
+    // in separate passes, so order is irrelevant.
+    val df = spark.read.format("npz")
+      .load(getClass.getResource("/npz/ids_first.npz").getPath)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(7L, 8L, 9L))
+    val vecs = df.select("vector").collect().map(_.getSeq[Float](0).toVector)
+    assert(vecs.toSet == Set(
+      Vector(0f, 1f, 2f, 3f), Vector(1f, 2f, 3f, 4f), Vector(2f, 3f, 4f, 5f)))
+  }
+
+  test("glob paths resolve to matching shard files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_npz_glob").toString
+    mkDf(20, 4).write.format("npz").mode("append").save(dir)
+    val all = spark.read.format("npz").load(s"$dir/part-*.npz")
+    assert(all.count() == 20)
+    val one = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".npz")).map(_.getName).sorted.head
+    val first = spark.read.format("npz").load(s"$dir/${one.take(10)}*.npz")
+    assert(first.rdd.getNumPartitions == 1 && first.count() > 0)
+  }
+
   test("column pruning is visible in the physical plan description") {
     val dir = java.nio.file.Files.createTempDirectory("graft_npz_plan").toString
     mkDf(5, 4).write.format("npz").mode("append").save(dir)
