@@ -166,12 +166,79 @@ final class NpzTable(options: CaseInsensitiveStringMap)
 final class NpzScanBuilder(
     pathOpt: String, vectorsEntry: String, idsEntry: String,
     snap: HadoopConfSnapshot)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = NpzVectorSource.schema
+  private var pushedCounts = 0
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COUNT(*) with no grouping is answerable from the NPY headers
+    * alone — each shard's row count is in its ids entry header, so a
+    * corpus-wide count never iterates a row. Partial pushdown: the
+    * scan emits one count per file and Spark sums them.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // one partial row per shard file; Spark does the final sum
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
+        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      false
+    else { pushedCounts = agg.aggregateExpressions.length; true }
+  }
+
   override def build(): Scan =
-    new NpzScan(pathOpt, required, vectorsEntry, idsEntry, snap)
+    if (pushedCounts > 0)
+      new NpzCountScan(pathOpt, pushedCounts, idsEntry, snap)
+    else new NpzScan(pathOpt, required, vectorsEntry, idsEntry, snap)
+}
+
+/** Header-only COUNT(*) scan: one partition per shard file, each
+  * emitting a single row of that file's row count read from the ids
+  * NPY header — no entry bodies are ever opened.
+  */
+final class NpzCountScan(
+    pathOpt: String, counts: Int, idsEntry: String, snap: HadoopConfSnapshot)
+    extends Scan with Batch {
+  private lazy val files: Seq[String] =
+    NpzVectorSource.listFiles(snap.conf, pathOpt)
+  override def readSchema(): StructType =
+    StructType((0 until counts).map(i =>
+      StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"NpzScan[files=${files.size}, pushed=COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => NpzInputPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NpzCountReaderFactory(counts, idsEntry, snap)
+}
+
+final class NpzCountReaderFactory(
+    counts: Int, idsEntry: String, snap: HadoopConfSnapshot)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val path = new Path(partition.asInstanceOf[NpzInputPartition].path)
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        val fs = path.getFileSystem(snap.conf)
+        val (in, hdr) = NpzVectorSource.openEntry(fs, path, idsEntry)
+        try {
+          val row = new GenericInternalRow(counts)
+          var i = 0
+          while (i < counts) { row.update(i, hdr.rows); i += 1 }
+          row
+        } finally in.close()
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final class NpzScan(

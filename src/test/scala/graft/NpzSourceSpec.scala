@@ -216,6 +216,37 @@ class NpzSourceSpec extends AnyFunSuite {
     assert(full.contains("columns=id,vector]"), s"plan:\n$full")
   }
 
+  test("COUNT(*) is answered from NPY headers alone (aggregate pushdown)") {
+    // File with an intact ids HEADER but truncated ids BODY: a pushed
+    // count succeeds (headers only); any row read fails.
+    val dir = java.nio.file.Files.createTempDirectory("graft_npz_cnt")
+    val f = dir.resolve("hdr_only.npz").toFile
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    zos.putNextEntry(new ZipEntry("embeddings.npy"))
+    zos.write(Npy.headerBytes("<f4", Seq(6L, 4L)))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("image_ids.npy"))
+    zos.write(Npy.headerBytes("<i8", Seq(6L)))
+    zos.write(new Array[Byte](8)) // 1 of the promised 6 ids
+    zos.closeEntry()
+    zos.close()
+
+    val src = spark.read.format("npz").load(f.getPath)
+    val agg = src.agg(count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=COUNT"), s"count not pushed:\n$plan")
+    assert(agg.head().getLong(0) == 6L)
+    intercept[org.apache.spark.SparkException] { src.select("id").collect() }
+    // count with a residual filter takes the row path (not pushable)
+    intercept[org.apache.spark.SparkException] {
+      src.where(col("id") > 0).count()
+    }
+    // and a normal multi-file count still matches the data
+    val d2 = java.nio.file.Files.createTempDirectory("graft_npz_cnt2").toString
+    mkDf(50, 4).write.format("npz").mode("append").save(d2)
+    assert(spark.read.format("npz").load(d2).count() == 50)
+  }
+
   test("npy header writer round-trips through its own parser") {
     val h = Npy.headerBytes("<f4", Seq(123L, 64L))
     assert(h.length % 64 == 0)
