@@ -263,7 +263,12 @@ final class NpzScan(
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = NpzScan.maxSplitBytes()
-    files.flatMap(planFile(_, maxBytes)).toArray
+    // Planning IO (stat per file; central directory + two NPY headers
+    // for the files large enough to split) runs in parallel — on an
+    // object store with many large shards, sequential driver round
+    // trips would dominate planning time.
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map(planFile(_, maxBytes)).seq.flatten.toArray
   }
 
   private def planFile(f: String, maxBytes: Long): Seq[InputPartition] = {
