@@ -14,12 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    exact) instead of floating accumulation;
   *  - every output is fully ordered by a unique key where cheap;
   *  - column names match exactly between the two dialects.
+  *
+  * `streaming` marks queries whose `run` executes a streaming query to
+  * completion — plan-materializing them runs the stream, so structural
+  * audits (PlanAuditSpec) skip them by this flag.
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    lateOracle: () => Option[String] = () => None) {
+    lateOracle: () => Option[String] = () => None,
+    streaming: Boolean = false) {
 
   /** The oracle to dump NOW. `lateOracle` serves queries whose DuckDB
     * twin embeds literals only known after the query has trained a

@@ -81,12 +81,16 @@ object Round5bQueries {
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val byVec = Window.partitionBy(col("vec_id"))
           .orderBy(col("dd"), col("cid"))
+        // localCheckpoint: the assignment feeds three consumers (both
+        // self-join sides + the final rollup); computing the
+        // crossJoin + window once is the VectorStore.upsert pattern
         val asg = emb.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("cid"),
             VF.l2sq(col("embedding"), col("ce")).as("dd"))
           .withColumn("rn", row_number().over(byVec))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("embedding"), col("cid"))
+          .localCheckpoint(true)
         val a = asg.select(col("cid"), col("vec_id").as("id_a"),
           col("embedding").as("ea"))
         val b = asg.select(col("cid"), col("vec_id").as("id_b"),
@@ -183,7 +187,8 @@ object Round5bQueries {
           |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
           |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT))
           |       AS BIGINT) AS v1_milli_sum
-          |FROM embeddings""".stripMargin)),
+          |FROM embeddings""".stripMargin),
+      streaming = true),
 
     // P9 — the reference-user migration capstone: NPZ shard files
     // (the reference's on-disk corpus, staged here through the npz
@@ -287,7 +292,8 @@ object Round5bQueries {
           |WHERE a.session_id < (SELECT max(session_id) FROM agg b
           |                      WHERE b.user_id = a.user_id)
           |   OR (a.end_us + 1800000000) // 1000 <= wm.wm_ms
-          |ORDER BY a.user_id, a.start_us""".stripMargin))
+          |ORDER BY a.user_id, a.start_us""".stripMargin),
+      streaming = true)
   )
 }
 
@@ -328,9 +334,18 @@ private[graft] class SessionTimerProcessor(gapUs: Long)
     if (last >= 0) getHandle.deleteTimer(expiryMs(last))
     us.foreach { u =>
       if (st < 0) { st = u; last = u; n = 1L }
-      else if (u - last > gapUs) {
-        out += ((key, n, st, last)); st = u; last = u; n = 1L
-      } else { last = u; n += 1L }
+      else if (u > last) {
+        if (u - last > gapUs) {
+          out += ((key, n, st, last)); st = u; last = u; n = 1L
+        } else { last = u; n += 1L }
+      } else {
+        // cross-batch out-of-order arrival (above the watermark but
+        // before the open session's tail): the watermark delay is far
+        // smaller than the gap, so it always belongs to the open
+        // session — extend bounds, never move `last` backwards
+        n += 1L
+        if (u < st) st = u
+      }
     }
     open.update((st, last, n))
     getHandle.registerTimer(expiryMs(last))

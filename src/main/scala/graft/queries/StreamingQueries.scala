@@ -837,7 +837,8 @@ object StreamingQueries {
     // processAllAvailable) executes under the lowered state-store
     // partitioning; the returned batch frame over the memory sink is
     // materialized later, outside the override.
-    q.copy(run = (s, d) => withStateShuffle(s)(q.run(s, d)))
+    q.copy(run = (s, d) => withStateShuffle(s)(q.run(s, d)),
+      streaming = true)
   }
 }
 

@@ -75,7 +75,9 @@ object Npy {
     out.put(Magic).put(1.toByte).put(0.toByte)
     out.putShort((total - base).toShort)
     out.put(dict.getBytes(StandardCharsets.US_ASCII))
-    var i = base + 2 + dict.length
+    // pad with spaces up to the final newline; position is now
+    // base + dict.length (base already counts the u16 length field)
+    var i = base + dict.length
     while (i < total - 1) { out.put(' '.toByte); i += 1 }
     out.put('\n'.toByte)
     out.array()

@@ -108,12 +108,19 @@ object NpzVectorSource {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    def visible(name: String): Boolean =
+      !name.startsWith(".") && !name.startsWith("_")
     matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".npz") &&
-            !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
-      else Seq(st)
+            visible(f.getPath.getName))
+      else
+        // glob matches keep any extension the user asked for, but
+        // hidden/in-flight files (Hadoop '*' matches dotfiles, so a
+        // committing writer's .part-….npz.tmp would appear mid-write)
+        // are never shard files
+        Seq(st).filter(f => f.isFile && visible(f.getPath.getName))
     }.map(_.getPath.toString).sorted
   }
 
@@ -296,8 +303,12 @@ final class NpzScan(
           val ih = Npy.readHeader(c2)
           (vh, c1.count, ih, c2.count)
         } finally in.close()
+      // only shapes/dtypes the split reader decodes; anything else
+      // falls back to the whole-file reader, which errors loudly
       if (vh.shape.length != 2 || ih.shape.length != 1 ||
-          vh.shape.head != ih.shape.head)
+          vh.shape.head != ih.shape.head ||
+          (vh.descr != "<f4" && vh.descr != "<f8") ||
+          (ih.descr != "<i8" && ih.descr != "<i4"))
         return Seq(NpzInputPartition(f))
       val n = vh.shape.head
       val rowBytes = math.max(1L, vh.shape(1) * vh.elemSize + ih.elemSize)
@@ -370,7 +381,7 @@ final class NpzMicroBatchStream(
   }
 
   override def deserializeOffset(json: String): Offset =
-    NpzOffset(json.split('\n').toSeq.filter(_.nonEmpty))
+    NpzOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val prev = start.asInstanceOf[NpzOffset].files.toSet
@@ -389,7 +400,23 @@ final class NpzMicroBatchStream(
 
 final case class NpzOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = files.mkString("\n")
+  // Spark's OffsetSeqLog is LINE-oriented (one offset per line), so
+  // the serialized form must be newline-free: a JSON array.
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object NpzOffset {
+  def fromJson(json: String): NpzOffset = {
+    val t = json.trim
+    if (t.isEmpty || t == "[]") NpzOffset(Nil)
+    else graft.server.Json.parse(t) match {
+      case v: Vector[_] => NpzOffset(v.map(_.toString))
+      case other =>
+        throw new IllegalArgumentException(s"bad npz offset json: $other")
+    }
+  }
 }
 
 final case class NpzInputPartition(path: String) extends InputPartition

@@ -256,4 +256,50 @@ class NpzSourceSpec extends AnyFunSuite {
     assert(Npy.readHeader(new java.io.ByteArrayInputStream(h1)) ==
       graft.sources.NpyHeader("<i8", Seq(9L)))
   }
+
+  test("npy header bytes satisfy numpy's parser contract") {
+    // numpy ast.literal_eval-s the header after stripping the trailing
+    // newline: the padding must be SPACES ending in '\n', never NULs
+    // (a NUL raises ValueError in np.load — regression test for the
+    // pad-offset bug caught in review)
+    for (shape <- Seq(Seq(3L, 4L), Seq(9L), Seq(1000000L, 2048L))) {
+      val h = Npy.headerBytes("<f4", shape)
+      assert(h.last == '\n'.toByte, "header must end with newline")
+      // the dict + padding portion (after magic/version/u16 length)
+      // must be NUL-free ASCII: dict, then spaces, then '\n'
+      val body = new String(h.drop(10), java.nio.charset.StandardCharsets.US_ASCII)
+      assert(!body.contains('\u0000'), "dict/padding must contain no NULs")
+      assert(body.matches("""\{[^}]*\} *\n"""), s"unexpected header body: '$body'")
+    }
+  }
+
+  test("streaming offsets survive a checkpoint restart (JSON, multi-file)") {
+    assert(graft.sources.NpzOffset.fromJson(
+      graft.sources.NpzOffset(Seq("/a/b.npz", "/c d/e.npz")).json()) ==
+      graft.sources.NpzOffset(Seq("/a/b.npz", "/c d/e.npz")))
+    // memory sink forbids checkpoint recovery, so restart through a
+    // parquet sink (the recoverable kind)
+    val dir = java.nio.file.Files.createTempDirectory("graft_npz_restart").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_npz_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_npz_restart_ck").toString
+    mkDf(6, 4).write.format("npz").mode("append").save(dir) // 3 shard files
+    def run(): Unit = {
+      val q = spark.readStream.format("npz").load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(outDir).count() == 6)
+    // restart from the same checkpoint: the committed multi-file offset
+    // must deserialize, and only NEW files may be read
+    mkDf(4, 4).withColumn("id", col("id") + 500)
+      .coalesce(1).write.format("npz").mode("append").save(dir)
+    run()
+    val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 10, s"restart re-read old files or lost rows: $ids")
+    assert(ids.count(_ >= 500) == 4 && ids.count(_ < 500) == 6)
+  }
 }

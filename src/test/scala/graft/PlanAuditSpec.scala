@@ -42,13 +42,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
-    // structural exclusion: the streaming queries are exactly the ones
-    // declared in StreamingQueries (not a name-prefix convention)
-    val streaming = graft.queries.StreamingQueries.all.map(_.name).toSet ++
-      // streaming queries declared in Round5bQueries
-      Set("s19_stream_session_timers", "s20_stream_npz_ingest")
+    // structural exclusion: every query carries its own streaming flag
+    // (materializing a streaming query's plan runs the stream)
     graft.queries.Registry.all
-      .filterNot(q => streaming(q.name))
+      .filterNot(_.streaming)
       .foreach { q =>
         val plan =
           try q.run(spark, sf).queryExecution.executedPlan.toString
