@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  import graft.expressions.{VecDot, VecL2Normalize, VecL2Sq, VecNorm}
+  import graft.expressions.{VecDot, VecHamming64, VecL2Normalize, VecL2Sq, VecNorm, VecSignPack}
   import org.apache.spark.sql.graft.ColumnBridge
 
   private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
@@ -51,6 +51,13 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (safeNorm(a) * safeNorm(b))
 
+  /** 1-bit sign quantization: pack (xᵢ > 0) bits into array<long>. */
+  def signPack(a: Column): Column = toCol(VecSignPack(ex(a)))
+
+  /** Hamming distance between two packed sign signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    toCol(VecHamming64(ex(a), ex(b)))
+
   /** Dot product against a constant query vector. */
   def dotLit(a: Column, q: Array[Double]): Column =
     dot(a, typedLit(q))
@@ -75,6 +82,17 @@ object VectorFunctions {
   }
 
   def normS(a: Array[Double]): Double = math.sqrt(dotS(a, a))
+
+  /** Driver-side mirror of [[signPack]] (query-signature prep). */
+  def signPackS(a: Array[Double]): Array[Long] = {
+    val out = new Array[Long]((a.length + 63) >>> 6)
+    var i = 0
+    while (i < a.length) {
+      if (a(i) > 0.0) out(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    out
+  }
 
   def l2normalizeS(a: Array[Double]): Array[Double] = {
     val n = normS(a)

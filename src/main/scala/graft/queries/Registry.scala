@@ -17,7 +17,8 @@ object Registry {
       Round4Queries.all ++
       Round4bQueries.all ++
       Round5Queries.all ++
-      Round5bQueries.all
+      Round5bQueries.all ++
+      Round6Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

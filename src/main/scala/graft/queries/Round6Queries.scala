@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.{DuckSql, TextFunctions => TF, VectorFunctions => VF}
+
+/** Round-6 additions — the remaining curation-pipeline tiers:
+  *
+  *  - d19: duplicate-PASSAGE detection (cross-document repeated
+  *    n-gram spans — the "dedup at the span level, not the document
+  *    level" signal from Lee et al., "Deduplicating Training Data
+  *    Makes Language Models Better", 2022). Document-level dedup
+  *    (d1/m1/m3) misses boilerplate shared across otherwise-distinct
+  *    pages; this measures it per document.
+  *  - d20: the Gopher quality-rule battery (Rae et al., 2021,
+  *    Appendix A1.1): word-count bounds, mean-word-length window,
+  *    alphabetic-word ratio, stop-word evidence, symbol ratio — each
+  *    rule a named flag plus the conjunctive keep decision.
+  *  - d21: DSIR-style importance weighting (Xie et al., "Data
+  *    Selection for Language Models via Importance Resampling",
+  *    2023): hashed unigram bucket distributions for target (en) vs
+  *    raw corpus; per-doc importance = mean target/raw bucket ratio.
+  *    Fixed-point integer arithmetic (µ-ratio units, floor division)
+  *    instead of log-likelihoods so both engines agree bit-for-bit —
+  *    ranking is order-isomorphic to the log form for per-bucket
+  *    ratios near 1.
+  *  - e12: 1-bit binary quantization (sign bits packed 64/long —
+  *    32× smaller than float32) with Hamming-distance candidate
+  *    generation and exact re-rank; the BQ tier FAISS exposes as
+  *    `IndexBinaryFlat`, complementing SQ8 (e6) and PQ (e8).
+  *  - x20: bucketed-table co-located join — both fact tables
+  *    pre-bucketed on the join key (`bucketBy` + `saveAsTable`), so
+  *    the sort-merge join runs with ZERO shuffle of either side; the
+  *    one exchange in the plan is the final small aggregation. The
+  *    100-TB posture move: pay the shuffle once at write time, reuse
+  *    it for every subsequent join (Round6Spec pins the plan).
+  */
+object Round6Queries {
+
+  /** DSIR feature buckets (hashed unigrams) and fixed-point scale. */
+  private val DsirBuckets = 64
+  private val DsirScale = 1000000L
+
+  val all: Seq[Q] = Seq(
+
+    // D19 — duplicate-passage detection: word-trigram shingles that
+    // occur in ≥2 distinct documents are "duplicated passages"; per
+    // document, count how many of its shingle positions are covered
+    // by one. At 100 TB: explode → one shuffle keyed by shingle for
+    // document frequency, one map-side-combined shuffle back by
+    // doc_id — never all-pairs, and the df table is reusable (it IS
+    // the Lee et al. suffix-frequency surrogate).
+    Q("d19_dup_ngram_spans",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextQueries.shingleHashes).as("sh"))
+        val df = sh.groupBy("sh")
+          .agg(countDistinct("doc_id").as("df"))
+        sh.join(df, "sh")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_ratio",
+            round(col("n_dup").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH wh AS (SELECT doc_id, ${TF.wordHashesSql("text")} AS wh
+           |  FROM documents),
+           |sh0 AS (SELECT doc_id, ${TextQueries.shingleHashesSql} AS shs FROM wh),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+           |df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+           |SELECT s.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |  round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / count(*), 6) AS dup_ratio
+           |FROM sh s JOIN df d ON s.sh = d.sh
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // D20 — Gopher quality rules (Rae et al. 2021 A1.1), each as a
+    // named flag: n_words ∈ [50, 100000], mean word length ∈ [3, 10],
+    // ≥80% of words contain an alphabetic character, ≥2 distinct
+    // stop words present, ≤10% symbol-words ('#' or '…'). All
+    // row-local expressions — the filter runs inside the scan's
+    // whole-stage-codegen span at any corpus size.
+    Q("d20_gopher_rules",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", TF.words(col("text")))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          length(regexp_replace(col("text"), " ", ""))
+            .cast("long").as("n_letters"),
+          size(filter(col("w"), x => x.rlike("[a-zA-Z]")))
+            .cast("long").as("n_alpha"),
+          size(array_intersect(col("w"),
+            typedLit(Seq("the", "a", "of", "and", "to"))))
+            .cast("long").as("n_stop_distinct"),
+          size(filter(col("w"), x =>
+            x.contains("#") || x.contains("…")))
+            .cast("long").as("n_symbol"))
+        .withColumn("mean_wlen",
+          round(col("n_letters").cast("double") / col("n_words"), 6))
+        .withColumn("frac_alpha",
+          round(col("n_alpha").cast("double") / col("n_words"), 6))
+        .withColumn("frac_symbol",
+          round(col("n_symbol").cast("double") / col("n_words"), 6))
+        .withColumn("keep",
+          (col("n_words").between(50L, 100000L) &&
+            (col("n_letters").cast("double") / col("n_words"))
+              .between(3.0, 10.0) &&
+            col("n_alpha").cast("double") / col("n_words") >= 0.8 &&
+            col("n_stop_distinct") >= 2 &&
+            col("n_symbol").cast("double") / col("n_words") <= 0.1)
+            .cast("int"))
+        .select("doc_id", "n_words", "mean_wlen", "frac_alpha",
+          "n_stop_distinct", "frac_symbol", "keep")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_words,
+          |  round(CAST(n_letters AS DOUBLE) / n_words, 6) AS mean_wlen,
+          |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS frac_alpha,
+          |  n_stop_distinct,
+          |  round(CAST(n_symbol AS DOUBLE) / n_words, 6) AS frac_symbol,
+          |  CAST(n_words BETWEEN 50 AND 100000
+          |    AND CAST(n_letters AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+          |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+          |    AND n_stop_distinct >= 2
+          |    AND CAST(n_symbol AS DOUBLE) / n_words <= 0.1 AS INT) AS keep
+          |FROM (SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+          |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+          |      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+          |      AS n_stop_distinct,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> contains(x, '#') OR contains(x, '…'))) AS BIGINT)
+          |      AS n_symbol
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // D21 — DSIR importance weighting: bucket hashed unigrams into 64
+    // features; per-bucket importance ratio = (target_count+1) /
+    // (raw_count+1) in fixed-point µ-units (integer floor division —
+    // bit-identical across engines, unlike log-likelihood doubles);
+    // per-doc score = Σ over its words, avg = score DIV n_words. A doc
+    // is kept when its mean bucket ratio exceeds the corpus-wide
+    // baseline ratio (T+B)/(R+B) — equivalent to the normalized DSIR
+    // criterion p_target/p_raw > 1, since (t/T)/(r/R) > 1 ⟺
+    // t/r > T/R. At 100 TB: the two bucket histograms are 64-row
+    // aggregates (map-side combined), the LUT is broadcast, the
+    // per-doc rollup is one keyed shuffle — importance scoring is a
+    // streaming-pass shape, exactly DSIR's selling point over trained
+    // classifiers.
+    Q("d21_dsir_weights",
+      (s, d) => {
+        val w = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TF.wordHashes(col("text"))).as("wh"))
+          .withColumn("b", col("wh") % lit(DsirBuckets.toLong))
+        val raw = w.groupBy("b").agg(count(lit(1)).as("r"))
+        val tgt = w.where(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("t"))
+        val lut = raw.join(tgt, Seq("b"), "left")
+          .na.fill(0L, Seq("t"))
+          .select(col("b"),
+            expr(s"(t + 1L) * ${DsirScale}L DIV (r + 1L)")
+              .as("ratio_micro"))
+        // corpus baseline from the same histograms, smoothed the same
+        // way as the per-bucket ratios
+        val totals = raw.agg(sum("r").as("rt")).crossJoin(
+          tgt.agg(sum("t").as("tt")))
+          .select(expr(s"(tt + $DsirBuckets) * ${DsirScale}L DIV " +
+            s"(rt + $DsirBuckets)").as("base_micro"))
+        w.join(broadcast(lut), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum("ratio_micro").as("score"))
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"), col("n_words"), col("score"),
+            expr("score DIV n_words").as("avg_ratio_micro"),
+            (expr("score DIV n_words") > col("base_micro"))
+              .cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+           |  SELECT doc_id, lang, wh % $DsirBuckets AS b
+           |  FROM (SELECT doc_id, lang,
+           |          unnest(${TF.wordHashesSql("text")}) AS wh
+           |        FROM documents)),
+           |raw AS (SELECT b, count(*) AS r FROM w GROUP BY b),
+           |tgt AS (SELECT b, count(*) AS t FROM w WHERE lang = 'en' GROUP BY b),
+           |lut AS (
+           |  SELECT raw.b,
+           |    CAST((coalesce(t, 0) + 1) * $DsirScale AS BIGINT)
+           |      // CAST(r + 1 AS BIGINT) AS ratio_micro
+           |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+           |base AS (
+           |  SELECT CAST((SELECT CAST(sum(t) AS BIGINT) FROM tgt)
+           |           + $DsirBuckets AS BIGINT) * $DsirScale
+           |      // CAST((SELECT CAST(sum(r) AS BIGINT) FROM raw)
+           |           + $DsirBuckets AS BIGINT) AS base_micro)
+           |SELECT w.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(ratio_micro) AS BIGINT) AS score,
+           |  CAST(sum(ratio_micro) AS BIGINT) // count(*) AS avg_ratio_micro,
+           |  CAST(CAST(sum(ratio_micro) AS BIGINT) // count(*)
+           |       > (SELECT base_micro FROM base) AS INT) AS keep
+           |FROM w JOIN lut ON w.b = lut.b
+           |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin)),
+
+    // E12 — 1-bit binary quantization search: sign-bit signatures
+    // (64 dims/long, 32× smaller than float32), Hamming-distance
+    // candidate scan (popcount-of-xor, one native codegen kernel),
+    // exact L2 re-rank of the top-50 candidates. At 100 TB the
+    // candidate pass reads 1/32 of the vector bytes (in a persisted
+    // layout the sig column is stored alongside pq/sq8 codes —
+    // VectorStore pattern), and the re-rank touches ≤50 rows by id
+    // pushdown. Fully deterministic: no trained parameters, so the
+    // oracle recomputes sign bits directly.
+    Q("e12_bitq_hamming",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val q = VectorQueries.qvec(s, d, 0L)
+        val qsig = VF.signPackS(q)
+        val cand = emb
+          .select(col("vec_id"),
+            VF.hamming64(VF.signPack(col("embedding")),
+              typedLit(qsig)).as("hamming"))
+          .orderBy(col("hamming"), col("vec_id")).limit(50)
+        cand.join(emb, "vec_id")
+          .select(col("vec_id"), col("hamming"),
+            round(VF.l2sqLit(col("embedding"), q), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+           |  WHERE vec_id = 0),
+           |h AS (
+           |  SELECT e.vec_id,
+           |    CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           |      i -> CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
+           |           THEN 1 ELSE 0 END)) AS INT) AS hamming
+           |  FROM embeddings e CROSS JOIN q),
+           |cand AS (SELECT vec_id, hamming FROM h
+           |         ORDER BY hamming, vec_id LIMIT 50)
+           |SELECT c.vec_id, c.hamming,
+           |  round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
+           |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+           |CROSS JOIN q
+           |ORDER BY dist, c.vec_id LIMIT 10""".stripMargin)),
+
+    // X20 — bucketed co-located join: lineitem and orders written as
+    // bucketed tables (8 buckets on the join key, sorted within
+    // buckets), then sort-merge-joined WITHOUT shuffling either side
+    // — the plan's only exchange is the final 5-row aggregation
+    // (pinned in Round6Spec). This is the bucketing contract that
+    // amortizes one write-time shuffle across every future join of
+    // the same key at 100 TB. The merge hint keeps the demonstration
+    // honest at test scale (else the small side would auto-broadcast
+    // and never exercise bucket co-location).
+    Q("x20_bucketed_join",
+      (s, d) => {
+        val db = "graft_x20"
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        val base = graft.util.TempDirs.create("graft_x20").toString
+        s.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem_b")
+          .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+        s.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders_b")
+          .mode("overwrite").saveAsTable(s"$db.orders_b")
+        s.table(s"$db.lineitem_b").hint("merge")
+          .join(s.table(s"$db.orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+          .withColumn("revenue", round(col("revenue"), 6))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+          |  count(*) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin))
+  )
+}

@@ -35,9 +35,9 @@ object TextQueries {
   // CollapseProject inlines the wh projection into the interpreted
   // lambda, so wordHashes re-evaluated per element_at (3× per shingle).
   // Measured at sf0.1: shingle materialization 3.6 s → ~0.3 s.
-  private def shingleHashes = TF.shingleHashes(col("text"))
+  private[queries] def shingleHashes = TF.shingleHashes(col("text"))
 
-  private val shingleHashesSql: String = {
+  private[queries] val shingleHashesSql: String = {
     val wh = "wh"
     s"(CASE WHEN len($wh) >= 3 THEN " +
       s"list_transform(range(1, len($wh)-1), i -> " +

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Round-6 additions: binary quantization (sign-pack + Hamming),
+  * duplicate-passage detection, Gopher rules, DSIR weighting, and the
+  * bucketed co-located join. Value equality is the driver's DuckDB
+  * gate; here we pin semantics and the plans that survive 100×.
+  */
+class Round6Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  def run(name: String) = SparkEntry.queries(name)(spark, sf)
+  def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("signPack packs (x > 0) bits 64-per-long, little-endian") {
+    val s = spark
+    import s.implicits._
+    // dims 0, 2, 64 positive → word0 = 0b101, word1 = 1
+    val v = Array.fill(65)(-1.0)
+    v(0) = 0.5; v(2) = 2.0; v(64) = 1e-9
+    val sig = Seq(v).toDF("e")
+      .select(VF.signPack(col("e"))).head.getSeq[Long](0)
+    assert(sig == Seq(5L, 1L))
+    // zero is NOT positive (sign bit off), matching the oracle's x > 0
+    val z = Seq(Array(0.0, 1.0)).toDF("e")
+      .select(VF.signPack(col("e"))).head.getSeq[Long](0)
+    assert(z == Seq(2L))
+  }
+
+  test("hamming64 equals the per-dimension sign-mismatch count") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf).limit(32)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = emb(0L)
+    val rows = Tables.embeddings(spark, sf).where(col("vec_id") < 32)
+      .select(col("vec_id"),
+        VF.hamming64(VF.signPack(col("embedding")),
+          typedLit(VF.signPackS(q))).as("h"))
+      .collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val v = emb(r.getLong(0))
+      val brute = v.indices.count(i => (v(i) > 0) != (q(i) > 0))
+      assert(r.getInt(1) == brute, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("e12 finds the query vector itself at Hamming 0, distance 0") {
+    val top = run("e12_bitq_hamming").head
+    assert(top.getLong(0) == 0L)
+    assert(top.getInt(1) == 0)
+    assert(top.getDouble(2) == 0.0)
+  }
+
+  test("e12 candidate generation plans as pushed top-k, not a sort") {
+    val p = plan("e12_bitq_hamming")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hamming top-k not pushed:\n$p")
+  }
+
+  test("x20 bucketed join shuffles neither fact table") {
+    // The ONLY exchanges allowed are the 5-row aggregate (hash) and
+    // the final sort (range): both join inputs come pre-partitioned
+    // from the bucketed layout. A third exchange means bucket
+    // co-location broke and each join re-shuffles 100 TB.
+    val p = plan("x20_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"no sort-merge join:\n$p")
+    val n = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 exchanges (agg + sort), found $n:\n$p")
+  }
+
+  test("d19 span-duplication counts are bounded and non-trivial") {
+    val rows = run("d19_dup_ngram_spans").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val dup = r.getLong(2); val ratio = r.getDouble(3)
+      assert(dup >= 0 && dup <= n)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "no cross-doc spans found")
+  }
+
+  test("d20 keep agrees with its component rules") {
+    val rows = run("d20_gopher_rules").collect()
+    val kept = rows.count(_.getInt(6) == 1)
+    assert(kept > 0 && kept < rows.length, s"degenerate keep: $kept")
+    rows.filter(_.getInt(6) == 1).foreach { r =>
+      assert(r.getLong(1) >= 50 && r.getLong(1) <= 100000)  // n_words
+      assert(r.getLong(4) >= 2)                             // n_stop_distinct
+    }
+  }
+
+  test("d21 keeps target-language documents at a higher rate") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val joined = run("d21_dsir_weights").join(docs, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("keep")).as("rate")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(joined(true) > joined(false),
+      s"en keep rate ${joined(true)} !> other ${joined(false)}")
+  }
+}
