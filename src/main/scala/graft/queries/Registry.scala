@@ -18,7 +18,8 @@ object Registry {
       Round4bQueries.all ++
       Round5Queries.all ++
       Round5bQueries.all ++
-      Round6Queries.all
+      Round6Queries.all ++
+      Round6bQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -96,6 +96,37 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("d22 fluency is bounded and keep splits the corpus at the mean") {
+    val rows = run("d22_bigram_fluency").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      // smoothed P(b|a) is a probability: 0 < µ-value < 1e6
+      assert(r.getLong(2) > 0 && r.getLong(2) < 1000000L,
+        s"doc ${r.getLong(0)} fluency ${r.getLong(2)}")
+    }
+    val kept = rows.count(_.getInt(3) == 1)
+    assert(kept > 0 && kept < rows.length, s"degenerate keep: $kept")
+    // keep is exactly "fluency above the corpus bigram-occurrence
+    // mean": docs above the max non-kept fluency must all be kept
+    val maxDropped = rows.filter(_.getInt(3) == 0).map(_.getLong(2)).max
+    val minKept = rows.filter(_.getInt(3) == 1).map(_.getLong(2)).min
+    assert(minKept > maxDropped,
+      s"keep is not a threshold cut: minKept=$minKept maxDropped=$maxDropped")
+  }
+
+  test("p10 funnel is monotone with all four stages populated") {
+    val rows = run("p10_curation_funnel").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("0_all", "1_gopher", "2_dsir", "3_dup_span"))
+    val docs = rows.map(_.getLong(1))
+    val toks = rows.map(_.getLong(2))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      s"doc counts not monotone: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b },
+      s"token counts not monotone: ${toks.toSeq}")
+    assert(docs.last > 0, "funnel ran dry — final stage kept nothing")
+  }
+
   test("d21 keeps target-language documents at a higher rate") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val joined = run("d21_dsir_weights").join(docs, "doc_id")
