@@ -19,6 +19,18 @@ import graft.functions.{TextFunctions => TF}
   *    plan, reporting survivors and surviving tokens per stage. The
   *    per-stage attrition table is the artifact every data-curation
   *    run ships (what fraction each gate removes).
+  *  - r75: runtime bloom-filter join pruning — Spark's
+  *    injected-subquery bloom filter lets the fact-table scan drop
+  *    rows whose join key cannot match the filtered dimension BEFORE
+  *    the shuffle; the 100-TB lever for selective shuffle joins that
+  *    are too big to broadcast.
+  *  - x21: Z-ORDER (Morton-interleaved) data layout — range-
+  *    repartition + sort on the interleaved key clusters BOTH filter
+  *    dimensions into every file, so a rectangle predicate prunes by
+  *    parquet min/max stats on two columns at once; the layout move
+  *    behind Delta/Iceberg OPTIMIZE ZORDER, expressed with plain
+  *    Spark primitives (results are layout-invariant — the oracle
+  *    reads the raw table).
   */
 object Round6bQueries {
 
@@ -250,6 +262,121 @@ object Round6bQueries {
            |  CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(n_words) AS BIGINT) AS n_tokens
            |FROM stages WHERE alive = 1
-           |GROUP BY stage ORDER BY stage""".stripMargin))
+           |GROUP BY stage ORDER BY stage""".stripMargin)),
+
+    // R75 — runtime bloom-filter join pruning: orders is filtered to
+    // one priority (selective, but at 100 TB too big to broadcast —
+    // autoBroadcast is off to model that), so Spark injects a bloom
+    // filter built from the filtered keys into the lineitem scan:
+    // non-matching rows die at the scan, BEFORE the join shuffle.
+    // Thresholds are opened up so the optimization fires at test
+    // scale; the conf deltas are restored after the join materializes
+    // under localCheckpoint (the e11 pattern), so no other query sees
+    // them. Results are filter-invariant — the oracle is the plain
+    // join.
+    Q("r75_bloom_runtime_filter",
+      (s, d) => {
+        val confs = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+            .join(
+              Tables.orders(s, d)
+                .where(col("o_orderpriority") === "1-URGENT")
+                .select(col("o_orderkey"), col("o_orderpriority")),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_items"),
+              sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+                .cast("double").as("revenue"))
+            .withColumn("revenue", round(col("revenue"), 6))
+            .orderBy("o_orderpriority")
+            .localCheckpoint(true)
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT o_orderpriority,
+          |  count(*) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)),
+
+    // X21 — Z-order layout: interleave the low 16 bits of the two
+    // rectangle-filter dimensions (user_id, event hour) into a Morton
+    // key, range-repartition + sort the table on it, and answer a
+    // two-dimensional rectangle query from the re-laid-out files. At
+    // 100 TB every file then carries narrow parquet min/max ranges in
+    // BOTH dimensions (Round6Spec measures the per-file spans), so
+    // the scan prunes row groups on either predicate — one layout
+    // serving two filter columns, where a single-column sort serves
+    // only one. Results are layout-invariant; the oracle reads the
+    // raw events table.
+    Q("x21_zorder_layout",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x21_z").toString
+        Round6bQueries.zorderWrite(s, d, dir)
+        s.read.parquet(dir)
+          .where(col("user_id").between(100L, 199L) &&
+            col("hour_bucket").between(473592L, 473712L))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double").as("sum_value"))
+          .select(col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"))
+      },
+      Some("""SELECT count(*) AS n_events,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS sum_value
+          |FROM events
+          |WHERE user_id BETWEEN 100 AND 199
+          |  AND epoch_ns(ts) // 3600000000000 BETWEEN 473592 AND 473712""".stripMargin))
   )
+
+  /** Morton-interleave the low 16 bits of two long columns: bit i of
+    * x lands at position 2i, bit i of y at 2i+1 — plain codegen'd
+    * integer arithmetic (32 shift-and-mask terms, no UDF).
+    */
+  private[graft] def morton16(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Write events Z-ordered on (user_id, hour_bucket) to `dir`:
+    * min-max scale each dimension to 8 bits (equal weight in the
+    * interleave regardless of raw ranges — the step every Z-order
+    * implementation performs), Morton-interleave, range-repartition
+    * into 16 Morton ranges, sort within partitions.
+    */
+  private[graft] def zorderWrite(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hour_bucket"),
+        col("value"))
+    val b = ev.agg(min("user_id").as("ul"), max("user_id").as("uh"),
+      min("hour_bucket").as("hl"), max("hour_bucket").as("hh")).head
+    def scale8(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      (c - lit(lo)) * lit(255L) / lit(math.max(1L, hi - lo))
+    ev.withColumn("z", morton16(
+        scale8(col("user_id"), b.getLong(0), b.getLong(1)).cast("long"),
+        scale8(col("hour_bucket"), b.getLong(2), b.getLong(3)).cast("long")))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(dir)
+  }
 }

@@ -127,6 +127,58 @@ class Round6Spec extends AnyFunSuite {
     assert(docs.last > 0, "funnel ran dry — final stage kept nothing")
   }
 
+  test("r75 injects a bloom runtime filter into the fact scan") {
+    // The query materializes under localCheckpoint, so the optimized
+    // join plan is not visible from its returned DataFrame; rebuild
+    // the same join under the same conf deltas and inspect it.
+    val s = spark
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val j = Tables.lineitem(s, sf)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .join(Tables.orders(s, sf)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no bloom runtime filter in plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  test("x21 z-order clusters BOTH rectangle dimensions per file") {
+    val s = spark
+    val dir = graft.util.TempDirs.create("graft_x21_spec").toString
+    graft.queries.Round6bQueries.zorderWrite(s, sf, dir)
+    val spans = s.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("user_id") - min("user_id")).as("uspan"),
+        (max("hour_bucket") - min("hour_bucket")).as("hspan"))
+      .agg(avg("uspan").as("u"), avg("hspan").as("h"),
+        count(lit(1)).as("nf")).head
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hb"))
+      .agg((max("user_id") - min("user_id")).as("ur"),
+        (max("hb") - min("hb")).as("hr")).head
+    assert(spans.getLong(2) > 4, "expected a multi-file layout")
+    // A single-column sort clusters one dimension and leaves the other
+    // at ~full span per file; Morton clustering must bound BOTH below
+    // 75% of their global ranges on average.
+    assert(spans.getDouble(0) < 0.75 * ev.getLong(0),
+      s"user_id not clustered: avg span ${spans.getDouble(0)} of ${ev.getLong(0)}")
+    assert(spans.getDouble(1) < 0.75 * ev.getLong(1),
+      s"hour not clustered: avg span ${spans.getDouble(1)} of ${ev.getLong(1)}")
+  }
+
   test("d21 keeps target-language documents at a higher rate") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val joined = run("d21_dsir_weights").join(docs, "doc_id")
