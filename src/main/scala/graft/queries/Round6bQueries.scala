@@ -342,7 +342,41 @@ object Round6bQueries {
           |    AS sum_value
           |FROM events
           |WHERE user_id BETWEEN 100 AND 199
-          |  AND epoch_ns(ts) // 3600000000000 BETWEEN 473592 AND 473712""".stripMargin))
+          |  AND epoch_ns(ts) // 3600000000000 BETWEEN 473592 AND 473712""".stripMargin)),
+
+    // E13 — binary quantization through the PERSISTED index: the same
+    // BQ semantics as e12, but the coarse pass scans the QuantIndex's
+    // stored `sig` column (written at build time next to sq8/pq — the
+    // FAISS-style multi-tier layout), so candidate generation reads
+    // 1/32 of the vector bytes and the exact re-rank runs under id
+    // pushdown. Sign packing is parameterless, so unlike e8/e9 the
+    // oracle is static — it recomputes sign bits from the raw table
+    // and must land on the identical top-k.
+    Q("e13_bitq_index",
+      (s, d) => {
+        val idx = QuantCache.forDir(s, d)
+        val q = VectorQueries.qvec(s, d, 0L)
+        val cand = idx.candidateIds(idx.coarseBitq(q, 50))
+        idx.exactDist(cand, q)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+           |  WHERE vec_id = 0),
+           |h AS (
+           |  SELECT e.vec_id,
+           |    CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           |      i -> CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
+           |           THEN 1 ELSE 0 END)) AS INT) AS hamming
+           |  FROM embeddings e CROSS JOIN q),
+           |cand AS (SELECT vec_id, hamming FROM h
+           |         ORDER BY hamming, vec_id LIMIT 50)
+           |SELECT c.vec_id,
+           |  round(${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")}, 6)
+           |    AS dist
+           |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+           |CROSS JOIN q
+           |ORDER BY dist, c.vec_id LIMIT 10""".stripMargin))
   )
 
   /** Morton-interleave the low 16 bits of two long columns: bit i of

@@ -63,6 +63,18 @@ final class QuantIndex(
     indexDf.select(col("id"), model.pqAdcCol(col("pq"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
 
+  /** (id, ham) coarse candidates by Hamming distance over the stored
+    * 1-bit sign signatures — the cheapest tier: the scan reads
+    * (id, sig), 1/32 of the vector bytes, and the distance is one
+    * popcount-of-xor per 64 dims.
+    */
+  def coarseBitq(q: Array[Double], n: Int): DataFrame =
+    indexDf.select(col("id"),
+      VF.hamming64(col("sig"),
+        org.apache.spark.sql.functions.typedLit(VF.signPackS(q)))
+        .as("ham"))
+      .orderBy(col("ham"), col("id")).limit(n)
+
   /** Exact squared-L2 for a bounded id set (the coarse survivors): the
     * only stage that reads the float `embedding` column, under an id
     * pushdown filter.
@@ -228,12 +240,17 @@ final class QuantIndex(
 
 object QuantIndex {
 
-  /** (id, embedding, sq8, pq, cell) from raw (id, embedding) rows. */
+  /** (id, embedding, sq8, pq, sig, cell) from raw (id, embedding)
+    * rows. `sig` is the 1-bit sign signature (binary quantization,
+    * 32× smaller than float32) — parameterless, so it needs nothing
+    * from the trained model.
+    */
   private def encode(df: DataFrame, model: QuantModel,
                      idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
       .withColumn("sq8", model.sq8Col(col("embedding")))
       .withColumn("pq", model.pqCol(col("embedding")))
+      .withColumn("sig", VF.signPack(col("embedding")))
       .withColumn("cell", model.ivfCellCol(col("embedding")))
 
   /** Train the quantizers (one distributed stats pass + a bounded

@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "r67_tpch_q11",       // 1-row global threshold, Cross BuildRight
     "r62_tpch_q15",       // 1-row max-revenue scalar (plan varies
                           // with AQE exchange reuse across runs)
-    "e11_semdedup"        // 16 broadcast centroids × corpus scan
+    "e11_semdedup",       // 16 broadcast centroids × corpus scan
+    "d21_dsir_weights",   // 1-row corpus-baseline broadcast
+    "d22_bigram_fluency", // 1-row vocab-size + 1-row global-mean
+    "p10_curation_funnel" // d21's 1-row baseline inside the funnel
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {

@@ -30,7 +30,7 @@ class QuantIndexSpec extends AnyFunSuite {
       .foldLeft(Set.empty[String])(_ ++ _)
 
   test("build persists codes + cell partitions; reopen round-trips the model") {
-    assert(idx.indexDf.columns.toSet == Set("id", "embedding", "sq8", "pq", "cell"))
+    assert(idx.indexDf.columns.toSet == Set("id", "embedding", "sq8", "pq", "sig", "cell"))
     assert(idx.indexDf.count() == 500)
     val cells = new java.io.File(idx.path).listFiles
       .count(_.getName.startsWith("cell="))

@@ -179,6 +179,25 @@ class Round6Spec extends AnyFunSuite {
       s"hour not clustered: avg span ${spans.getDouble(1)} of ${ev.getLong(1)}")
   }
 
+  test("e13 coarse BQ pass scans only (id, sig) from the index") {
+    val idx = graft.queries.QuantCache.forDir(spark, sf)
+    val q = graft.queries.VectorQueries.qvec(spark, sf, 0L)
+    val p = idx.coarseBitq(q, 50).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("sig"), s"sig column not in scan: $read")
+    assert(!read.contains("embedding"),
+      s"coarse pass must not read the float vectors: $read")
+  }
+
+  test("e13 persisted-index BQ agrees with the inline e12 top-k") {
+    val a = run("e13_bitq_index").collect().map(r =>
+      (r.getLong(0), r.getDouble(1)))
+    val b = run("e12_bitq_hamming").collect().map(r =>
+      (r.getLong(0), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq, s"index path diverged: ${a.toSeq} vs ${b.toSeq}")
+  }
+
   test("d21 keeps target-language documents at a higher rate") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val joined = run("d21_dsir_weights").join(docs, "doc_id")
