@@ -101,6 +101,12 @@ final class QuantIndex(
   def searchPq(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
     rerank(coarsePq(q, coarseN), q, k)
 
+  /** BQ two-stage search: Hamming over stored sign signatures, exact
+    * re-rank.
+    */
+  def searchBitq(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
+    rerank(coarseBitq(q, coarseN), q, k)
+
   /** (id, adc) coarse candidates by PQ asymmetric distance WITHIN the
     * `nprobe` IVF cells nearest the query — the FAISS IVFPQ layout:
     * partition pruning cuts the scan to nprobe/nCells of the corpus,

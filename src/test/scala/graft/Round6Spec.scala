@@ -198,6 +198,17 @@ class Round6Spec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"index path diverged: ${a.toSeq} vs ${b.toSeq}")
   }
 
+  test("searchBitq returns k rows with the stored query vector first") {
+    val idx = graft.queries.QuantCache.forDir(spark, sf)
+    val q = graft.queries.VectorQueries.qvec(spark, sf, 0L)
+    val rows = idx.searchBitq(q, 10).collect()
+    assert(rows.length == 10)
+    // vec 0 has Hamming 0 to itself, so it always survives the coarse
+    // cut, and the exact re-rank must put it first at distance 0
+    assert(rows.head.getLong(0) == 0L)
+    assert(rows.head.getDouble(1) == 0.0)
+  }
+
   test("d21 keeps target-language documents at a higher rate") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val joined = run("d21_dsir_weights").join(docs, "doc_id")
