@@ -214,6 +214,7 @@ object Bench {
           meanQ("knn_sq8_k10")(q => qidx.searchSq8(q, 10).collect())
           meanQ("knn_pq_k10")(q => qidx.searchPq(q, 10).collect())
           meanQ("knn_ivfpq_k10")(q => qidx.searchIvfPq(q, 10).collect())
+          meanQ("knn_ivfpqr_k10")(q => qidx.searchIvfPqResidual(q, 10).collect())
           meanQ("knn_bitq_k10")(q => qidx.searchBitq(q, 10).collect())
         }
 

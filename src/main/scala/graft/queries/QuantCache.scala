@@ -37,7 +37,8 @@ object QuantCache {
       oracles = Map(
         "e8_pq_search" -> pqSql(idx.model, pruned = false),
         "e9_ivfpq_search" -> pqSql(idx.model, pruned = true),
-        "e10_batch_pq_knn" -> batchPqSql(idx.model))
+        "e10_batch_pq_knn" -> batchPqSql(idx.model),
+        "e14_ivfpq_residual" -> pqrSql(idx.model))
       idx
     })
   }
@@ -106,6 +107,76 @@ object QuantCache {
        |cand AS (
        |  SELECT codes.vec_id AS vec_id, $adcTerms AS adc
        |  FROM codes$candFilter, lut
+       |  ORDER BY adc, vec_id LIMIT 100)
+       |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
+       |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
+       |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB twin of the RESIDUAL IVFPQ search (e14): cell assignment
+    * and the 2 probed cells recomputed in SQL exactly like e9's; each
+    * vector's RESIDUAL against its own cell centroid is encoded with
+    * the injected residual books; each probed cell gets its own LUT
+    * from the query's residual against THAT centroid; ADC joins a
+    * row's codes to its cell's LUT. Coarse top-100 by (adc, vec_id),
+    * exact re-rank to top-10 — all bit-identical to the Spark plan.
+    */
+  private[queries] def pqrSql(m: QuantModel): String = {
+    val M = m.cfg.pqSubspaces
+    val sub = m.sub
+    val dim = m.dim
+    val books = m.pqrBooks.map(book =>
+      book.map(c => c.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    // per-subspace distance of the double residual list `r` to one
+    // residual-codebook centroid `cent` (j is the subspace index in
+    // scope at the call site)
+    val subDist =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"(r[(j-1)*$sub+i] - cent[i]) * (r[(j-1)*$sub+i] - cent[i])))"
+    val adcTerms = (1 to M).map(j => s"lut.lt[$j][codes.c[$j]]").mkString(" + ")
+    s"""WITH bk AS (SELECT $books AS b),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cl AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < ${m.cfg.ivfCells}),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cl.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${DuckSql.l2sq("e.embedding", "cl.ce")}, cl.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cl)
+       |  WHERE rn = 1),
+       |qc AS (
+       |  SELECT cid FROM (
+       |    SELECT cl.cid,
+       |      row_number() OVER (ORDER BY ${DuckSql.l2sq("cl.ce", "q.qe")}, cl.cid) AS rn
+       |    FROM cl, q)
+       |  WHERE rn <= 2),
+       |res AS (
+       |  SELECT e.vec_id, a.cid, list_transform(range(1, ${dim + 1}), i ->
+       |    CAST(e.embedding[i] AS DOUBLE) - CAST(cl.ce[i] AS DOUBLE)) AS r
+       |  FROM embeddings e
+       |  JOIN asg a ON e.vec_id = a.vec_id
+       |  JOIN cl ON cl.cid = a.cid
+       |  WHERE a.cid IN (SELECT cid FROM qc)),
+       |codes AS (
+       |  SELECT vec_id, cid, list_transform(dl, dj ->
+       |    list_position(dj, list_min(dj))) AS c
+       |  FROM (
+       |    SELECT vec_id, cid, list_transform(range(1, ${M + 1}), j ->
+       |      list_transform(b[j], cent -> $subDist)) AS dl
+       |    FROM res, bk)),
+       |qres AS (
+       |  SELECT qc.cid, list_transform(range(1, ${dim + 1}), i ->
+       |    CAST(q.qe[i] AS DOUBLE) - CAST(cl.ce[i] AS DOUBLE)) AS r
+       |  FROM qc JOIN cl ON cl.cid = qc.cid, q),
+       |lut AS (
+       |  SELECT cid, list_transform(range(1, ${M + 1}), j ->
+       |    list_transform(b[j], cent -> $subDist)) AS lt
+       |  FROM qres, bk),
+       |cand AS (
+       |  SELECT codes.vec_id AS vec_id, $adcTerms AS adc
+       |  FROM codes JOIN lut ON codes.cid = lut.cid
        |  ORDER BY adc, vec_id LIMIT 100)
        |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
        |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q

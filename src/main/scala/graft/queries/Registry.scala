@@ -19,7 +19,8 @@ object Registry {
       Round5Queries.all ++
       Round5bQueries.all ++
       Round6Queries.all ++
-      Round6bQueries.all
+      Round6bQueries.all ++
+      Round6cQueries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-6 (session 3) additions:
+  *
+  *  - e14: RESIDUAL IVFPQ — the full FAISS IVFPQ scheme (encode the
+  *    residual against the assigned coarse centroid, per-probed-cell
+  *    LUTs at search). Same pruned scan and byte footprint as e9;
+  *    more signal per code bit. Reference claims the FAISS index
+  *    families (`Readme.md:29-35`); this is the faithful one.
+  *  - r76: distributed PageRank over the customer↔supplier purchase
+  *    graph — the iterate-until-fixed-iterations graph op that
+  *    complements m4's connected components. Fixed-point Long
+  *    arithmetic (µ-rank units, single integer floor-division per
+  *    contribution) makes five iterations bit-identical on any
+  *    engine — no floating sums to drift.
+  *  - d23: deterministic weighted priority sampling WITHOUT
+  *    replacement per language stratum — the corpus-mixing move
+  *    (sample k docs per lang, long docs proportionally likelier)
+  *    with a reproducible, engine-exact priority key instead of RNG.
+  *  - d24: canonical-member dedup — compose m4's duplicate clusters
+  *    with a quality criterion to keep the BEST doc per cluster
+  *    (longest, ties to lowest id), not an arbitrary one: the step
+  *    every production dedup pipeline runs between clustering and
+  *    writing the kept corpus.
+  */
+object Round6cQueries {
+
+  private val HashMod = 1L << 20
+
+  /** d17's split hash (same constants), applicable to any id column. */
+  private def splitOf(c: org.apache.spark.sql.Column) = {
+    val h = ((c % lit(HashMod)) * lit(2654435761L) + lit(40503L)) % lit(HashMod)
+    when(h < lit(HashMod * 9 / 10), "train")
+      .when(h < lit(HashMod * 19 / 20), "val")
+      .otherwise("test")
+  }
+
+  private def splitOfSql(e: String): String =
+    s"CASE WHEN (($e % ${HashMod}) * 2654435761 + 40503) % ${HashMod}" +
+      s" < ${HashMod * 9 / 10} THEN 'train'" +
+      s" WHEN (($e % ${HashMod}) * 2654435761 + 40503) % ${HashMod}" +
+      s" < ${HashMod * 19 / 20} THEN 'val' ELSE 'test' END"
+
+  /** Run `f` with AQE skew-join thresholds opened up so the splitter
+    * fires at test scale (at 100 TB the DEFAULTS fire — 256 MB skewed
+    * partitions are the norm there), restoring every conf after.
+    */
+  private[graft] def withSkewConfs[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The skewed fact↔dim join under the CURRENT session confs (the Q
+    * wraps it in [[withSkewConfs]]; Round6Spec materializes it under
+    * the same confs to pin `skew=true` in the final adaptive plan).
+    * 75% of lineitem lands on skew_key 0 — the one hot reducer that
+    * stalls an unaided sort-merge join.
+    */
+  private[graft] def skewJoinFrame(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame = {
+    val skewKey = when(pmod(col("l_orderkey"), lit(4)) =!= 0, lit(0L))
+      .otherwise(col("l_orderkey")).cast("long")
+    // AQE splits a skewed reduce partition along MAPPER boundaries, so
+    // the fact side needs >1 map task to be splittable. The test
+    // tables are one parquet row group = one mapper; at real scale the
+    // scan has thousands of mappers and this repartition is a no-op
+    // shape-wise (the shuffle before the join is there either way).
+    val fact = Tables.lineitem(s, d)
+      .select(skewKey.as("sk"), col("l_quantity"))
+      .repartition(8)
+    // materialize the dim before the join: its distinct-aggregate would
+    // otherwise sit between the join's Sort and the shuffle stage
+    // (exchange reuse), a shape the skew-split rule can't rewrite
+    val dim = Tables.orders(s, d)
+      .select(when(pmod(col("o_orderkey"), lit(4)) =!= 0, lit(0L))
+        .otherwise(col("o_orderkey")).cast("long").as("sk"))
+      .distinct()
+      .select(col("sk"), pmod(col("sk"), lit(7)).cast("long").as("grp"))
+      .localCheckpoint(true)
+    fact.join(dim, "sk")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy("grp")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // E14 — residual IVFPQ search. Candidates come only from the 2
+    // probed cells (parquet partition pruning); the coarse pass reads
+    // (id, cell, pqr) — code bytes, not vectors; each row's ADC joins
+    // its residual codes to the LUT of ITS cell (3-D literal indexed
+    // by the cell's position in the probe list — pure codegen'd
+    // projection, no shuffle, no UDF). Exact re-rank of ≤100 ids is
+    // the only float read. Oracle: injected residual codebooks +
+    // SQL-recomputed cell assignment (same CTEs as e9's).
+    Q("e14_ivfpq_residual",
+      (s, d) => {
+        val idx = QuantCache.forDir(s, d)
+        val q = VectorQueries.qvec(s, d, 0L)
+        val cand =
+          idx.candidateIds(idx.coarseIvfPqResidual(q, nprobe = 2, n = 100))
+        idx.exactDist(cand, q)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+      },
+      None,
+      lateOracle = QuantCache.lateOracle("e14_ivfpq_residual")),
+
+    // R76 — PageRank, 5 iterations, damping 0.85, over the undirected
+    // bipartite customer↔supplier graph (an edge per distinct
+    // (o_custkey, l_suppkey) purchase relation; node id = 2·custkey /
+    // 2·suppkey+1 keeps the key spaces disjoint). Ranks live in µ-rank
+    // Longs (start 1 000 000); a node's contribution per edge is ONE
+    // integer floor division (rank·85) div (100·outdeg), so the
+    // per-iteration Σ is a sum of Longs — associative, engine-exact.
+    // Scale shape: per iteration, one equi-join of ranks to the
+    // edge list on the source key + one groupBy on the target key —
+    // the canonical distributed PageRank; at 100 TB both sides would
+    // be pre-partitioned by node so the join reuses the shuffle
+    // across all five iterations. Edge list and degrees are computed
+    // once and checkpointed, not re-derived per iteration.
+    Q("r76_pagerank",
+      (s, d) => {
+        val eb = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("a"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+          .distinct()
+        val edges = eb
+          .union(eb.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint(true)
+        val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg"))
+          .localCheckpoint(true)
+        var ranks = deg.select(col("a").as("node"),
+          lit(1000000L).as("rank_u"))
+        for (_ <- 1 to 5) {
+          val contrib = edges.join(deg, "a")
+            .join(ranks, col("a") === col("node"))
+            .select(col("b"),
+              expr("(rank_u * 85) div (100 * outdeg)").as("c"))
+            .groupBy("b").agg(sum("c").as("sc"))
+          ranks = deg.select(col("a").as("node"))
+            .join(contrib, col("node") === col("b"), "left")
+            .select(col("node"),
+              (lit(150000L) + coalesce(col("sc"), lit(0L))).as("rank_u"))
+            .localCheckpoint(true)
+        }
+        ranks.select(
+          when(pmod(col("node"), lit(2)) === 0, "customer")
+            .otherwise("supplier").as("node_type"),
+          expr("node div 2").as("node_key"),
+          col("rank_u"))
+          .orderBy("node_type", "node_key")
+      },
+      Some("""WITH eb AS (
+          |  SELECT DISTINCT CAST(o_custkey*2 AS BIGINT) AS a,
+          |         CAST(l_suppkey*2+1 AS BIGINT) AS b
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e AS (SELECT a, b FROM eb UNION ALL SELECT b, a FROM eb),
+          |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS outdeg
+          |        FROM e GROUP BY a),
+          |r0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS rank_u
+          |       FROM deg),
+          |c1 AS (SELECT e.b AS node,
+          |         sum((r.rank_u * 85) // (100 * d.outdeg)) AS sc
+          |       FROM e JOIN deg d ON e.a = d.a
+          |       JOIN r0 r ON r.node = e.a GROUP BY e.b),
+          |r1 AS (SELECT d.a AS node,
+          |         CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS rank_u
+          |       FROM deg d LEFT JOIN c1 c ON c.node = d.a),
+          |c2 AS (SELECT e.b AS node,
+          |         sum((r.rank_u * 85) // (100 * d.outdeg)) AS sc
+          |       FROM e JOIN deg d ON e.a = d.a
+          |       JOIN r1 r ON r.node = e.a GROUP BY e.b),
+          |r2 AS (SELECT d.a AS node,
+          |         CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS rank_u
+          |       FROM deg d LEFT JOIN c2 c ON c.node = d.a),
+          |c3 AS (SELECT e.b AS node,
+          |         sum((r.rank_u * 85) // (100 * d.outdeg)) AS sc
+          |       FROM e JOIN deg d ON e.a = d.a
+          |       JOIN r2 r ON r.node = e.a GROUP BY e.b),
+          |r3 AS (SELECT d.a AS node,
+          |         CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS rank_u
+          |       FROM deg d LEFT JOIN c3 c ON c.node = d.a),
+          |c4 AS (SELECT e.b AS node,
+          |         sum((r.rank_u * 85) // (100 * d.outdeg)) AS sc
+          |       FROM e JOIN deg d ON e.a = d.a
+          |       JOIN r3 r ON r.node = e.a GROUP BY e.b),
+          |r4 AS (SELECT d.a AS node,
+          |         CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS rank_u
+          |       FROM deg d LEFT JOIN c4 c ON c.node = d.a),
+          |c5 AS (SELECT e.b AS node,
+          |         sum((r.rank_u * 85) // (100 * d.outdeg)) AS sc
+          |       FROM e JOIN deg d ON e.a = d.a
+          |       JOIN r4 r ON r.node = e.a GROUP BY e.b),
+          |r5 AS (SELECT d.a AS node,
+          |         CAST(150000 + coalesce(c.sc, 0) AS BIGINT) AS rank_u
+          |       FROM deg d LEFT JOIN c5 c ON c.node = d.a)
+          |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+          |            ELSE 'supplier' END AS node_type,
+          |       CAST(node // 2 AS BIGINT) AS node_key, rank_u
+          |FROM r5 ORDER BY node_type, node_key""".stripMargin)),
+
+    // D23 — weighted sampling without replacement, 50 docs per lang:
+    // priority = (h(doc_id)·10⁶) div n_chars with the multiplicative
+    // BIGINT hash d15/d17 use — longer docs draw smaller priorities
+    // proportionally more often, the lowest 50 win. Deterministic and
+    // engine-exact where an RNG-keyed sample (Efraimidis–Spirakis)
+    // would not replay. Row-local hash + one per-stratum top-k — at
+    // corpus scale this is a TakeOrdered per group, no global sort.
+    Q("d23_weighted_sample",
+      (s, d) => {
+        val h = ((col("doc_id") % lit(HashMod)) * lit(2654435761L) +
+          lit(7919L)) % lit(HashMod)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            expr(s"(((doc_id % $HashMod) * 2654435761 + 7919) % $HashMod" +
+              s" * 1000000) div n_chars").as("priority"))
+          .withColumn("sample_rank", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(col("priority"), col("doc_id"))))
+          .where(col("sample_rank") <= 50)
+          .select(col("lang"), col("sample_rank"), col("doc_id"),
+            col("n_chars"), col("priority"))
+          .orderBy("lang", "sample_rank")
+      },
+      Some(s"""SELECT lang, sample_rank, doc_id, n_chars, priority FROM (
+           |  SELECT lang, doc_id, n_chars,
+           |    CAST((((doc_id % ${HashMod}) * 2654435761 + 7919)
+           |      % ${HashMod} * 1000000) // n_chars AS BIGINT) AS priority,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY (((doc_id % ${HashMod}) * 2654435761 + 7919)
+           |        % ${HashMod} * 1000000) // n_chars, doc_id) AS INT)
+           |      AS sample_rank
+           |  FROM documents)
+           |WHERE sample_rank <= 50
+           |ORDER BY lang, sample_rank""".stripMargin)),
+
+    // D24 — canonical-member dedup: m4's connected-component clusters
+    // joined back to the corpus, keep the longest doc per cluster
+    // (ties to the lowest id). One row per cluster with the kept doc
+    // and the cluster's size — the manifest a dedup pass hands to the
+    // writer. Costs one extra broadcast-sized join + a per-cluster
+    // window over m4's output; the clusters (not the corpus) are the
+    // window's partition key.
+    Q("d24_canonical_dedup",
+      (s, d) => {
+        val clusters = TextQueries.all
+          .find(_.name == "m4_dedup_clusters").get.run(s, d)
+        clusters
+          .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+          .withColumn("n_docs",
+            count(lit(1)).over(Window.partitionBy("cluster_rep")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cluster_rep")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(col("cluster_rep"), col("doc_id").as("canon_doc"),
+            col("n_docs"), col("n_chars").as("canon_chars"))
+          .orderBy("cluster_rep")
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.minhashPairsCte},
+           |e AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+           |      UNION ALL SELECT id_b, id_a FROM mh_pairs),
+           |reach(s2, t) AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.s2, e.b FROM reach r JOIN e ON r.t = e.a),
+           |m AS (SELECT s2, min(t) AS mn FROM reach GROUP BY s2),
+           |cl AS (SELECT d.doc_id,
+           |         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_rep,
+           |         d.n_chars
+           |       FROM documents d LEFT JOIN m ON m.s2 = d.doc_id)
+           |SELECT cluster_rep, doc_id AS canon_doc, n_docs,
+           |       n_chars AS canon_chars FROM (
+           |  SELECT cluster_rep, doc_id, n_chars,
+           |    CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+           |      AS n_docs,
+           |    row_number() OVER (PARTITION BY cluster_rep
+           |      ORDER BY n_chars DESC, doc_id) AS rn
+           |  FROM cl)
+           |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin)),
+
+    // R77 — AQE skew-join splitting: 75% of the fact rows carry one
+    // hot join key, the classic stall (one reducer gets the whole hot
+    // partition in a sort-merge join). With adaptive skew-join
+    // handling, the runtime splits the oversized partition into
+    // advisory-sized slices and replicates the matching dim rows —
+    // same results, hot reducer gone. Thresholds are opened so the
+    // splitter fires at test scale (defaults fire at 100-TB sizes);
+    // confs restore after the join materializes under localCheckpoint
+    // (the r75 pattern). Results are optimizer-invariant — the oracle
+    // is the plain join.
+    Q("r77_skew_join",
+      (s, d) => withSkewConfs(s) { skewJoinFrame(s, d).localCheckpoint(true) },
+      Some("""SELECT grp, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+          |             ELSE l_orderkey END AS sk, l_quantity
+          |      FROM lineitem) f
+          |JOIN (SELECT sk, CAST(sk % 7 AS BIGINT) AS grp
+          |      FROM (SELECT DISTINCT CASE WHEN o_orderkey % 4 <> 0
+          |                   THEN 0 ELSE o_orderkey END AS sk
+          |            FROM orders))
+          |USING (sk)
+          |GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // P11 — leakage-free train/val/test split: d17's hash split has
+    // near-duplicate pairs straddling split boundaries (eval
+    // contamination). Re-anchoring every document to ITS CLUSTER
+    // REPRESENTATIVE's split (m4's connected components contain every
+    // m1 near-dup pair by construction) makes the split
+    // cluster-coherent: no near-dup pair can cross, provably, while
+    // singleton docs (the vast majority) keep their d17 assignment.
+    // Row-local hash on top of m4's output — no new shuffle beyond
+    // the clustering itself.
+    Q("p11_leakage_free_split",
+      (s, d) => {
+        val clusters = TextQueries.all
+          .find(_.name == "m4_dedup_clusters").get.run(s, d)
+        clusters.select(col("doc_id"),
+            splitOf(col("doc_id")).as("split"),
+            splitOf(col("cluster_rep")).as("final_split"))
+          .withColumn("moved",
+            (col("split") =!= col("final_split")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.minhashPairsCte},
+           |e AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+           |      UNION ALL SELECT id_b, id_a FROM mh_pairs),
+           |reach(s2, t) AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.s2, e.b FROM reach r JOIN e ON r.t = e.a),
+           |m AS (SELECT s2, min(t) AS mn FROM reach GROUP BY s2),
+           |cl AS (SELECT d.doc_id,
+           |         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_rep
+           |       FROM documents d LEFT JOIN m ON m.s2 = d.doc_id)
+           |SELECT doc_id, split, final_split,
+           |  CASE WHEN split <> final_split THEN 1 ELSE 0 END AS moved
+           |FROM (SELECT doc_id,
+           |        ${splitOfSql("doc_id")} AS split,
+           |        ${splitOfSql("cluster_rep")} AS final_split
+           |      FROM cl)
+           |ORDER BY doc_id""".stripMargin)))
+}

@@ -49,7 +49,7 @@ object TextQueries {
     * 8 minhashes → 4 band buckets → distinct candidate pairs
     * `mh_pairs(id_a, id_b)`. Used by m1 (pairs) and m4 (clusters).
     */
-  private lazy val minhashPairsCte: String = {
+  private[queries] lazy val minhashPairsCte: String = {
     val mhCols = (0 until 8).map(j =>
       s"list_min(list_transform(shs, x -> (${A(j)}*x + ${B(j)}) % $P)) AS mh$j")
       .mkString(",\n        ")

@@ -34,7 +34,8 @@ final class QuantModel(
     val mins: Array[Double],
     val scales: Array[Double],
     val ivfCentroids: Array[Array[Double]],
-    val pqBooks: Array[Array[Array[Double]]]) {
+    val pqBooks: Array[Array[Array[Double]]],
+    val pqrBooks: Array[Array[Array[Double]]]) {
 
   require(dim % cfg.pqSubspaces == 0,
     s"dim $dim not divisible by pqSubspaces ${cfg.pqSubspaces}")
@@ -73,10 +74,26 @@ final class QuantModel(
   /** PQ codes: per subspace j, the 1-based index of the nearest codebook
     * centroid (1-based so ADC is a direct `element_at` into the LUT).
     */
-  def pqCol(emb: Column): Column = {
-    val e = emb.cast("array<double>")
+  def pqCol(emb: Column): Column =
+    codesFor(emb.cast("array<double>"), pqBooks)
+
+  /** RESIDUAL PQ codes (the FAISS IVFPQ convention): the vector minus
+    * its assigned coarse centroid is what gets product-quantized, so
+    * each codebook only has to cover a cell-sized neighborhood instead
+    * of the whole corpus spread — tighter codes at identical bytes.
+    * `cell` must be the [[ivfCellCol]] assignment of the same row.
+    */
+  def pqrCol(emb: Column, cell: Column): Column = {
+    val cents = typedLit(ivfCentroids.map(_.toSeq).toSeq)
+    val r = zip_with(emb.cast("array<double>"),
+      element_at(cents, cell.cast("int") + 1), (x, c) => x - c)
+    codesFor(r, pqrBooks)
+  }
+
+  private def codesFor(e: Column,
+                       books: Array[Array[Array[Double]]]): Column = {
     val codes = (0 until cfg.pqSubspaces).map { j =>
-      val dists = transform(typedLit(pqBooks(j).map(_.toSeq).toSeq),
+      val dists = transform(typedLit(books(j).map(_.toSeq).toSeq),
         cent => sqd(slice(e, j * sub + 1, sub), cent))
       array_position(dists, array_min(dists)).cast("int")
     }
@@ -91,8 +108,19 @@ final class QuantModel(
 
   /** Asymmetric-distance lookup table: lut(j)(c) = ||q_j − centroid_jc||². */
   def pqLut(q: Array[Double]): Array[Array[Double]] =
+    lutFor(q, pqBooks)
+
+  /** Residual-ADC lookup table for one probed cell: the query's residual
+    * against THAT cell's coarse centroid, against the residual books.
+    * One nprobe-sized family of LUTs per query — still driver math.
+    */
+  def pqrLut(q: Array[Double], cell: Int): Array[Array[Double]] =
+    lutFor(Array.tabulate(dim)(i => q(i) - ivfCentroids(cell)(i)), pqrBooks)
+
+  private def lutFor(q: Array[Double],
+                     books: Array[Array[Array[Double]]]): Array[Array[Double]] =
     Array.tabulate(cfg.pqSubspaces) { j =>
-      pqBooks(j).map { c =>
+      books(j).map { c =>
         var acc = 0.0; var i = 0
         while (i < sub) { val d = c(i) - q(j * sub + i); acc += d * d; i += 1 }
         acc
@@ -136,7 +164,8 @@ final class QuantModel(
     val json = s"""{"pqSubspaces":${cfg.pqSubspaces},"pqCentroids":${cfg.pqCentroids},""" +
       s""""ivfCells":${cfg.ivfCells},"sampleCap":${cfg.sampleCap},"seed":${cfg.seed},""" +
       s""""dim":$dim,"mins":${arr(mins)},"scales":${arr(scales)},""" +
-      s""""ivf_flat":${arr(ivfCentroids.flatten)},"books_flat":${arr(pqBooks.flatten.flatten)}}"""
+      s""""ivf_flat":${arr(ivfCentroids.flatten)},"books_flat":${arr(pqBooks.flatten.flatten)},""" +
+      s""""booksr_flat":${arr(pqrBooks.flatten.flatten)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 }
@@ -180,7 +209,17 @@ object QuantModel {
     val books = Array.tabulate(cfg.pqSubspaces)(j =>
       fitSub(sample.map(_.slice(j * sub, (j + 1) * sub)),
         cfg.pqCentroids, cfg.seed + j))
-    new QuantModel(cfg, dim, mins, scales, ivf, books)
+    // Residual books train on (vector − nearest coarse centroid) over
+    // the same sample; ties go to the lowest cell id, matching
+    // ivfCellCol's array_position-first-match rule.
+    val resSample = sample.map { p =>
+      val c = ivf.minBy(cc => graft.functions.VectorFunctions.l2sqS(cc, p))
+      Array.tabulate(dim)(i => p(i) - c(i))
+    }
+    val booksR = Array.tabulate(cfg.pqSubspaces)(j =>
+      fitSub(resSample.map(_.slice(j * sub, (j + 1) * sub)),
+        cfg.pqCentroids, cfg.seed + 1000 + j))
+    new QuantModel(cfg, dim, mins, scales, ivf, books, booksR)
   }
 
   /** Seeded k-means++ init + 10 Lloyd iterations over driver-side points
@@ -248,7 +287,9 @@ object QuantModel {
     val ivf = nums("ivf_flat").grouped(dim).toArray
     val books = nums("books_flat").grouped(sub).toArray
       .grouped(cfg.pqCentroids).toArray
-    new QuantModel(cfg, dim, nums("mins"), nums("scales"), ivf, books)
+    val booksR = nums("booksr_flat").grouped(sub).toArray
+      .grouped(cfg.pqCentroids).toArray
+    new QuantModel(cfg, dim, nums("mins"), nums("scales"), ivf, books, booksR)
   }
 
   def exists(path: String): Boolean =

@@ -125,6 +125,35 @@ final class QuantIndex(
                   coarseN: Int = 100): DataFrame =
     rerank(coarseIvfPq(q, nprobe, coarseN), q, k)
 
+  /** (id, adc) coarse candidates by RESIDUAL PQ distance within the
+    * probed cells — the full FAISS IVFPQ scheme: each probed cell gets
+    * its own LUT (query residual vs that cell's centroid, against the
+    * residual books), and a row looks its LUT up by the position of its
+    * cell in the probe list. Same pruned scan and byte footprint as
+    * [[coarseIvfPq]]; the codes just carry more signal per bit because
+    * each codebook only spans a cell-sized neighborhood.
+    */
+  def coarseIvfPqResidual(q: Array[Double], nprobe: Int, n: Int): DataFrame = {
+    val cells = model.ivfNearestCells(q, nprobe)
+    val luts: Seq[Seq[Seq[Double]]] =
+      cells.map(c => model.pqrLut(q, c).map(_.toSeq).toSeq)
+    val lutForRow = element_at(typedlit(luts),
+      array_position(typedlit(cells), col("cell").cast("int")).cast("int"))
+    val adc = (0 until model.cfg.pqSubspaces).map(j =>
+      element_at(element_at(lutForRow, j + 1), element_at(col("pqr"), j + 1)))
+      .reduce(_ + _)
+    indexDf.where(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("id"), adc.as("adc"))
+      .orderBy(col("adc"), col("id")).limit(n)
+  }
+
+  /** Residual IVFPQ two-stage search: per-cell residual ADC, exact
+    * re-rank.
+    */
+  def searchIvfPqResidual(q: Array[Double], k: Int, nprobe: Int = 2,
+                          coarseN: Int = 100): DataFrame =
+    rerank(coarseIvfPqResidual(q, nprobe, coarseN), q, k)
+
   /** IVF search: partition-pruned exact top-k over the `nprobe` cells
     * nearest the query (cell choice is driver math over the broadcast-
     * sized centroid table).
@@ -246,10 +275,11 @@ final class QuantIndex(
 
 object QuantIndex {
 
-  /** (id, embedding, sq8, pq, sig, cell) from raw (id, embedding)
+  /** (id, embedding, sq8, pq, sig, pqr, cell) from raw (id, embedding)
     * rows. `sig` is the 1-bit sign signature (binary quantization,
     * 32× smaller than float32) — parameterless, so it needs nothing
-    * from the trained model.
+    * from the trained model. `pqr` is the residual-PQ code against the
+    * row's coarse cell (the FAISS IVFPQ encoding).
     */
   private def encode(df: DataFrame, model: QuantModel,
                      idCol: String, embCol: String): DataFrame =
@@ -258,6 +288,7 @@ object QuantIndex {
       .withColumn("pq", model.pqCol(col("embedding")))
       .withColumn("sig", VF.signPack(col("embedding")))
       .withColumn("cell", model.ivfCellCol(col("embedding")))
+      .withColumn("pqr", model.pqrCol(col("embedding"), col("cell")))
 
   /** Train the quantizers (one distributed stats pass + a bounded
     * driver sample for PQ), encode every vector once, and write the

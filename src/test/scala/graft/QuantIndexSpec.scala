@@ -30,7 +30,8 @@ class QuantIndexSpec extends AnyFunSuite {
       .foldLeft(Set.empty[String])(_ ++ _)
 
   test("build persists codes + cell partitions; reopen round-trips the model") {
-    assert(idx.indexDf.columns.toSet == Set("id", "embedding", "sq8", "pq", "sig", "cell"))
+    assert(idx.indexDf.columns.toSet ==
+      Set("id", "embedding", "sq8", "pq", "sig", "pqr", "cell"))
     assert(idx.indexDf.count() == 500)
     val cells = new java.io.File(idx.path).listFiles
       .count(_.getName.startsWith("cell="))
@@ -39,8 +40,35 @@ class QuantIndexSpec extends AnyFunSuite {
     assert(re.model.mins.toSeq == idx.model.mins.toSeq)
     assert(re.model.pqBooks.flatten.flatten.toSeq ==
       idx.model.pqBooks.flatten.flatten.toSeq)
+    assert(re.model.pqrBooks.flatten.flatten.toSeq ==
+      idx.model.pqrBooks.flatten.flatten.toSeq)
     assert(re.model.ivfCentroids.flatten.toSeq ==
       idx.model.ivfCentroids.flatten.toSeq)
+  }
+
+  test("residual ivfpq prunes partitions, reads only residual codes, " +
+    "and matches plain ivfpq recall") {
+    val c = idx.coarseIvfPqResidual(q, nprobe = 2, n = 100)
+    assert(readFields(c) == Set("id", "pqr"))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val scannedParts = c.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size }
+      .sum
+    assert(scannedParts == 2, s"expected 2 probed cells, scanned $scannedParts")
+    val got = idx.searchIvfPqResidual(q, 10).collect().map(_.getLong(0))
+    assert(got.length == 10 && got.head == 0L)
+    // residual codes should not recall fewer of the exact top-10 than
+    // the raw-vector codes at the same byte budget on this corpus
+    val exact = VectorStore.searchIn(
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val plain = idx.searchIvfPq(q, 10).collect().map(_.getLong(0)).toSet
+    assert((got.toSet intersect exact).size >= (plain intersect exact).size,
+      s"residual recall ${(got.toSet intersect exact).size} < " +
+        s"plain ${(plain intersect exact).size}")
   }
 
   test("coarse scans read ONLY the code columns, never the embeddings") {

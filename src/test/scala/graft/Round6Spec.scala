@@ -218,4 +218,78 @@ class Round6Spec extends AnyFunSuite {
     assert(joined(true) > joined(false),
       s"en keep rate ${joined(true)} !> other ${joined(false)}")
   }
+
+  test("r76 pagerank covers every graph node, floors at the damping " +
+    "base, and concentrates rank on the supplier side") {
+    val rows = run("r76_pagerank").collect()
+    val custs = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    val supps = Tables.lineitem(spark, sf).select("l_suppkey").distinct().count()
+    assert(rows.length == custs + supps,
+      s"${rows.length} nodes vs $custs customers + $supps suppliers")
+    assert(rows.forall(_.getLong(2) >= 150000L), "rank below (1-d) base")
+    // suppliers are ~10× rarer than customers, so the same edge mass
+    // concentrates on them: mean supplier rank must dominate
+    val mean = rows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(2)).sum / rs.length }
+    assert(mean("supplier") > 2 * mean("customer"), mean.toString)
+  }
+
+  test("d23 draws exactly 50 docs per stratum, in priority order, " +
+    "biased toward longer documents") {
+    val rows = run("d23_weighted_sample").collect()
+    val perLang = rows.groupBy(_.getString(0))
+    assert(perLang.values.forall(_.length == 50))
+    perLang.values.foreach { rs =>
+      val pr = rs.sortBy(_.getInt(1)).map(_.getLong(4))
+      assert(pr.zip(pr.tail).forall { case (a, b) => a <= b },
+        "priority must be nondecreasing with sample_rank")
+    }
+    // weighting check: sampled docs skew long vs the corpus mean
+    val corpusAvg = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).head.getDouble(0)
+    val sampleAvg = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample mean $sampleAvg !> corpus mean $corpusAvg")
+  }
+
+  test("r77 splits the skewed partition: final adaptive plan joins " +
+    "with skew=true") {
+    import graft.queries.Round6cQueries
+    Round6cQueries.withSkewConfs(spark) {
+      val df = Round6cQueries.skewJoinFrame(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    }
+  }
+
+  test("p11 final split is cluster-coherent: no m1 near-dup pair " +
+    "crosses split boundaries, and singletons keep d17's assignment") {
+    val fin = run("p11_leakage_free_split").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val pairs = run("m1_minhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(fin(a)._2 == fin(b)._2, s"pair ($a,$b) crosses final splits")
+    }
+    val d17 = run("d17_train_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every doc's base split is d17's; movers exist on this corpus
+    assert(fin.forall { case (id, (base, _)) => d17(id) == base })
+    assert(fin.exists { case (_, (base, f)) => base != f })
+  }
+
+  test("d24 keeps one canonical (longest) doc per m4 cluster and " +
+    "accounts for every document") {
+    val rows = run("d24_canonical_dedup").collect()
+    val m4 = run("m4_dedup_clusters").collect()
+    val clusters = m4.map(_.getLong(1)).toSet
+    assert(rows.length == clusters.size)
+    assert(rows.map(_.getLong(2)).sum == m4.length,
+      "cluster sizes must sum to the corpus")
+    // the canonical member belongs to its own cluster
+    val byDoc = m4.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => byDoc(r.getLong(1)) == r.getLong(0)))
+  }
 }
