@@ -265,8 +265,7 @@ object Round6cQueries {
     // window's partition key.
     Q("d24_canonical_dedup",
       (s, d) => {
-        val clusters = TextQueries.all
-          .find(_.name == "m4_dedup_clusters").get.run(s, d)
+        val clusters = TextQueries.m4Clusters(s, d)
         clusters
           .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
           .withColumn("n_docs",
@@ -337,8 +336,7 @@ object Round6cQueries {
     // the clustering itself.
     Q("p11_leakage_free_split",
       (s, d) => {
-        val clusters = TextQueries.all
-          .find(_.name == "m4_dedup_clusters").get.run(s, d)
+        val clusters = TextQueries.m4Clusters(s, d)
         clusters.select(col("doc_id"),
             splitOf(col("doc_id")).as("split"),
             splitOf(col("cluster_rep")).as("final_split"))
@@ -363,5 +361,81 @@ object Round6cQueries {
            |        ${splitOfSql("doc_id")} AS split,
            |        ${splitOfSql("cluster_rep")} AS final_split
            |      FROM cl)
-           |ORDER BY doc_id""".stripMargin)))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // X22 — schema-on-read with corrupt-record capture: the engine
+    // writes a CSV where every 50th row carries an unparseable
+    // numeric field, then reads it back PERMISSIVE with an explicit
+    // schema + `_corrupt_record` — bad rows are QUARANTINED as data,
+    // not failures (the only ingest posture that survives a 100-TB
+    // crawl, where some malformed rows are a certainty). The oracle
+    // recomputes the per-lang good/corrupt counts from the clean
+    // table and the injection rule — a broken writer, reader, or
+    // corrupt-row classification all mismatch.
+    Q("x22_corrupt_records",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x22").toString
+        Tables.documents(s, d).where(col("doc_id") < 200)
+          .select(concat_ws(",", col("doc_id"), col("lang"),
+            when(pmod(col("doc_id"), lit(50)) === 0, lit("oops"))
+              .otherwise(col("n_chars").cast("string"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+        s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(dir)
+          .groupBy("lang")
+          .agg(
+            sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+              .as("n_good"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            // summing the numeric column matters twice: it audits the
+            // parsed values, and it forces the CSV parser to actually
+            // parse n_chars — with Spark's CSV column pruning, a query
+            // that never reads the bad column never SEES the corruption
+            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+          |  CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_good,
+          |  CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_corrupt,
+          |  CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN n_chars
+          |           ELSE 0 END) AS BIGINT) AS sum_chars
+          |FROM documents WHERE doc_id < 200
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // P12 — temperature-scaled source mixing (the T5/PaLM mixture
+    // rule with T=2): sampling weight ∝ √n_docs flattens the source
+    // distribution so small sources aren't drowned. √ of an exact
+    // integer is correctly-rounded IEEE in both engines, so
+    // floor(√n·10⁶) is engine-exact; expected draws per 10k examples
+    // come from one integer division against the windowed total.
+    Q("p12_temperature_mix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("weight_u",
+            floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+          .withColumn("tot_w",
+            sum("weight_u").over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .select(col("source"), col("n_docs"), col("weight_u"),
+            expr("(weight_u * 10000) div tot_w").as("draws_per_10k"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, n_docs, weight_u,
+          |  CAST((weight_u * 10000) //
+          |    CAST(sum(weight_u) OVER () AS BIGINT) AS BIGINT)
+          |    AS draws_per_10k
+          |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |        CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT)
+          |          AS weight_u
+          |      FROM documents GROUP BY source)
+          |ORDER BY source""".stripMargin)))
 }

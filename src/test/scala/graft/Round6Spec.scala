@@ -280,6 +280,33 @@ class Round6Spec extends AnyFunSuite {
     assert(fin.exists { case (_, (base, f)) => base != f })
   }
 
+  test("x22 quarantines exactly the injected corrupt rows") {
+    val rows = run("x22_corrupt_records").collect()
+    val good = rows.map(_.getLong(1)).sum
+    val corrupt = rows.map(_.getLong(2)).sum
+    assert(good + corrupt == 200)
+    // injection rule: doc_id < 200 && doc_id % 50 == 0 → 0,50,100,150
+    assert(corrupt == 4, s"expected 4 corrupt rows, got $corrupt")
+  }
+
+  test("p12 temperature mixing flattens the source distribution and " +
+    "draw shares are a near-exact 10k partition") {
+    val rows = run("p12_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val draws = rows.map(_._3).sum
+    assert(draws <= 10000 && draws > 10000 - rows.length,
+      s"floor-partition of 10k draws out of range: $draws")
+    // flattening: draw share of the largest source must be closer to
+    // the smallest's than the raw doc-count ratio
+    val largest = rows.maxBy(_._2); val smallest = rows.minBy(_._2)
+    if (largest._2 > smallest._2) {
+      val rawRatio = largest._2.toDouble / smallest._2
+      val drawRatio = largest._3.toDouble / smallest._3
+      assert(drawRatio < rawRatio,
+        s"temperature failed to flatten: $drawRatio !< $rawRatio")
+    }
+  }
+
   test("d24 keeps one canonical (longest) doc per m4 cluster and " +
     "accounts for every document") {
     val rows = run("d24_canonical_dedup").collect()
