@@ -437,5 +437,50 @@ object Round6cQueries {
           |        CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT)
           |          AS weight_u
           |      FROM documents GROUP BY source)
-          |ORDER BY source""".stripMargin)))
+          |ORDER BY source""".stripMargin)),
+
+    // S21 — streaming ingest into the QUANTIZED index (the FAISS
+    // train-then-add lifecycle under a stream): quantizers train once
+    // on the seed corpus, then each micro-batch encodes against the
+    // FROZEN model inside foreachBatch (sq8/pq/pqr/sig codes + cell
+    // assignment at add time) and appends into the cell partitions.
+    // The final exact search probes every cell, so the result is the
+    // full-corpus exact top-10 — the same oracle as s13's LSH-store
+    // ingest, now for the compressed tier.
+    Q("s21_stream_quant_ingest",
+      (s, d) => {
+        import graft.store.{QuantConfig, QuantIndex}
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id").cast("long").as("id"), col("embedding"))
+        val srcDir = graft.util.TempDirs.create("graft_s21_src").toString
+        emb.where(col("id") >= 100).repartition(4)
+          .write.mode("overwrite").parquet(s"$srcDir/files")
+        val path = graft.util.TempDirs.create("graft_s21_idx").toString + "/index"
+        val idx = QuantIndex.build(s, emb.where(col("id") < 100),
+          path, QuantConfig())
+        val ckpt = graft.util.TempDirs.create("graft_s21_ckpt").toString
+        val q = s.readStream
+          .schema(emb.where(col("id") >= 100).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$srcDir/files")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            idx.add(batch)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        idx.searchIvf(VectorQueries.qvec(s, d, 0), 10,
+            nprobe = idx.model.cfg.ivfCells)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+          |           WHERE vec_id = 0)
+          |SELECT vec_id, round(d, 6) AS dist FROM (
+          |  SELECT e.vec_id AS vec_id,
+          |    ${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")} AS d
+          |  FROM embeddings e, q)
+          |ORDER BY d, vec_id LIMIT 10""".stripMargin)))
 }

@@ -280,6 +280,16 @@ class Round6Spec extends AnyFunSuite {
     assert(fin.exists { case (_, (base, f)) => base != f })
   }
 
+  test("s21 streamed quant ingest reproduces the exact full-corpus " +
+    "top-10") {
+    val got = run("s21_stream_quant_ingest").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = run("v1_knn").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact,
+      s"streamed-ingest index diverges from exact: $got vs $exact")
+  }
+
   test("x22 quarantines exactly the injected corrupt rows") {
     val rows = run("x22_corrupt_records").collect()
     val good = rows.map(_.getLong(1)).sum
