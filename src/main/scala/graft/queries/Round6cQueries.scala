@@ -46,15 +46,19 @@ object Round6cQueries {
       s" < ${HashMod * 19 / 20} THEN 'val' ELSE 'test' END"
 
   /** Run `f` with AQE skew-join thresholds opened up so the splitter
-    * fires at test scale (at 100 TB the DEFAULTS fire — 256 MB skewed
-    * partitions are the norm there), restoring every conf after.
+    * fires below its 256 MB default (at 100 TB the DEFAULTS fire —
+    * 256 MB skewed partitions are the norm there), restoring every
+    * conf after. The default 64 KB trips at the driver's sf0.1 bench
+    * (hot partition ≈ MBs → ~80 advisory-sized slices); the spec
+    * passes 1 KB to pin the split on the sf0.001 test corpus.
     */
-  private[graft] def withSkewConfs[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+  private[graft] def withSkewConfs[T](s: org.apache.spark.sql.SparkSession,
+                                      bytes: String = "64KB")(f: => T): T = {
     val confs = Seq(
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> bytes,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> bytes,
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
@@ -148,13 +152,20 @@ object Round6cQueries {
           .distinct()
         val edges = eb
           .union(eb.select(col("b").as("a"), col("a").as("b")))
-          .localCheckpoint(true)
         val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg"))
           .localCheckpoint(true)
+        // (src, tgt, outdeg) computed ONCE; every iteration rescans
+        // this checkpointed edge table instead of re-deriving it.
+        // The five iterations build ONE lazy 5-level plan executed in
+        // a single job at the end — no per-iteration materialization
+        // (per-iteration checkpoints cost 5 extra jobs and pinned
+        // blocks; a 5-deep tree over a checkpointed edge list is
+        // well inside Catalyst's comfort zone).
+        val edgesW = edges.join(deg, "a").localCheckpoint(true)
         var ranks = deg.select(col("a").as("node"),
           lit(1000000L).as("rank_u"))
         for (_ <- 1 to 5) {
-          val contrib = edges.join(deg, "a")
+          val contrib = edgesW
             .join(ranks, col("a") === col("node"))
             .select(col("b"),
               expr("(rank_u * 85) div (100 * outdeg)").as("c"))
@@ -163,7 +174,6 @@ object Round6cQueries {
             .join(contrib, col("node") === col("b"), "left")
             .select(col("node"),
               (lit(150000L) + coalesce(col("sc"), lit(0L))).as("rank_u"))
-            .localCheckpoint(true)
         }
         ranks.select(
           when(pmod(col("node"), lit(2)) === 0, "customer")
@@ -461,7 +471,9 @@ object Round6cQueries {
         val ckpt = graft.util.TempDirs.create("graft_s21_ckpt").toString
         val q = s.readStream
           .schema(emb.where(col("id") >= 100).schema)
-          .option("maxFilesPerTrigger", "1")
+          // 2 files per micro-batch: exercises multi-batch add (state
+          // across triggers) at half the per-batch job machinery
+          .option("maxFilesPerTrigger", "2")
           .parquet(s"$srcDir/files")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[

@@ -255,7 +255,7 @@ class Round6Spec extends AnyFunSuite {
   test("r77 splits the skewed partition: final adaptive plan joins " +
     "with skew=true") {
     import graft.queries.Round6cQueries
-    Round6cQueries.withSkewConfs(spark) {
+    Round6cQueries.withSkewConfs(spark, bytes = "1KB") {
       val df = Round6cQueries.skewJoinFrame(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
