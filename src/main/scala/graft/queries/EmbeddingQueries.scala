@@ -192,25 +192,10 @@ object EmbeddingQueries {
         idx.searchIvf(q, 10, nprobe = 2)
           .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
       },
-      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |asg AS (
-           |  SELECT vec_id, embedding, cid FROM (
-           |    SELECT e.vec_id, e.embedding, c.cid,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY ${DuckSql.l2sq("e.embedding", "c.ce")}, c.cid) AS rn
-           |    FROM embeddings e CROSS JOIN c)
-           |  WHERE rn = 1),
-           |qc AS (
-           |  SELECT cid FROM (
-           |    SELECT c.cid,
-           |           row_number() OVER (ORDER BY ${DuckSql.l2sq("c.ce", "q.qe")}, c.cid) AS rn
-           |    FROM c, q)
-           |  WHERE rn <= 2)
-           |SELECT vec_id, round(dd, 6) AS dist FROM (
-           |  SELECT a.vec_id AS vec_id, ${DuckSql.l2sq("a.embedding", "q.qe")} AS dd
-           |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
-           |ORDER BY dd, vec_id LIMIT 10""".stripMargin)),
+      // late oracle: the trained coarse centroids are injected as
+      // literals once the build has run (same technique as e8's books)
+      None,
+      lateOracle = QuantCache.lateOracle("e3_ivf_search")),
 
     // E8 — product quantization (PQ, M=8 subspaces × K=16 centroids)
     // over the PERSISTED QuantIndex: the memory-compression tier

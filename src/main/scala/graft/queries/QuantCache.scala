@@ -35,10 +35,12 @@ object QuantCache {
       val path = graft.util.TempDirs.create("graft_quant").toString + "/index"
       val idx = QuantIndex.build(spark, emb, path, QuantConfig())
       oracles = Map(
+        "e3_ivf_search" -> ivfSql(idx.model),
         "e8_pq_search" -> pqSql(idx.model, pruned = false),
         "e9_ivfpq_search" -> pqSql(idx.model, pruned = true),
         "e10_batch_pq_knn" -> batchPqSql(idx.model),
-        "e14_ivfpq_residual" -> pqrSql(idx.model))
+        "e14_ivfpq_residual" -> pqrSql(idx.model),
+        "e15_quant_error" -> quantErrSql(idx.model))
       idx
     })
   }
@@ -46,6 +48,43 @@ object QuantCache {
   // ----------------------------------------------------- oracle twin
 
   private def dlit(d: Double): String = f"$d%.17e"
+
+  /** `cl(cid, ce)` CTE body with the TRAINED coarse centroids injected
+    * as literals (cid = 0-based centroid index, matching the Spark
+    * cell ids exactly).
+    */
+  private def clCte(m: QuantModel): String = {
+    val cents = m.ivfCentroids.map(c => c.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    s"""cl AS (SELECT CAST(i - 1 AS BIGINT) AS cid, cv[i] AS ce
+       |  FROM (SELECT $cents AS cv), range(1, ${m.cfg.ivfCells + 1}) t(i))"""
+      .stripMargin
+  }
+
+  /** DuckDB twin of the IVF search (e3): assign every vector to its
+    * nearest TRAINED centroid (injected literals), probe the 2 cells
+    * nearest the query, exact top-10 within them.
+    */
+  private[queries] def ivfSql(m: QuantModel): String =
+    s"""WITH ${clCte(m)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, cl.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${DuckSql.l2sq("e.embedding", "cl.ce")}, cl.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cl)
+       |  WHERE rn = 1),
+       |qc AS (
+       |  SELECT cid FROM (
+       |    SELECT cl.cid,
+       |           row_number() OVER (ORDER BY ${DuckSql.l2sq("cl.ce", "q.qe")}, cl.cid) AS rn
+       |    FROM cl, q)
+       |  WHERE rn <= 2)
+       |SELECT vec_id, round(dd, 6) AS dist FROM (
+       |  SELECT a.vec_id AS vec_id, ${DuckSql.l2sq("a.embedding", "q.qe")} AS dd
+       |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
+       |ORDER BY dd, vec_id LIMIT 10""".stripMargin
 
   /** DuckDB SQL replicating the PQ pipeline bit-for-bit: encode each
     * row against the INJECTED codebook literals (exact %.17e double
@@ -71,8 +110,7 @@ object QuantCache {
         s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i])))"
     val adcTerms = (1 to M).map(j => s"lt[$j][c[$j]]").mkString(" + ")
     val ivfCtes = if (!pruned) "" else
-      s"""cl AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id < ${m.cfg.ivfCells}),
+      s"""${clCte(m)},
          |asg AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, cl.cid,
@@ -137,8 +175,7 @@ object QuantCache {
     val adcTerms = (1 to M).map(j => s"lut.lt[$j][codes.c[$j]]").mkString(" + ")
     s"""WITH bk AS (SELECT $books AS b),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |cl AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  WHERE vec_id < ${m.cfg.ivfCells}),
+       |${clCte(m)},
        |asg AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, cl.cid,
@@ -181,6 +218,93 @@ object QuantCache {
        |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
        |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB twin of the reconstruction-error audit (e15): re-encode
+    * every vector against the injected models exactly as the build
+    * does (SQ8 round, PQ/RPQ argmin, IVF cell assignment), decode, and
+    * report the per-tier mean squared error per dimension in integer
+    * nano-units — sum of per-row floor'd Longs // n, so the mean is
+    * engine-exact.
+    */
+  private[queries] def quantErrSql(m: QuantModel): String = {
+    val M = m.cfg.pqSubspaces
+    val sub = m.sub
+    val dim = m.dim
+    def booksLit(bs: Array[Array[Array[Double]]]): String =
+      bs.map(book => book.map(c => c.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    val mins = m.mins.map(dlit).mkString("[", ", ", "]")
+    val scales = m.scales.map(dlit).mkString("[", ", ", "]")
+    def subDist(e: String): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i]) * " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i])))"
+    val subDistR =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"(r[(j-1)*$sub+i] - cent[i]) * (r[(j-1)*$sub+i] - cent[i])))"
+    // floor(l2sq(emb, dec)/dim * 1e9) as BIGINT for one decoded list
+    def errU(dec: String): String =
+      s"CAST(floor(${DuckSql.l2sq("e.embedding", dec)} / $dim " +
+        s"* 1000000000) AS BIGINT)"
+    s"""WITH bk AS (SELECT ${booksLit(m.pqBooks)} AS b),
+       |bkr AS (SELECT ${booksLit(m.pqrBooks)} AS b),
+       |mn AS (SELECT $mins AS m, $scales AS sc),
+       |sq8d AS (
+       |  SELECT e.vec_id, list_transform(range(1, ${dim + 1}), i ->
+       |    CASE WHEN sc[i] = 0 THEN m[i]
+       |         ELSE m[i] + round((CAST(e.embedding[i] AS DOUBLE) - m[i])
+       |                           * sc[i], 0) / sc[i] END) AS dec
+       |  FROM embeddings e, mn),
+       |pqc AS (
+       |  SELECT vec_id, list_transform(dl, dj ->
+       |    list_position(dj, list_min(dj))) AS c
+       |  FROM (
+       |    SELECT vec_id, list_transform(range(1, ${M + 1}), j ->
+       |      list_transform(b[j], cent -> ${subDist("embedding")})) AS dl
+       |    FROM embeddings, bk)),
+       |pqd AS (
+       |  SELECT pqc.vec_id,
+       |    flatten(list_transform(range(1, ${M + 1}), j -> b[j][c[j]])) AS dec
+       |  FROM pqc, bk),
+       |${clCte(m)},
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cl.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${DuckSql.l2sq("e.embedding", "cl.ce")}, cl.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cl)
+       |  WHERE rn = 1),
+       |res AS (
+       |  SELECT e.vec_id, a.cid, list_transform(range(1, ${dim + 1}), i ->
+       |    CAST(e.embedding[i] AS DOUBLE) - CAST(cl.ce[i] AS DOUBLE)) AS r
+       |  FROM embeddings e
+       |  JOIN asg a ON e.vec_id = a.vec_id
+       |  JOIN cl ON cl.cid = a.cid),
+       |pqrc AS (
+       |  SELECT vec_id, cid, list_transform(dl, dj ->
+       |    list_position(dj, list_min(dj))) AS c
+       |  FROM (
+       |    SELECT vec_id, cid, list_transform(range(1, ${M + 1}), j ->
+       |      list_transform(b[j], cent -> $subDistR)) AS dl
+       |    FROM res, bkr)),
+       |pqrd AS (
+       |  SELECT pqrc.vec_id, list_transform(range(1, ${dim + 1}), i ->
+       |    CAST(cl.ce[i] AS DOUBLE) +
+       |    flatten(list_transform(range(1, ${M + 1}), j -> b[j][c[j]]))[i])
+       |    AS dec
+       |  FROM pqrc JOIN cl ON cl.cid = pqrc.cid, bkr)
+       |SELECT tier, CAST(sum(eu) // count(*) AS BIGINT) AS mean_err_u
+       |FROM (
+       |  SELECT 'sq8' AS tier, ${errU("s.dec")} AS eu
+       |  FROM embeddings e JOIN sq8d s ON e.vec_id = s.vec_id
+       |  UNION ALL
+       |  SELECT 'pq', ${errU("p.dec")}
+       |  FROM embeddings e JOIN pqd p ON e.vec_id = p.vec_id
+       |  UNION ALL
+       |  SELECT 'pqr', ${errU("p.dec")}
+       |  FROM embeddings e JOIN pqrd p ON e.vec_id = p.vec_id)
+       |GROUP BY tier ORDER BY tier""".stripMargin
   }
 
   /** DuckDB twin of the BATCHED PQ search (e10): 5 query vectors, a

@@ -494,5 +494,34 @@ object Round6cQueries {
           |  SELECT e.vec_id AS vec_id,
           |    ${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")} AS d
           |  FROM embeddings e, q)
-          |ORDER BY d, vec_id LIMIT 10""".stripMargin)))
+          |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
+    // E15 — quantization-error audit: decode every stored code back
+    // to its vector approximation and report mean squared error per
+    // dimension (nano-units, integer-exact mean) for each tier. The
+    // number the audit exists to show: residual PQ (pqr) beats plain
+    // PQ at identical bytes, and SQ8's 8-bit grid sits far below
+    // both. One scan of the index computes all three tiers' sums —
+    // codes and embeddings only, no shuffle beyond the 1-row agg.
+    Q("e15_quant_error",
+      (s, d) => {
+        val idx = QuantCache.forDir(s, d)
+        val m = idx.model
+        def errU(dec: org.apache.spark.sql.Column) =
+          floor(graft.functions.VectorFunctions.l2sq(
+            col("embedding").cast("array<double>"), dec)
+            / lit(m.dim) * lit(1e9)).cast("long")
+        idx.indexDf
+          .select(
+            errU(m.sq8DecodeCol(col("sq8"))).as("e_sq8"),
+            errU(m.pqDecodeCol(col("pq"))).as("e_pq"),
+            errU(m.pqrDecodeCol(col("pqr"), col("cell"))).as("e_pqr"))
+          .agg(sum("e_sq8").as("s1"), sum("e_pq").as("s2"),
+            sum("e_pqr").as("s3"), count(lit(1)).as("n"))
+          .selectExpr("stack(3, 'pq', s2 div n, 'pqr', s3 div n, " +
+            "'sq8', s1 div n) as (tier, mean_err_u)")
+          .orderBy("tier")
+      },
+      None,
+      lateOracle = QuantCache.lateOracle("e15_quant_error")))
 }

@@ -100,6 +100,40 @@ final class QuantModel(
     array(codes: _*)
   }
 
+  // ------------------------------------------------- decode (audit)
+
+  /** Inverse of [[sq8Col]]: mn_i + code_i/scale_i (constant dims — a
+    * zero scale — decode to their min). Used by the reconstruction-
+    * error audit (e15).
+    */
+  def sq8DecodeCol(codes: Column): Column = {
+    val mnsL = typedlit(mins.toSeq)
+    val ssL = typedlit(scales.toSeq)
+    transform(codes, (c, i) => {
+      val mn = element_at(mnsL, i + 1)
+      val sc = element_at(ssL, i + 1)
+      when(sc === 0.0, mn).otherwise(mn + c.cast("double") / sc)
+    })
+  }
+
+  /** Inverse of [[pqCol]]: the concatenation of each subspace's coded
+    * centroid — the quantized approximation PQ search actually "sees".
+    */
+  def pqDecodeCol(codes: Column): Column =
+    flatten(array((0 until cfg.pqSubspaces).map(j =>
+      element_at(typedLit(pqBooks(j).map(_.toSeq).toSeq),
+        element_at(codes, j + 1))): _*))
+
+  /** Inverse of [[pqrCol]]: cell centroid + coded residual centroids. */
+  def pqrDecodeCol(codes: Column, cell: Column): Column = {
+    val cents = typedLit(ivfCentroids.map(_.toSeq).toSeq)
+    zip_with(element_at(cents, cell.cast("int") + 1),
+      flatten(array((0 until cfg.pqSubspaces).map(j =>
+        element_at(typedLit(pqrBooks(j).map(_.toSeq).toSeq),
+          element_at(codes, j + 1))): _*)),
+      (c, r) => c + r)
+  }
+
   // ---------------------------------------------- query prep (driver)
 
   /** SQ8-encode a query vector (same formula as [[sq8Col]]). */
@@ -199,12 +233,16 @@ object QuantModel {
     }
     val slim = df.select(col(idCol).cast("long").as("id"),
       col(embCol).cast("array<double>").as("e"))
-    val ivf = slim.orderBy("id").limit(cfg.ivfCells)
-      .collect().map(_.getSeq[Double](1).toArray)
     val n = slim.count()
     val step = math.max(1L, n / cfg.sampleCap)
     val sample = slim.where(pmod(col("id"), lit(step)) === 0)
       .orderBy("id").collect().map(_.getSeq[Double](1).toArray)
+    // Coarse centroids are TRAINED (k-means on the bounded driver
+    // sample — the FAISS convention, same as the PQ books) so IVF
+    // cells are real Voronoi regions and residuals against them are
+    // small; the trained centroids are injected into the DuckDB
+    // oracles as literals, like the books.
+    val ivf = fitSub(sample, cfg.ivfCells, cfg.seed + 2000)
     val sub = dim / cfg.pqSubspaces
     val books = Array.tabulate(cfg.pqSubspaces)(j =>
       fitSub(sample.map(_.slice(j * sub, (j + 1) * sub)),

@@ -280,6 +280,18 @@ class Round6Spec extends AnyFunSuite {
     assert(fin.exists { case (_, (base, f)) => base != f })
   }
 
+  test("e15 reconstruction error ranks the tiers: sq8 < pqr < pq") {
+    val errs = run("e15_quant_error").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(errs.keySet == Set("sq8", "pq", "pqr"))
+    assert(errs.values.forall(_ > 0), s"degenerate zero error: $errs")
+    // 8 bits/dim beats 0.5 bits/dim handily
+    assert(errs("sq8") < errs("pqr"), errs.toString)
+    // the audit's reason to exist: residual coding beats raw PQ at
+    // identical bytes
+    assert(errs("pqr") < errs("pq"), errs.toString)
+  }
+
   test("s21 streamed quant ingest reproduces the exact full-corpus " +
     "top-10") {
     val got = run("s21_stream_quant_ingest").collect()
