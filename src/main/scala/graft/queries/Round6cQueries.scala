@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{TextFunctions => TF}
 
 /** Round-6 (session 3) additions:
   *
@@ -523,5 +524,113 @@ object Round6cQueries {
           .orderBy("tier")
       },
       None,
-      lateOracle = QuantCache.lateOracle("e15_quant_error")))
+      lateOracle = QuantCache.lateOracle("e15_quant_error")),
+
+    // P13 — distill the Gopher rule battery into a LINEAR quality
+    // scorer (the fastText-style cheap filter): d20's conjunctive
+    // keep is the teacher label, spark.ml logistic regression learns
+    // a 5-feature halfspace, and scoring is a ROW-LOCAL codegen'd
+    // projection — at 100 TB you run the rules once to train, then
+    // score every document for the cost of reading it. Scoring uses
+    // the extracted coefficients in an explicit left-fold expression
+    // (NOT model.transform), so the DuckDB twin — coefficients
+    // injected as literals over the same feature SQL as d20's proven
+    // oracle — is bit-identical.
+    Q("p13_quality_distill",
+      (s, d) => {
+        val feats = gopherFeatures(s, d).localCheckpoint(true)
+        val key = s.sparkContext.applicationId + "|" + d
+        val (w, b) = lrCache.getOrElseUpdate(key, {
+          import org.apache.spark.ml.classification.LogisticRegression
+          import org.apache.spark.ml.feature.VectorAssembler
+          val asm = new VectorAssembler()
+            .setInputCols(Array("f1", "f2", "f3", "f4", "f5"))
+            .setOutputCol("features")
+          val lr = new LogisticRegression().setMaxIter(50)
+            .setRegParam(0.01).setLabelCol("label")
+            .setFeaturesCol("features")
+          val m = lr.fit(asm.transform(feats))
+          (m.coefficients.toArray, m.intercept)
+        })
+        lrOracle = Some(p13Sql(w, b))
+        val margin = (0 until 5).foldLeft(lit(b)) { (acc, i) =>
+          acc + lit(w(i)) * col(s"f${i + 1}")
+        }
+        feats.select(col("doc_id"), round(margin, 6).as("margin"),
+            (margin > 0).cast("int").as("keep_pred"), col("label"))
+          .orderBy("doc_id")
+      },
+      None,
+      lateOracle = () => lrOracle))
+
+  /** (doc_id, f1..f5, label): d20's Gopher features as raw doubles
+    * plus its conjunctive keep as the teacher label. Feature
+    * definitions mirror d20's gate-proven Spark/SQL pair exactly.
+    */
+  private def gopherFeatures(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", TF.words(col("text")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", ""))
+          .cast("long").as("n_letters"),
+        size(filter(col("w"), x => x.rlike("[a-zA-Z]")))
+          .cast("long").as("n_alpha"),
+        size(array_intersect(col("w"),
+          typedLit(Seq("the", "a", "of", "and", "to"))))
+          .cast("long").as("n_stop_distinct"),
+        size(filter(col("w"), x =>
+          x.contains("#") || x.contains("…")))
+          .cast("long").as("n_symbol"))
+      .select(col("doc_id"),
+        col("n_words").cast("double").as("f1"),
+        (col("n_letters").cast("double") / col("n_words")).as("f2"),
+        (col("n_alpha").cast("double") / col("n_words")).as("f3"),
+        col("n_stop_distinct").cast("double").as("f4"),
+        (col("n_symbol").cast("double") / col("n_words")).as("f5"),
+        (col("n_words").between(50L, 100000L) &&
+          (col("n_letters").cast("double") / col("n_words"))
+            .between(3.0, 10.0) &&
+          col("n_alpha").cast("double") / col("n_words") >= 0.8 &&
+          col("n_stop_distinct") >= 2 &&
+          col("n_symbol").cast("double") / col("n_words") <= 0.1)
+          .cast("int").as("label"))
+
+  private val lrCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Double)]
+  @volatile private var lrOracle: Option[String] = None
+
+  /** DuckDB twin of p13 with the trained coefficients injected: the
+    * same feature SQL as d20's oracle, margin as the same left-fold,
+    * keep from the UNROUNDED margin.
+    */
+  private def p13Sql(w: Array[Double], b: Double): String = {
+    def dl(x: Double): String = f"$x%.17e"
+    val margin = s"${dl(b)} + ${dl(w(0))} * CAST(n_words AS DOUBLE)" +
+      s" + ${dl(w(1))} * (CAST(n_letters AS DOUBLE) / n_words)" +
+      s" + ${dl(w(2))} * (CAST(n_alpha AS DOUBLE) / n_words)" +
+      s" + ${dl(w(3))} * CAST(n_stop_distinct AS DOUBLE)" +
+      s" + ${dl(w(4))} * (CAST(n_symbol AS DOUBLE) / n_words)"
+    s"""SELECT doc_id, round($margin, 6) AS margin,
+       |  CAST(($margin) > 0 AS INT) AS keep_pred,
+       |  CAST(n_words BETWEEN 50 AND 100000
+       |    AND CAST(n_letters AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+       |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+       |    AND n_stop_distinct >= 2
+       |    AND CAST(n_symbol AS DOUBLE) / n_words <= 0.1 AS INT) AS label
+       |FROM (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+       |      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+       |      AS n_stop_distinct,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> contains(x, '#') OR contains(x, '…'))) AS BIGINT)
+       |      AS n_symbol
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -280,6 +280,16 @@ class Round6Spec extends AnyFunSuite {
     assert(fin.exists { case (_, (base, f)) => base != f })
   }
 
+  test("p13 linear distillation of the Gopher rules is a real " +
+    "classifier: both classes predicted, high teacher agreement") {
+    val rows = run("p13_quality_distill").collect()
+      .map(r => (r.getInt(2), r.getInt(3)))
+    val preds = rows.map(_._1).toSet
+    assert(preds == Set(0, 1), s"degenerate predictions: $preds")
+    val agree = rows.count { case (p, l) => p == l }.toDouble / rows.length
+    assert(agree > 0.7, s"distilled scorer agrees only $agree with d20")
+  }
+
   test("e15 reconstruction error ranks the tiers: sq8 < pqr < pq") {
     val errs = run("e15_quant_error").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
