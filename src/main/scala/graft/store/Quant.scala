@@ -308,6 +308,9 @@ object QuantModel {
   def load(path: String): QuantModel = {
     val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     def field(key: String): String = {
+      require(s.contains("\"" + key + "\":"),
+        s"$path lacks '$key' — index built by an older graft version; " +
+          "rebuild it with QuantIndex.build")
       val i = s.indexOf("\"" + key + "\":") + key.length + 3
       val end =
         if (s.charAt(i) == '[') s.indexOf(']', i) + 1
