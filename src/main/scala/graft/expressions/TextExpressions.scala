@@ -103,6 +103,72 @@ object TextHash {
   }
 }
 
+object TextNorm {
+  /** The d7/m6 canonical form in ONE byte-level pass: every char not in
+    * [A-Za-z0-9] becomes a space, A-Z lowercase, space runs collapse,
+    * leading/trailing spaces drop. Byte-equivalent to the regex chain
+    * `trim(regexp_replace(lower(regexp_replace(s, "[^A-Za-z0-9 ]",
+    * " ")), " +", " "))` because after the first replace only ASCII
+    * survives: each byte of a multi-byte UTF-8 char has the high bit
+    * set, so the whole char maps to (collapsed) spaces either way.
+    *
+    * `maxChars` > 0 caps the OUTPUT length (the m6 60-char prefix key)
+    * and early-exits the scan — exact, because a space is only ever
+    * emitted in front of a kept alphanumeric, so truncation at n kept
+    * chars can't differ from truncating the full form.
+    */
+  def normalizeAscii(s: UTF8String, maxChars: Int): UTF8String = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val cap = if (maxChars > 0 && maxChars < len) maxChars else len
+    val out = new Array[Byte](cap)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < len && n < cap) {
+      val b: Int = bytes(i)
+      val lc: Int =
+        if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b
+        else if (b >= 'A' && b <= 'Z') b + 32
+        else -1
+      if (lc >= 0) {
+        if (pendingSpace && n > 0) {
+          out(n) = ' '
+          n += 1
+        }
+        pendingSpace = false
+        if (n < cap) {
+          out(n) = lc.toByte
+          n += 1
+        }
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+}
+
+/** Canonical text normalization ([[TextNorm.normalizeAscii]]) as a
+  * native expression: replaces the two chained regexes that were the
+  * last interpreted hot loop in the dedup path (java.util.regex
+  * backtracking per row) with a single linear byte scan.
+  */
+case class TextNormalize(child: Expression, maxChars: Int = -1)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextNorm.normalizeAscii(v.asInstanceOf[UTF8String], maxChars)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextNorm.normalizeAscii($c, $maxChars)")
+  override protected def withNewChildInternal(c: Expression): TextNormalize =
+    copy(child = c)
+  override def prettyName: String = "text_normalize"
+}
+
 /** Rolling polynomial hash of the first `maxChars` characters. Codegen
   * stays inside whole-stage spans via a static helper call.
   */

@@ -152,6 +152,14 @@ case class VecNorm(child: Expression, safe: Boolean)
 
 /** Static loop bodies shared by interpreted eval and generated code. */
 object VecEval {
+  /** Shared failure path for [[VecHamming64]] (interpreted + codegen):
+    * a signature-length mismatch is a layout bug, never a distance.
+    */
+  def hammingLenMismatch(a: Int, b: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"vec_hamming64: signature lengths differ ($a vs $b words); " +
+        "stored and query sign-pack layouts must use the same dimension")
+
   def l2normalize(a: ArrayData, isFloat: Boolean): GenericArrayData = {
     val n = a.numElements()
     var acc = 0.0
@@ -253,8 +261,12 @@ case class VecSignPack(child: Expression)
 }
 
 /** Hamming distance between two packed sign signatures
-  * (`array<long>`, [[VecSignPack]] layout): Σ popcount(aᵢ xor bᵢ) over
-  * the common prefix — one `Long.bitCount` per 64 dims.
+  * (`array<long>`, [[VecSignPack]] layout): Σ popcount(aᵢ xor bᵢ).
+  * One `Long.bitCount` per 64 dims. The signatures must be the same
+  * length — a mismatch means the stored and query layouts disagree
+  * (different dim or packing), and truncating would return a
+  * plausible small distance instead of surfacing the bug, so it
+  * throws.
   */
 case class VecHamming64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -264,7 +276,8 @@ case class VecHamming64(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) VecEval.hammingLenMismatch(n, b.numElements())
     var acc = 0
     var i = 0
     while (i < n) {
@@ -280,7 +293,10 @@ case class VecHamming64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  graft.expressions.VecEval.hammingLenMismatch($n, $b.numElements());
+         |}
          |int $acc = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));

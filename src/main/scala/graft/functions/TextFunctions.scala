@@ -30,6 +30,15 @@ object TextFunctions {
     ColumnBridge.column(graft.expressions.TextPolyHash(
       ColumnBridge.expression(s), maxChars))
 
+  /** Canonical dedup normalization (d7 form): non-alphanumerics →
+    * space, lowercase, collapse runs, trim — one native byte scan.
+    * `maxChars` > 0 additionally caps the output length (prefix-key
+    * form) with an exact early exit.
+    */
+  def normalize(text: Column, maxChars: Int = -1): Column =
+    ColumnBridge.column(graft.expressions.TextNormalize(
+      ColumnBridge.expression(text), maxChars))
+
   /** Per-word hashes for a text column (split on single spaces, empty
     * tokens kept and hashed to 0).
     */

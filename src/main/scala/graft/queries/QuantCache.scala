@@ -19,13 +19,21 @@ object QuantCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, QuantIndex]
 
-  @volatile private var oracles: Map[String, String] = Map.empty
+  // Oracle SQL keyed by the same appId|dir key as the index cache, so
+  // builds over two sf dirs in one process never serve each other's
+  // trained literals.
+  private val oracles =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
   /** Late-bound DuckDB twin for `name`, trained-literal-injected; empty
-    * until a build has run in this process.
+    * until a build has run in this process, and empty again (rows-only
+    * fallback — never a wrong oracle) if more than one dir was built.
     */
   def lateOracle(name: String): () => Option[String] =
-    () => oracles.get(name)
+    () => oracles.values.toSeq match {
+      case Seq(one) => one.get(name)
+      case _        => None
+    }
 
   def forDir(spark: SparkSession, dir: String): QuantIndex = {
     val key = spark.sparkContext.applicationId + "|" + dir
@@ -34,13 +42,13 @@ object QuantCache {
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
       val path = graft.util.TempDirs.create("graft_quant").toString + "/index"
       val idx = QuantIndex.build(spark, emb, path, QuantConfig())
-      oracles = Map(
+      oracles.put(key, Map(
         "e3_ivf_search" -> ivfSql(idx.model),
         "e8_pq_search" -> pqSql(idx.model, pruned = false),
         "e9_ivfpq_search" -> pqSql(idx.model, pruned = true),
         "e10_batch_pq_knn" -> batchPqSql(idx.model),
         "e14_ivfpq_residual" -> pqrSql(idx.model),
-        "e15_quant_error" -> quantErrSql(idx.model))
+        "e15_quant_error" -> quantErrSql(idx.model)))
       idx
     })
   }

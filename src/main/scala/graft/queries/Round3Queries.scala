@@ -254,14 +254,14 @@ object Round3Queries {
     // ASCII alphanumerics/space FIRST (so case-mapping never touches
     // non-ASCII, where engines' unicode tables could disagree), then
     // lowercase and collapse runs of whitespace. The canonical form
-    // feeding d1/d5/m1 at corpus scale — pure codegen'd string ops.
+    // feeding d1/d5/m1 at corpus scale — a single native byte-scan
+    // kernel ([[graft.expressions.TextNormalize]]); the oracle keeps
+    // the equivalent regex chain as the independent spec.
     Q("d7_normalize",
       (s, d) => {
         Tables.documents(s, d)
           .select(col("doc_id"),
-            trim(regexp_replace(
-              lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")),
-              " +", " ")).as("norm"))
+            graft.functions.TextFunctions.normalize(col("text")).as("norm"))
           .select(col("doc_id"), col("norm"),
             length(col("norm")).cast("long").as("norm_len"))
           .orderBy("doc_id")
@@ -390,14 +390,15 @@ object Round3Queries {
     // M6 — normalized-prefix exact dedup: d7's canonical form,
     // truncated to 60 chars, as the grouping key; emit groups with
     // >1 member. The hash-groupBy dedup pattern at its cheapest:
-    // one shuffle on the normalized key.
+    // one shuffle on the normalized key. The native kernel's maxChars
+    // cap also early-exits the scan at 60 kept chars per doc, so key
+    // extraction cost is O(prefix) not O(doc).
     Q("m6_norm_dedup",
       (s, d) => {
         Tables.documents(s, d)
           .select(col("doc_id"),
-            substring(trim(regexp_replace(
-              lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")),
-              " +", " ")), 1, 60).as("norm"))
+            graft.functions.TextFunctions.normalize(col("text"), 60)
+              .as("norm"))
           .groupBy("norm")
           .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
           .where(col("group_size") > 1)
@@ -420,15 +421,8 @@ object Round3Queries {
     Q("x13_gzip_csv",
       (s, d) => {
         val tmp = graft.util.TempDirs.create("graft_x13_csv").toString + "/c"
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_linenumber", "l_returnflag")
-          .write.mode("overwrite").option("header", "true")
-          .option("compression", "gzip").csv(tmp)
-        s.read.schema("l_orderkey LONG, l_linenumber LONG, l_returnflag STRING")
-          .option("header", "true").csv(tmp)
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"))
-          .orderBy("l_returnflag")
+        x13Write(s, d, tmp)
+        x13Read(s, tmp)
       },
       Some("""SELECT l_returnflag, count(*) AS n,
           |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
@@ -466,4 +460,24 @@ object Round3Queries {
           |  ON strftime(o_orderdate, '%Y-%m') = strftime(mth, '%Y-%m')
           |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** x13's write phase, exposed so Bench can time layout-building cost
+    * separately from query cost (the combined query timing is
+    * build-dominated and was the noisiest row of every sweep).
+    */
+  private[graft] def x13Write(s: org.apache.spark.sql.SparkSession,
+      d: String, tmp: String): Unit =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(tmp)
+
+  /** x13's read phase over an already-written gzip CSV directory. */
+  private[graft] def x13Read(s: org.apache.spark.sql.SparkSession,
+      tmp: String): org.apache.spark.sql.DataFrame =
+    s.read.schema("l_orderkey LONG, l_linenumber LONG, l_returnflag STRING")
+      .option("header", "true").csv(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"))
+      .orderBy("l_returnflag")
 }

@@ -264,7 +264,11 @@ object Round6Queries {
     // and never exercise bucket co-location).
     Q("x20_bucketed_join",
       (s, d) => {
-        val db = "graft_x20"
+        // Database name carries the applicationId (as the model caches
+        // do) so two sessions sharing a warehouse can't clobber each
+        // other's bucketed tables mid-query.
+        val db = "graft_x20_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
         val base = graft.util.TempDirs.create("graft_x20").toString
         s.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")

@@ -327,15 +327,7 @@ object Round6bQueries {
       (s, d) => {
         val dir = graft.util.TempDirs.create("graft_x21_z").toString
         Round6bQueries.zorderWrite(s, d, dir)
-        s.read.parquet(dir)
-          .where(col("user_id").between(100L, 199L) &&
-            col("hour_bucket").between(473592L, 473712L))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(
-              org.apache.spark.sql.types.DecimalType(18, 6)))
-              .cast("double").as("sum_value"))
-          .select(col("n_events"),
-            round(col("sum_value"), 6).as("sum_value"))
+        Round6bQueries.zorderRead(s, dir)
       },
       Some("""SELECT count(*) AS n_events,
           |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
@@ -413,4 +405,20 @@ object Round6bQueries {
       .drop("z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** x21's rectangle query over an already Z-ordered directory —
+    * exposed so Bench can time the layout's read-side payoff
+    * separately from the one-time write cost.
+    */
+  private[graft] def zorderRead(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(dir)
+      .where(col("user_id").between(100L, 199L) &&
+        col("hour_bucket").between(473592L, 473712L))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
 }

@@ -241,8 +241,6 @@ object Round6cQueries {
     // corpus scale this is a TakeOrdered per group, no global sort.
     Q("d23_weighted_sample",
       (s, d) => {
-        val h = ((col("doc_id") % lit(HashMod)) * lit(2654435761L) +
-          lit(7919L)) % lit(HashMod)
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"),
             expr(s"(((doc_id % $HashMod) * 2654435761 + 7919) % $HashMod" +
@@ -386,28 +384,8 @@ object Round6cQueries {
     Q("x22_corrupt_records",
       (s, d) => {
         val dir = graft.util.TempDirs.create("graft_x22").toString
-        Tables.documents(s, d).where(col("doc_id") < 200)
-          .select(concat_ws(",", col("doc_id"), col("lang"),
-            when(pmod(col("doc_id"), lit(50)) === 0, lit("oops"))
-              .otherwise(col("n_chars").cast("string"))).as("value"))
-          .coalesce(1).write.mode("overwrite").text(dir)
-        s.read
-          .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .csv(dir)
-          .groupBy("lang")
-          .agg(
-            sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
-              .as("n_good"),
-            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
-              .as("n_corrupt"),
-            // summing the numeric column matters twice: it audits the
-            // parsed values, and it forces the CSV parser to actually
-            // parse n_chars — with Spark's CSV column pruning, a query
-            // that never reads the bad column never SEES the corruption
-            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
-          .orderBy("lang")
+        x22Write(s, d, dir)
+        x22Read(s, dir)
       },
       Some("""SELECT lang,
           |  CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END)
@@ -495,7 +473,8 @@ object Round6cQueries {
           |  SELECT e.vec_id AS vec_id,
           |    ${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")} AS d
           |  FROM embeddings e, q)
-          |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+          |ORDER BY d, vec_id LIMIT 10""".stripMargin),
+      streaming = true),
 
     // E15 — quantization-error audit: decode every stored code back
     // to its vector approximation and report mean squared error per
@@ -552,7 +531,7 @@ object Round6cQueries {
           val m = lr.fit(asm.transform(feats))
           (m.coefficients.toArray, m.intercept)
         })
-        lrOracle = Some(p13Sql(w, b))
+        lrOracle.put(key, p13Sql(w, b))
         val margin = (0 until 5).foldLeft(lit(b)) { (acc, i) =>
           acc + lit(w(i)) * col(s"f${i + 1}")
         }
@@ -561,7 +540,10 @@ object Round6cQueries {
           .orderBy("doc_id")
       },
       None,
-      lateOracle = () => lrOracle))
+      lateOracle = () => lrOracle.values.toSeq match {
+        case Seq(one) => Some(one)
+        case _        => None // >1 dir trained in-process: rows-only beats a wrong oracle
+      }))
 
   /** (doc_id, f1..f5, label): d20's Gopher features as raw doubles
     * plus its conjunctive keep as the teacher label. Feature
@@ -599,7 +581,11 @@ object Round6cQueries {
 
   private val lrCache =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Double)]
-  @volatile private var lrOracle: Option[String] = None
+  // Trained-literal oracle SQL keyed by the same appId|dir key as
+  // lrCache, so two sf dirs in one process can't serve each other's
+  // coefficients; the lateOracle only answers when the key is unique.
+  private val lrOracle =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** DuckDB twin of p13 with the trained coefficients injected: the
     * same feature SQL as d20's oracle, margin as the same left-fold,
@@ -633,4 +619,36 @@ object Round6cQueries {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** x22's corrupt-CSV staging, exposed so Bench can time the fixture
+    * write separately from the PERMISSIVE-parse query.
+    */
+  private[graft] def x22Write(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit =
+    Tables.documents(s, d).where(col("doc_id") < 200)
+      .select(concat_ws(",", col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(50)) === 0, lit("oops"))
+          .otherwise(col("n_chars").cast("string"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+
+  /** x22's read phase over an already-staged corrupt CSV directory. */
+  private[graft] def x22Read(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .groupBy("lang")
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        // summing the numeric column matters twice: it audits the
+        // parsed values, and it forces the CSV parser to actually
+        // parse n_chars — with Spark's CSV column pruning, a query
+        // that never reads the bad column never SEES the corruption
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      .orderBy("lang")
 }

@@ -62,6 +62,15 @@ object TextQueries {
     * round. Result is partition-count independent, UNORDERED (each
     * consumer orders as needed), and pinned in memory by the final
     * localCheckpoint.
+    *
+    * Lifetime/fault semantics (deliberate, like [[QuantCache]]): the
+    * cache lives for the whole session — entries are never evicted —
+    * and `localCheckpoint` severs lineage, so losing an executor
+    * makes later consumers of a cached entry fail unrecoverably. Both
+    * are acceptable for this harness (one process, a handful of sf
+    * dirs, local mode can't lose executors); a multi-tenant service
+    * would use reliable `checkpoint` to a cluster FS plus an eviction
+    * hook instead.
     */
   private val m4Cache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
