@@ -293,9 +293,13 @@ object VectorQueries {
     // (λ·sim(q,·) − (1−λ)·max-sim to already-picked) runs on those 20
     // rows driver-side — the selection is inherently sequential and
     // its input is k vectors, not the corpus. Ties break by vec_id;
-    // candidate generation is the deterministic e1 ordering. Greedy
-    // picks are engine-specific → rows-only; Round3Spec bounds the
-    // diversity property and determinism.
+    // candidate generation is the deterministic e1 ordering. The
+    // greedy selection is deterministic once the candidate set is
+    // fixed, so the DuckDB twin replays it independently: candidates
+    // injected as literals (the e8/e9/p1 late-oracle pattern), the
+    // 10-step greedy as a recursive CTE with the identical score
+    // arithmetic. Round3Spec additionally bounds the diversity
+    // property.
     Q("v15_mmr_rerank",
       (s, d) => {
         import s.implicits._
@@ -310,6 +314,7 @@ object VectorQueries {
           .collect()
           .map(r => (r.getLong(0), r.getDouble(1),
             r.getSeq[Float](2).map(_.toDouble).toArray))
+        mmrOracle.put(s.sparkContext.applicationId + "|" + d, mmrSql(cands))
         def cos(a: Array[Double], b: Array[Double]): Double = {
           var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < a.length) {
@@ -330,11 +335,76 @@ object VectorQueries {
           picked += best
           pool -= best
         }
+        // round via Spark's round (HALF_UP), matching the oracle's
+        // round(cos, 6) exactly — the suite-wide rounding convention
         picked.toSeq.zipWithIndex
-          .map { case ((id, c, _), i) =>
-            (i + 1L, id, math.rint(c * 1e6) / 1e6) }
+          .map { case ((id, c, _), i) => (i + 1L, id, c) }
           .toDF("rank", "vec_id", "cos")
+          .select(col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
       },
-      None)
+      None,
+      lateOracle = () => mmrOracle.values.toSeq match {
+        case Seq(one) => Some(one)
+        case _        => None // >1 dir in-process: rows-only beats a wrong oracle
+      })
   )
+
+  // v15's candidate-injected oracle SQL, keyed appId|dir, served only
+  // when unambiguous (same convention as QuantCache / p13's lrOracle).
+  private val mmrOracle =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** DuckDB twin of the v15 greedy MMR selection with the top-20
+    * candidates injected as literals (%.17e exact double round-trip).
+    * `sim` precomputes all pairwise cosines with the same left-fold
+    * and max(den, 1e-12) guard as the Scala `cos`; the recursive CTE
+    * then replays the 10 greedy steps: per step, argmin of
+    * (-(λ·cos − (1−λ)·max-sim-to-picked), vec_id) over the unpicked
+    * pool — bit-identical arithmetic, λ and 1−λ injected as the exact
+    * doubles the engine computes with.
+    */
+  private[queries] def mmrSql(
+      cands: Array[(Long, Double, Array[Double])]): String = {
+    def dl(x: Double): String = f"$x%.17e"
+    val dim = cands.head._3.length
+    val lambda = 0.7
+    val values = cands.map { case (id, c, e) =>
+      s"($id, ${dl(c)}, ${e.map(dl).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE cand(vec_id, cos, emb) AS (
+       |  VALUES $values),
+       |sim AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> a.emb[i] * b.emb[i])) /
+       |    greatest(
+       |      sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> a.emb[i] * a.emb[i]))) *
+       |      sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> b.emb[i] * b.emb[i]))),
+       |      1e-12) AS s
+       |  FROM cand a, cand b),
+       |sel(rank, vec_id, cos, picked) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS DOUBLE), CAST([] AS BIGINT[])
+       |  UNION ALL
+       |  SELECT t.rank + 1, t.pick.vid, t.pick.c,
+       |         list_append(t.picked, t.pick.vid)
+       |  FROM (
+       |    SELECT s.rank, s.picked,
+       |      (SELECT {'vid': c.vec_id, 'c': c.cos}
+       |       FROM cand c
+       |       WHERE NOT list_contains(s.picked, c.vec_id)
+       |       ORDER BY -(${dl(lambda)} * c.cos - ${dl(1 - lambda)} *
+       |         coalesce(
+       |           (SELECT max(m.s) FROM sim m
+       |            WHERE m.a_id = c.vec_id
+       |              AND list_contains(s.picked, m.b_id)),
+       |           0.0)), c.vec_id
+       |       LIMIT 1) AS pick
+       |    FROM sel s WHERE s.rank < 10) t
+       |  WHERE t.pick IS NOT NULL)
+       |SELECT rank, vec_id, round(cos, 6) AS cos
+       |FROM sel WHERE rank >= 1 ORDER BY rank""".stripMargin
+  }
 }
