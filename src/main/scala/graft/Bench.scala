@@ -240,6 +240,37 @@ object Bench {
         (1 to 4).foreach { p =>
           knn += s"knn_pruned_recall_at10_p${p}_of16" -> recall16(p)
         }
+        // Multi-table OR-probing (LshConfig.multiTable) at the SAME
+        // probed fraction per probe (1/16 of one corpus copy): the
+        // recall this mode buys over the mod-bucket layout, measured
+        // on the identical queries — MultiTableLshSpec pins dominance,
+        // this reports the curve.
+        locally {
+          val mtPath = graft.util.TempDirs.create("graft_bench_mt")
+            .toString + "/index"
+          val mt = graft.store.MultiTableStore.build(spark, emb, mtPath,
+            LshConfig(numHashFunctions = 4, numHashTables = 4, dim = 64,
+              seed = 42L, multiTable = true))
+          val mtDf = mt.indexDf.coalesce(8).cache()
+          mtDf.count()
+          def recallMt(probes: Int): Double = {
+            val rs = queries.map { q =>
+              val exact = VectorStore.searchIn(
+                mtDf.where(col("table") === 0), q, 10)
+                .collect().map(_.getLong(0)).toSet
+              val pruned = VectorStore.searchIn(
+                mtDf.where(mt.pruneFilter(q, probes))
+                  .select("id", "embedding").dropDuplicates("id"), q, 10)
+                .collect().map(_.getLong(0)).toSet
+              (exact intersect pruned).size.toDouble / exact.size
+            }
+            rs.sum / rs.size
+          }
+          (1 to 4).foreach { p =>
+            knn += s"knn_pruned_recall_at10_p${p}_of16_mt" -> recallMt(p)
+          }
+          mtDf.unpersist()
+        }
         // Quantized tiers, same 20 warm queries as knn_exact: per-query
         // latency of the two-stage searches over STORED codes (each is
         // two jobs — coarse top-100 over the code column, bounded exact

@@ -30,11 +30,31 @@ import graft.functions.{VectorFunctions => VF}
   *    in the table that owns the boundary projection, which is the
   *    intended multi-probe semantics.
   */
+/** `multiTable = false` (default): the reference's layout — ONE bucket
+  * per row, bucket = Σ all bits·2^j mod numHashTables, multi-probe =
+  * informed bit flips of that single code. Honest but degenerate when
+  * numHashTables is a power of two: 2^j mod 2^m vanishes for j ≥ m, so
+  * only the first m bits ever influence the bucket (BASELINE.md r4
+  * note) — measured recall@10 at 16 buckets is 0.195–0.385.
+  *
+  * `multiTable = true`: true OR-probing multi-table LSH (the
+  * reference's 3-table INTENT, `sharding/lsh_sharding.py:57-74`, which
+  * its mod-sum formula then collapses away): each of the
+  * numHashTables tables keeps its own 2^numHashFunctions-bucket code
+  * from its own projections; a row is stored once per table; a query
+  * probes its primary bucket in every table and unions the
+  * candidates. Storage is ×numHashTables (the classic multi-table
+  * trade-off — at 100 TB you pay it for the recall, or drop table
+  * count); probed fraction per (table,bucket) probe is
+  * 2^-numHashFunctions, directly comparable to one bucket of a
+  * 2^k-bucket single-table layout.
+  */
 final case class LshConfig(
     numHashFunctions: Int = 4,
     numHashTables: Int = 3,
     dim: Int = 64,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    multiTable: Boolean = false) {
   def totalBits: Int = numHashFunctions * numHashTables
 }
 
@@ -93,6 +113,89 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
   }
 
   def bucket(v: Array[Double]): Int = bucketOfBits(bits(v))
+
+  // -------------------------------------------------- multi-table mode
+
+  /** Buckets per table in multi-table mode: the full 2^k code space of
+    * one table's k projections — no mod collapse.
+    */
+  def bucketsPerTable: Int = 1 << cfg.numHashFunctions
+
+  /** Table t's bucket code as a native column: Σ_{j<k} bit_{t,j}·2^j ∈
+    * [0, 2^k). Reuses the fused [[graft.expressions.VecLshBucket]]
+    * kernel over table t's submatrix (the mod at 2^k is the identity).
+    */
+  def tableBucketCol(emb: Column, t: Int): Column = {
+    val k = cfg.numHashFunctions
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.VecLshBucket(
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb),
+        matrix.slice(t * k, (t + 1) * k), bucketsPerTable))
+  }
+
+  /** All per-table bucket codes as one array<int> column. */
+  def tableBucketsCol(emb: Column): Column =
+    array((0 until cfg.numHashTables).map(tableBucketCol(emb, _)): _*)
+
+  /** Driver-side table-t bucket of a query vector. */
+  def tableBucket(v: Array[Double], t: Int): Int = {
+    val k = cfg.numHashFunctions
+    val proj = project(v)
+    var sum = 0
+    var j = 0
+    while (j < k) {
+      if (proj(t * k + j) > 0) sum |= 1 << j
+      j += 1
+    }
+    sum
+  }
+
+  /** Multi-probe candidates in multi-table mode: ordered
+    * (table, bucket) pairs. All primary buckets first (the L-way OR
+    * union — one probe per table is the standard operating point),
+    * then single boundary-bit flips across ALL tables in one global
+    * increasing-|projection| order (the next-most-probable buckets
+    * under the sign-LSH model), then boundary pairs likewise. `probes`
+    * counts (table, bucket) pairs, each reading ~2^-k of the corpus —
+    * the same unit as one probe of a single-table 2^k-bucket layout.
+    */
+  def tableCandidates(v: Array[Double], probes: Int): Seq[(Int, Int)] = {
+    val k = cfg.numHashFunctions
+    val L = cfg.numHashTables
+    val p = math.max(1, probes)
+    val proj = project(v)
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+    (0 until L).foreach(t => out += (t -> tableBucket(v, t)))
+    // single-bit flips, cheapest boundary first, across all tables
+    val singles = for (t <- 0 until L; j <- 0 until k)
+      yield (t, j, math.abs(proj(t * k + j)))
+    singles.sortBy(_._3).foreach { case (t, j, _) =>
+      if (out.size < p) out += (t -> (tableBucket(v, t) ^ (1 << j)))
+    }
+    // pair flips, cheapest boundary pair first, across all tables
+    if (out.size < p) {
+      val pairs = for (t <- 0 until L;
+                       c <- (0 until k).combinations(2).toSeq)
+        yield (t, c, math.abs(proj(t * k + c(0))) + math.abs(proj(t * k + c(1))))
+      pairs.sortBy(_._3).foreach { case (t, c, _) =>
+        if (out.size < p)
+          out += (t -> (tableBucket(v, t) ^ (1 << c(0)) ^ (1 << c(1))))
+      }
+    }
+    out.take(p).toSeq
+  }
+
+  /** DuckDB twin of [[tableBucketCol]] for table `t`. */
+  def tableBucketSql(emb: String, t: Int): String = {
+    val k = cfg.numHashFunctions
+    val terms = (0 until k).map { j =>
+      val row = matrix(t * k + j)
+      val dotJ = s"list_sum(list_transform(range(1, ${cfg.dim + 1}), i -> " +
+        s"CAST(($emb)[i] AS DOUBLE) * (${rowLit(row)})[i]))"
+      s"(CASE WHEN $dotJ > 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    s"(CAST((${terms.mkString(" + ")}) AS INT))"
+  }
 
   /** Multi-probe candidate buckets for a query vector.
     *
@@ -157,7 +260,7 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
   def save(path: String): Unit = {
     val rows = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val json =
-      s"""{"numHashFunctions":${cfg.numHashFunctions},"numHashTables":${cfg.numHashTables},"dim":${cfg.dim},"seed":${cfg.seed},"matrix":$rows}"""
+      s"""{"numHashFunctions":${cfg.numHashFunctions},"numHashTables":${cfg.numHashTables},"dim":${cfg.dim},"seed":${cfg.seed},"multiTable":${cfg.multiTable},"matrix":$rows}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 }
@@ -180,7 +283,10 @@ object LshModel {
     }
     val cfg = LshConfig(
       num("numHashFunctions").trim.toInt, num("numHashTables").trim.toInt,
-      num("dim").trim.toInt, num("seed").trim.toLong)
+      num("dim").trim.toInt, num("seed").trim.toLong,
+      // absent in pre-multi-table model files → false
+      multiTable = s.contains("\"multiTable\":") &&
+        num("multiTable").trim.toBoolean)
     val body = s.substring(s.indexOf("\"matrix\":") + 9).trim.stripSuffix("}")
     val rows = body.stripPrefix("[").stripSuffix("]")
       .split("\\],\\[").map(_.replaceAll("[\\[\\]]", ""))

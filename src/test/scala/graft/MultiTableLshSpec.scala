@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lsh.LshConfig
+import graft.store.{MultiTableStore, VectorStore}
+
+/** The multi-table OR-probing mode must dominate the single-table
+  * mod-bucket layout on the recall-vs-probed-fraction curve — that is
+  * the entire reason to pay its ×L storage. Both layouts read the same
+  * fraction of one corpus copy per probe (1/16 here), so recall at
+  * equal probe count is an apples-to-apples comparison.
+  *
+  * The mod-16 bucket is Σ bits·2^j mod 16 as a SIGNED Java remainder
+  * (bit 63 makes the sum negative), so it carries table 0's 4-bit code
+  * plus one sign bit of extra information — still a power-of-two
+  * collapse of 60 of the 64 bits, which is the degeneration the
+  * multi-table mode exists to fix. The single-table layout can only
+  * flip bits of that one code; multi-table probes INDEPENDENT tables,
+  * and the union of independent draws is what buys recall.
+  */
+class MultiTableLshSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sf)
+    .select(col("vec_id").cast("long").as("id"), col("embedding"))
+
+  private lazy val modStore = {
+    val p = graft.util.TempDirs.create("graft_mtspec_mod").toString + "/idx"
+    VectorStore.build(spark, emb, p,
+      LshConfig(numHashFunctions = 4, numHashTables = 16, dim = 64, seed = 42L))
+  }
+  private lazy val mtStore = {
+    val p = graft.util.TempDirs.create("graft_mtspec_mt").toString + "/idx"
+    MultiTableStore.build(spark, emb, p,
+      LshConfig(numHashFunctions = 4, numHashTables = 4, dim = 64,
+        seed = 42L, multiTable = true))
+  }
+
+  private lazy val queries =
+    (0L until 20L).map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
+
+  private def recallMod(probes: Int): Double = {
+    val rs = queries.map { q =>
+      val exact = VectorStore.searchIn(modStore.indexDf, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val pruned = modStore.search(q, 10, probes)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect pruned).size.toDouble / exact.size
+    }
+    rs.sum / rs.size
+  }
+
+  private def recallMt(probes: Int): Double = {
+    val rs = queries.map { q =>
+      val exact = mtStore.exact(q, 10).collect().map(_.getLong(0)).toSet
+      val pruned = mtStore.search(q, 10, probes)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect pruned).size.toDouble / exact.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("first L candidates are the per-table primaries, in table order") {
+    queries.foreach { q =>
+      val m = mtStore.model
+      val first = m.tableCandidates(q, m.cfg.numHashTables)
+      val expected = (0 until m.cfg.numHashTables)
+        .map(t => t -> m.tableBucket(q, t))
+      assert(first == expected, s"$first vs $expected")
+      // every probe stays inside the table's 2^k code space
+      m.tableCandidates(q, 16).foreach { case (t, b) =>
+        assert(t >= 0 && t < m.cfg.numHashTables)
+        assert(b >= 0 && b < m.bucketsPerTable)
+      }
+    }
+  }
+
+  test("multi-table recall dominates mod-bucket recall at equal probed fraction") {
+    val ps = 1 to 4
+    val cMod = ps.map(recallMod)
+    val cMt = ps.map(recallMt)
+    info(s"mod-16 recall@10 by probes: ${cMod.mkString(", ")}")
+    info(s"mt 4x16 recall@10 by probes: ${cMt.mkString(", ")}")
+    ps.zip(cMod.zip(cMt)).foreach { case (p, (m, t)) =>
+      assert(t >= m - 1e-9, s"probes=$p: mt $t < mod $m")
+    }
+    assert(cMt.sum > cMod.sum,
+      s"curve not strictly better: mt ${cMt.sum} vs mod ${cMod.sum}")
+  }
+
+  test("exact search equals the single-table exact result (dedup correct)") {
+    queries.take(5).foreach { q =>
+      val a = mtStore.exact(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val b = VectorStore.searchIn(modStore.indexDf, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("full-probe search equals exact (union of all tables covers the corpus)") {
+    val all = mtStore.model.cfg.numHashTables * mtStore.model.bucketsPerTable
+    queries.take(5).foreach { q =>
+      val a = mtStore.search(q, 10, all).collect().map(_.getLong(0))
+      val b = mtStore.exact(q, 10).collect().map(_.getLong(0))
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("model save/load roundtrip keeps the multiTable flag") {
+    val re = MultiTableStore.open(spark, mtStore.path)
+    assert(re.model.cfg == mtStore.model.cfg)
+    val q = queries.head
+    assert(re.model.tableCandidates(q, 4) == mtStore.model.tableCandidates(q, 4))
+  }
+}
