@@ -20,7 +20,8 @@ object Registry {
       Round5bQueries.all ++
       Round6Queries.all ++
       Round6bQueries.all ++
-      Round6cQueries.all
+      Round6cQueries.all ++
+      Round7Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

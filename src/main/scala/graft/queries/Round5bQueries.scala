@@ -244,8 +244,8 @@ object Round5bQueries {
             srcDir.resolve("events.parquet"))
           val q = s.readStream.schema(schema).parquet(srcDir.toString)
             .select(col("user_id"),
-              timestamp_micros(expr("ts div 1000")).as("evt"),
-              expr("ts div 1000").as("us"))
+              StreamingQueries.tsAsTimestamp(schema).as("evt"),
+              StreamingQueries.tsAsMicros(schema).as("us"))
             .withWatermark("evt", "1 minute")
             .select(col("user_id"), col("us")).as[(Long, Long)]
             .groupByKey(_._1)

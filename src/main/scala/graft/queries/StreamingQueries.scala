@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -38,6 +38,29 @@ object StreamingQueries {
     * life; the final batch read of the memory sink runs outside and is
     * unaffected.)
     */
+  /** `ts` from a RAW events scan (the streaming sources read the
+    * parquet directly, bypassing [[graft.Tables.events]]'s
+    * normalization) as an event-time TIMESTAMP — robust to both
+    * testdata layouts: LONG nanoseconds (rounds 1–6, via nanosAsLong)
+    * and TIMESTAMP_NTZ microseconds (round 7+). Sessions run in UTC,
+    * so the NTZ cast is exact.
+    */
+  private[queries] def tsAsTimestamp(
+      schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
+  /** Same event time as LONG microseconds since epoch. */
+  private[queries] def tsAsMicros(
+      schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   private[queries] def withStateShuffle[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
@@ -65,7 +88,7 @@ object StreamingQueries {
     }
     val src = s.readStream.schema(schema).parquet(srcDir.toString)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("ets"))
+        tsAsTimestamp(schema).as("ets"))
     val q = build(src)
       .writeStream.format("memory").queryName(name)
       .outputMode("append")
@@ -209,7 +232,7 @@ object StreamingQueries {
           .parquet(srcDir.toString)
           .select(col("event_id").as(s"${prefix}_id"),
             col("user_id").as(s"${prefix}_user"),
-            timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ets"))
+            tsAsTimestamp(schema).as(s"${prefix}_ets"))
           .withWatermark(s"${prefix}_ets", "10 minutes")
         val joined = side("a").join(side("b"),
           expr("""a_user = b_user AND a_id <> b_id AND
@@ -294,7 +317,7 @@ object StreamingQueries {
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
         val src = s.readStream.schema(schema).parquet(srcDir.toString)
-          .select(col("user_id"), expr("ts div 1000").as("us"),
+          .select(col("user_id"), tsAsMicros(schema).as("us"),
             col("value").cast(DecimalType(18, 6)).as("dv"))
           .as[(Long, Long, java.math.BigDecimal)]
         val q = src.groupByKey(_._1)
@@ -352,7 +375,7 @@ object StreamingQueries {
           srcDir.resolve("events.parquet"))
         val src = s.readStream.schema(schema).parquet(srcDir.toString)
           .select(col("event_type"),
-            timestamp_micros(expr("ts div 1000")).as("ets"))
+            tsAsTimestamp(schema).as("ets"))
         val q = src
           .groupBy(col("event_type"), window(col("ets"), "1 hour"))
           .agg(count(lit(1)).as("n"))
@@ -388,7 +411,7 @@ object StreamingQueries {
         val ckpt = graft.util.TempDirs.create("graft_s10_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s10_src")
         val full = s.read.parquet(s"$d/events.parquet")
-          .withColumn("us", expr("ts div 1000"))
+          .withColumn("us", tsAsMicros(schema))
         val Array(lo, hi) = full.agg(min("us"), max("us")).head
           .toSeq.map(_.asInstanceOf[Long]).toArray
         val cutUs = ((lo + hi) / 2 / 3600000000L) * 3600000000L
@@ -408,7 +431,7 @@ object StreamingQueries {
           .option("recursiveFileLookup", "true")
           .parquet(srcDir.toString)
           .select(col("event_type"),
-            timestamp_micros(expr("ts div 1000")).as("ets"))
+            tsAsTimestamp(schema).as("ets"))
         val q = src.withWatermark("ets", "10 minutes")
           .groupBy(col("event_type"), window(col("ets"), "1 hour"))
           .agg(count(lit(1)).as("n"))
@@ -455,7 +478,7 @@ object StreamingQueries {
             .where(pred(col("event_type")))
             .select(col("event_id").as(s"${prefix}_id"),
               col("user_id").as(s"${prefix}_user"),
-              timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ets"))
+              tsAsTimestamp(schema).as(s"${prefix}_ets"))
             .withWatermark(s"${prefix}_ets", "10 minutes")
         val clicks = side("a", _ === "click")
         val purchases = side("b", _ === "purchase")
@@ -518,7 +541,7 @@ object StreamingQueries {
             srcDir.resolve("events.parquet"))
           val src = s.readStream.schema(schema).parquet(srcDir.toString)
             .select(col("event_type"),
-              timestamp_micros(expr("ts div 1000")).as("ets"))
+              tsAsTimestamp(schema).as("ets"))
           val q = src.withWatermark("ets", "10 minutes")
             .groupBy(window(col("ets"), "1 hour"), col("event_type"))
             .count()
@@ -732,7 +755,7 @@ object StreamingQueries {
           srcDir.resolve("events.parquet"))
         val q = s.readStream.schema(schema).parquet(srcDir.toString)
           .select(col("user_id"), col("event_type"),
-            timestamp_micros(expr("ts div 1000")).as("evt"))
+            tsAsTimestamp(schema).as("evt"))
           .withWatermark("evt", "1 hour")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select("user_id", "event_type")
@@ -764,7 +787,8 @@ object StreamingQueries {
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
         val q = s.readStream.schema(schema).parquet(srcDir.toString)
-          .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+          .select(col("event_type"), tsAsMicros(schema).as("us"))
+          .select(col("event_type"), expr("us div 3600000000").as("hour"))
           .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
           .writeStream.format("memory").queryName(name)
           .outputMode("complete")

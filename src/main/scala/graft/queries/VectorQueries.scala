@@ -346,8 +346,47 @@ object VectorQueries {
       lateOracle = () => mmrOracle.values.toSeq match {
         case Seq(one) => Some(one)
         case _        => None // >1 dir in-process: rows-only beats a wrong oracle
+      }),
+
+    // V19 — multi-table OR-probing pruned kNN (`LshConfig.multiTable`,
+    // the reference's 3-table INTENT from `sharding/lsh_sharding.py:
+    // 57-74` that its mod-sum formula collapses away): build the ×L
+    // store, probe 6 (table, bucket) pairs (4 primaries + 2 boundary
+    // flips), union + id-dedup candidates, exact top-10. Approximate
+    // by design but fully deterministic given the seeded matrix — the
+    // DuckDB twin recomputes each probed table's 2^k code with
+    // `tableBucketSql` and restricts the scan to the probed pairs
+    // (computed driver-side from the query vector, injected late).
+    // Recall dominance over the mod-bucket layout is spec-pinned in
+    // MultiTableLshSpec.
+    Q("v19_multitable_knn",
+      (s, d) => {
+        val path = graft.util.TempDirs.create("graft_v19").toString + "/index"
+        val mt = graft.store.MultiTableStore.build(s,
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding")),
+          path, LshConfig(numHashFunctions = 4, numHashTables = 4,
+            dim = 64, seed = 42L, multiTable = true))
+        val q = qvec(s, d, 0)
+        val cands = mt.model.tableCandidates(q, probes = 6)
+        mtOracle.put(s.sparkContext.applicationId + "|" + d,
+          knnOracle(10, where = cands.map { case (t, b) =>
+            s"${mt.model.tableBucketSql("e.embedding", t)} = $b"
+          }.mkString("(", " OR ", ")")))
+        mt.search(q, 10, probes = 6)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      None,
+      lateOracle = () => mtOracle.values.toSeq match {
+        case Seq(one) => Some(one)
+        case _        => None
       })
   )
+
+  // v19's probe-injected oracle SQL, keyed appId|dir, served only when
+  // unambiguous (same convention as mmrOracle / QuantCache).
+  private val mtOracle =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   // v15's candidate-injected oracle SQL, keyed appId|dir, served only
   // when unambiguous (same convention as QuantCache / p13's lrOracle).

@@ -77,11 +77,21 @@ final class QuantIndex(
 
   /** Exact squared-L2 for a bounded id set (the coarse survivors): the
     * only stage that reads the float `embedding` column, under an id
-    * pushdown filter.
+    * pushdown filter. `cells` restricts the scan to the partitions the
+    * candidates are known to live in — for the IVF-pruned tiers this
+    * is REQUIRED at scale: every cell's file spans the full id range,
+    * so without the partition filter the id pushdown can't row-group-
+    * skip and the re-rank degenerates to a full embedding-column read
+    * (measured 2M smoke: two-stage 0.9 s vs 0.4 s with the filter).
     */
-  def exactDist(ids: Seq[Long], q: Array[Double]): DataFrame =
-    indexDf.where(col("id").isin(ids.map(Long.box): _*))
+  def exactDist(ids: Seq[Long], q: Array[Double],
+                cells: Seq[Int] = Nil): DataFrame = {
+    val base =
+      if (cells.isEmpty) indexDf
+      else indexDf.where(col("cell").isin(cells.map(Int.box): _*))
+    base.where(col("id").isin(ids.map(Long.box): _*))
       .select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
+  }
 
   /** Coarse ids of a candidate frame — bounded by the coarse N by
     * construction (the one acceptable driver materialization).
@@ -89,8 +99,9 @@ final class QuantIndex(
   def candidateIds(coarse: DataFrame): Seq[Long] =
     coarse.select("id").collect().map(_.getLong(0)).toSeq
 
-  private def rerank(coarse: DataFrame, q: Array[Double], k: Int): DataFrame =
-    exactDist(candidateIds(coarse), q)
+  private def rerank(coarse: DataFrame, q: Array[Double], k: Int,
+                     cells: Seq[Int] = Nil): DataFrame =
+    exactDist(candidateIds(coarse), q, cells)
       .orderBy(col("dist"), col("id")).limit(math.max(1, k))
 
   /** SQ8 two-stage search: coarse by stored int codes, exact re-rank. */
@@ -120,10 +131,13 @@ final class QuantIndex(
       .orderBy(col("adc"), col("id")).limit(n)
   }
 
-  /** IVF+PQ two-stage search: pruned ADC coarse pass, exact re-rank. */
+  /** IVF+PQ two-stage search: pruned ADC coarse pass, exact re-rank
+    * restricted to the probed cells (the candidates live nowhere else).
+    */
   def searchIvfPq(q: Array[Double], k: Int, nprobe: Int = 2,
                   coarseN: Int = 100): DataFrame =
-    rerank(coarseIvfPq(q, nprobe, coarseN), q, k)
+    rerank(coarseIvfPq(q, nprobe, coarseN), q, k,
+      model.ivfNearestCells(q, nprobe))
 
   /** (id, adc) coarse candidates by RESIDUAL PQ distance within the
     * probed cells — the full FAISS IVFPQ scheme: each probed cell gets
@@ -148,11 +162,12 @@ final class QuantIndex(
   }
 
   /** Residual IVFPQ two-stage search: per-cell residual ADC, exact
-    * re-rank.
+    * re-rank restricted to the probed cells.
     */
   def searchIvfPqResidual(q: Array[Double], k: Int, nprobe: Int = 2,
                           coarseN: Int = 100): DataFrame =
-    rerank(coarseIvfPqResidual(q, nprobe, coarseN), q, k)
+    rerank(coarseIvfPqResidual(q, nprobe, coarseN), q, k,
+      model.ivfNearestCells(q, nprobe))
 
   /** IVF search: partition-pruned exact top-k over the `nprobe` cells
     * nearest the query (cell choice is driver math over the broadcast-

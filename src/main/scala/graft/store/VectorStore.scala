@@ -187,7 +187,7 @@ object VectorStore {
     dropPartitionDirs(spark, path, "bucket", buckets)
 
   /** Count parquet data files under the index path (compaction metric). */
-  private[store] def countDataFiles(spark: SparkSession, path: String): Long = {
+  private[graft] def countDataFiles(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0L

@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "e7_maxsim",          // bounded multi-vector query set broadcast
     "v18_batch_radius",   // 5 broadcast radius queries × corpus scan
     "x16_featurize_search", // 5 broadcast query features × corpus
+    "x23_neural_knn",     // 5 broadcast featurized queries × corpus
     "r46_cross_join",     // explicit tiny-dim cross join (5×5)
     "p8_pmi_collocations", // 1-row token-total broadcast
     "r39_hll_sketch",     // 1-row sketch × 1-row sketch merge
