@@ -89,6 +89,20 @@ object Report {
       }
     }
     sb ++= "```\n\n"
+    // multi-table OR-probing curve at the same probed fraction per
+    // probe (1/16 of one corpus copy) — present when the bench ran
+    // the LshConfig(multiTable) protocol
+    if (q.contains("knn_pruned_recall_at10_p1_of16_mt")) {
+      sb ++= "Multi-table OR-probing (4 tables × 16 buckets, same " +
+        "probed fraction per probe):\n\n"
+      sb ++= "```\n"
+      (1 to 4).foreach { p =>
+        q.get(s"knn_pruned_recall_at10_p${p}_of16_mt").foreach { r =>
+          sb ++= f"probes=$p  ${bar(r)}%-40s $r%.3f\n"
+        }
+      }
+      sb ++= "```\n\n"
+    }
 
     // ---- 4. Query-group totals + slowest ---------------------------
     // The detail file carries per-query entries only; derive group
