@@ -104,6 +104,38 @@ object Report {
       sb ++= "```\n\n"
     }
 
+    // ---- PNG chart artifacts (the reference's matplotlib figures:
+    //      latency_vs_k.png `performance_analysis.py:101-111`,
+    //      shard_distribution.png `:200-214`) — written next to the
+    //      markdown so they land in the repo like the reference's.
+    val outDir = Option(new java.io.File(outPath).getParent).getOrElse(".")
+    try {
+      val ks = Seq(1, 5, 10, 20, 50, 100)
+      def curve(prefix: String) = ks.flatMap(k =>
+        q.get(s"knn_${prefix}_k$k").map(v => (k.toDouble, v * 1000)))
+      val (ex, pr) = (curve("exact"), curve("pruned"))
+      if (ex.nonEmpty) {
+        Charts.lineChart(Seq("exact" -> ex, "pruned" -> pr),
+          "Search Latency vs. k (20 warm queries)", "k (number of results)",
+          "Latency (ms)", s"$outDir/latency_vs_k.png")
+        sb ++= "![latency vs k](latency_vs_k.png)\n\n"
+      }
+      val mod = (1 to 4).flatMap(p =>
+        q.get(s"knn_pruned_recall_at10_p${p}_of16").map(r => (p.toDouble, r)))
+      val mt = (1 to 4).flatMap(p =>
+        q.get(s"knn_pruned_recall_at10_p${p}_of16_mt").map(r => (p.toDouble, r)))
+      if (mod.nonEmpty) {
+        Charts.lineChart(
+          Seq("mod-16 bucket" -> mod) ++
+            (if (mt.nonEmpty) Seq("multi-table 4×16" -> mt) else Nil),
+          "Pruned-search recall@10 vs probes", "probes (1/16 corpus each)",
+          "recall@10", s"$outDir/recall_vs_probes.png")
+        sb ++= "![recall vs probes](recall_vs_probes.png)\n\n"
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[report] charts failed: ${e.getMessage}")
+    }
+
     // ---- 4. Query-group totals + slowest ---------------------------
     // The detail file carries per-query entries only; derive group
     // totals via Bench.groupOf (the single shared mapping).
@@ -154,6 +186,16 @@ object Report {
           sb ++= f"bucket $b%-4s ${bar(c / maxCnt)}%-40s $c%d\n"
         }
         sb ++= "```\n\n"
+        try {
+          Charts.barChart(
+            stats.map(r => r.get(cols.indexOf("bucket")).toString).toSeq,
+            stats.map(_.getLong(cntIdx).toDouble).toSeq,
+            "Vector Distribution Across Shards", "shard (LSH bucket)",
+            "Number of Vectors", s"$outDir/shard_distribution.png")
+          sb ++= "![shard distribution](shard_distribution.png)\n\n"
+        } catch { case e: Throwable =>
+          System.err.println(s"[report] shard chart failed: ${e.getMessage}")
+        }
         val iIdx = cols.indexOf("imbalance")
         if (iIdx >= 0)
           sb ++= f"- imbalance (max−min)/avg: ${stats.head.getDouble(iIdx)}%.4f\n"
