@@ -107,6 +107,40 @@ class MultiTableLshSpec extends AnyFunSuite {
     }
   }
 
+  test("add/delete/compact keep the ×L layout consistent") {
+    val p = graft.util.TempDirs.create("graft_mtspec_mut").toString + "/idx"
+    val cfg = graft.lsh.LshConfig(numHashFunctions = 4, numHashTables = 4,
+      dim = 64, seed = 42L, multiTable = true)
+    val st = MultiTableStore.build(spark, emb.where(col("id") < 400), p, cfg)
+    val l = cfg.numHashTables
+
+    // add: appended ids appear once per table and are exactly findable
+    st.add(emb.where(col("id") >= 400))
+    assert(st.indexDf.count() == emb.count() * l)
+    val q = queries.head
+    val full = VectorStore.searchIn(
+      emb.select(col("id"), col("embedding")), q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(st.exact(q, 10).collect().map(_.getLong(0)).toSeq == full)
+
+    // delete: ids vanish from EVERY table; only hit partitions rewritten
+    val removed = st.delete(Seq(0L, 1L, 2L))
+    assert(removed == 3)
+    assert(st.indexDf.where(col("id") < 3).count() == 0)
+    assert(st.indexDf.count() == (emb.count() - 3) * l)
+
+    // compact: the add/delete churn healed back to ≤ one file per
+    // non-empty (table, bucket) partition; results unchanged
+    val parts = st.indexDf.select("table", "bucket").distinct().count()
+    val (before, after) = st.compact()
+    assert(after <= parts, s"$after files > $parts partitions")
+    assert(before >= after)
+    val expect = VectorStore.searchIn(
+      emb.where(col("id") >= 3).select(col("id"), col("embedding")), q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(st.exact(q, 10).collect().map(_.getLong(0)).toSeq == expect)
+  }
+
   test("model save/load roundtrip keeps the multiTable flag") {
     val re = MultiTableStore.open(spark, mtStore.path)
     assert(re.model.cfg == mtStore.model.cfg)
