@@ -46,30 +46,35 @@ final class QuantIndex(
     this
   }
 
-  /** (id, adc) coarse candidates by integer SQ8 code distance — the
-    * scan reads (id, sq8) only; top-N plans as TakeOrderedAndProject
-    * (per-partition heap, no full sort).
+  /** (id, cell, adc) coarse candidates by integer SQ8 code distance —
+    * the scan reads (id, sq8) only (`cell` is the partition column:
+    * it comes from the directory name, zero data bytes); top-N plans
+    * as TakeOrderedAndProject (per-partition heap, no full sort).
+    * Carrying `cell` lets the re-rank prune to the partitions the
+    * survivors actually live in.
     */
   def coarseSq8(q: Array[Double], n: Int): DataFrame =
-    indexDf.select(col("id"), model.sq8AdcCol(col("sq8"), q).as("adc"))
+    indexDf.select(col("id"), col("cell"),
+        model.sq8AdcCol(col("sq8"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
 
-  /** (id, adc) coarse candidates by PQ asymmetric distance: the query's
+  /** (id, cell, adc) coarse candidates by PQ asymmetric distance: the query's
     * M×K lookup table is computed once on the driver and folded into a
     * codegen'd projection — per row, M `element_at`s + adds. The scan
     * reads (id, pq) only.
     */
   def coarsePq(q: Array[Double], n: Int): DataFrame =
-    indexDf.select(col("id"), model.pqAdcCol(col("pq"), q).as("adc"))
+    indexDf.select(col("id"), col("cell"),
+        model.pqAdcCol(col("pq"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
 
-  /** (id, ham) coarse candidates by Hamming distance over the stored
+  /** (id, cell, ham) coarse candidates by Hamming distance over the stored
     * 1-bit sign signatures — the cheapest tier: the scan reads
     * (id, sig), 1/32 of the vector bytes, and the distance is one
     * popcount-of-xor per 64 dims.
     */
   def coarseBitq(q: Array[Double], n: Int): DataFrame =
-    indexDf.select(col("id"),
+    indexDf.select(col("id"), col("cell"),
       VF.hamming64(col("sig"),
         org.apache.spark.sql.functions.typedLit(VF.signPackS(q)))
         .as("ham"))
@@ -99,10 +104,17 @@ final class QuantIndex(
   def candidateIds(coarse: DataFrame): Seq[Long] =
     coarse.select("id").collect().map(_.getLong(0)).toSeq
 
-  private def rerank(coarse: DataFrame, q: Array[Double], k: Int,
-                     cells: Seq[Int] = Nil): DataFrame =
-    exactDist(candidateIds(coarse), q, cells)
+  /** Exact re-rank of the coarse survivors, scanning ONLY the cell
+    * partitions they live in (derived from the coarse result's `cell`
+    * column — tighter than the probe list, and it makes the id
+    * pushdown row-group-skippable within each touched cell file).
+    */
+  private def rerank(coarse: DataFrame, q: Array[Double], k: Int): DataFrame = {
+    val rows = coarse.select(col("id"), col("cell").cast("int")).collect()
+    val cells = rows.map(_.getInt(1)).distinct.toSeq
+    exactDist(rows.map(_.getLong(0)).toSeq, q, cells)
       .orderBy(col("dist"), col("id")).limit(math.max(1, k))
+  }
 
   /** SQ8 two-stage search: coarse by stored int codes, exact re-rank. */
   def searchSq8(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
@@ -127,17 +139,16 @@ final class QuantIndex(
   def coarseIvfPq(q: Array[Double], nprobe: Int, n: Int): DataFrame = {
     val cells = model.ivfNearestCells(q, nprobe).map(Int.box)
     indexDf.where(col("cell").isin(cells: _*))
-      .select(col("id"), model.pqAdcCol(col("pq"), q).as("adc"))
+      .select(col("id"), col("cell"), model.pqAdcCol(col("pq"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
   }
 
   /** IVF+PQ two-stage search: pruned ADC coarse pass, exact re-rank
-    * restricted to the probed cells (the candidates live nowhere else).
+    * restricted to the candidates' cells.
     */
   def searchIvfPq(q: Array[Double], k: Int, nprobe: Int = 2,
                   coarseN: Int = 100): DataFrame =
-    rerank(coarseIvfPq(q, nprobe, coarseN), q, k,
-      model.ivfNearestCells(q, nprobe))
+    rerank(coarseIvfPq(q, nprobe, coarseN), q, k)
 
   /** (id, adc) coarse candidates by RESIDUAL PQ distance within the
     * probed cells — the full FAISS IVFPQ scheme: each probed cell gets
@@ -157,17 +168,16 @@ final class QuantIndex(
       element_at(element_at(lutForRow, j + 1), element_at(col("pqr"), j + 1)))
       .reduce(_ + _)
     indexDf.where(col("cell").isin(cells.map(Int.box): _*))
-      .select(col("id"), adc.as("adc"))
+      .select(col("id"), col("cell"), adc.as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
   }
 
   /** Residual IVFPQ two-stage search: per-cell residual ADC, exact
-    * re-rank restricted to the probed cells.
+    * re-rank restricted to the candidates' cells.
     */
   def searchIvfPqResidual(q: Array[Double], k: Int, nprobe: Int = 2,
                           coarseN: Int = 100): DataFrame =
-    rerank(coarseIvfPqResidual(q, nprobe, coarseN), q, k,
-      model.ivfNearestCells(q, nprobe))
+    rerank(coarseIvfPqResidual(q, nprobe, coarseN), q, k)
 
   /** IVF search: partition-pruned exact top-k over the `nprobe` cells
     * nearest the query (cell choice is driver math over the broadcast-
