@@ -111,6 +111,54 @@ object Round7Queries {
       lateOracle = () => x23Oracle.values.toSeq match {
         case Seq(one) => Some(one)
         case _        => None
-      })
+      }),
+
+    // S22 — streaming ingest into the MULTI-TABLE store: the ×L
+    // scatter under a stream, completing the pattern family (s13 =
+    // LSH store, s21 = quant index): seed build, then each
+    // micro-batch fans out one row per table inside foreachBatch.
+    // The final EXACT search (one full corpus copy, table 0) must
+    // reproduce the full-corpus top-10 — the same oracle as
+    // s13/s21 — so a dropped batch, a missing table copy, or a
+    // wrong bucket code all hash-mismatch.
+    Q("s22_stream_multitable_ingest",
+      (s, d) => {
+        import graft.lsh.LshConfig
+        import graft.store.MultiTableStore
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id").cast("long").as("id"), col("embedding"))
+        val srcDir = graft.util.TempDirs.create("graft_s22_src").toString
+        emb.where(col("id") >= 100).repartition(4)
+          .write.mode("overwrite").parquet(s"$srcDir/files")
+        val path = graft.util.TempDirs.create("graft_s22_idx")
+          .toString + "/index"
+        val st = MultiTableStore.build(s, emb.where(col("id") < 100), path,
+          LshConfig(numHashFunctions = 4, numHashTables = 4, dim = 64,
+            seed = 42L, multiTable = true))
+        val ckpt = graft.util.TempDirs.create("graft_s22_ckpt").toString
+        val q = s.readStream
+          .schema(emb.where(col("id") >= 100).schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(s"$srcDir/files")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            st.add(batch)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        st.exact(VectorQueries.qvec(s, d, 0), 10)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+          |           WHERE vec_id = 0)
+          |SELECT vec_id, round(d, 6) AS dist FROM (
+          |  SELECT e.vec_id AS vec_id,
+          |    ${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")} AS d
+          |  FROM embeddings e, q)
+          |ORDER BY d, vec_id LIMIT 10""".stripMargin),
+      streaming = true)
   )
 }
