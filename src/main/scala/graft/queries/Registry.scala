@@ -21,7 +21,8 @@ object Registry {
       Round6Queries.all ++
       Round6bQueries.all ++
       Round6cQueries.all ++
-      Round7Queries.all
+      Round7Queries.all ++
+      Round8Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Round-8 queries: an Avro container source (the remaining common
+  * at-rest format), degree-oriented triangle counting (the canonical
+  * distributed-graph pattern beyond r76's pagerank), and CDC
+  * merge/upsert semantics (the ingestion shape every warehouse-style
+  * pipeline needs).
+  */
+object Round8Queries {
+
+  private val D = DecimalType(18, 2)
+
+  /** x24's fixture: documents with doc_id < 2000 as 4 Avro container
+    * files, staged once per (session, sf dir).
+    */
+  private val avroStaged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def x24Stage(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    avroStaged.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = graft.util.TempDirs.create("graft_x24").toString
+      graft.sources.AvroFixture.write(
+        Tables.documents(s, d).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(4, col("doc_id")),
+        dir)
+      dir
+    })
+
+  val all: Seq[Q] = Seq(
+
+    // X24 — Avro Object Container source: stage the fixture with the
+    // distributed FileSystem-API writer, read it back through the
+    // hand-rolled DSv2 source (sync-marker byte-range splits, reader-
+    // schema column pruning — this query decodes only (lang, n_chars),
+    // never doc_id), aggregate per language. Oracle recomputes from
+    // the parquet documents table.
+    Q("x24_avro_source",
+      (s, d) => {
+        val dir = x24Stage(s, d)
+        s.read.format("avrograft").load(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("decimal(18,0)")).cast("long")
+              .as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE doc_id < 2000
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // R78 — triangle counting on the part co-purchase graph (parts
+    // appearing in the same order are linked). The scale pattern is
+    // DEGREE ORIENTATION: each undirected edge is directed from its
+    // lower-(degree, id) endpoint to the higher one, which (a) makes
+    // the orientation acyclic so every triangle is counted exactly
+    // once as a→b→c with a→c, and (b) bounds every out-adjacency by
+    // O(√m), so the path-join e(a,b)⋈e(b,c) — the quadratic danger —
+    // is capped at m·√m regardless of skew (a celebrity node with
+    // degree 10⁶ contributes NOTHING to path expansion: all its edges
+    // point inward). Three hash joins, no driver state.
+    Q("r78_triangle_count",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = li.select(col("ok"), col("pk").as("u"))
+        val b = li.select(col("ok").as("ok2"), col("pk").as("v"))
+        val edges = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+          .select("u", "v").distinct()
+        val deg = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val du = deg.select(col("n").as("u"), col("deg").as("du"))
+        val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
+        val oriented = edges.join(du, "u").join(dv, "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("dst"))
+        val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+        val e2 = oriented.select(col("src").as("b2"), col("dst").as("c"))
+        val e3 = oriented.select(col("src").as("a3"), col("dst").as("c3"))
+        val tri = e1.join(e2, col("b") === col("b2"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        // Three 1-row aggregates combined declaratively (single-row
+        // broadcast joins) — no driver-side .count() actions.
+        deg.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      },
+      Some("""WITH li AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |edges AS (
+          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+          |deg AS (
+          |  SELECT n, count(*) AS deg FROM (
+          |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+          |  GROUP BY n),
+          |oriented AS (
+          |  SELECT CASE WHEN du.deg < dv.deg
+          |      OR (du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+          |    CASE WHEN du.deg < dv.deg
+          |      OR (du.deg = dv.deg AND e.u < e.v) THEN e.v ELSE e.u END AS dst
+          |  FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n)
+          |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+          |  (SELECT count(*) FROM edges) AS n_edges,
+          |  count(*) AS n_triangles
+          |FROM oriented e1
+          |JOIN oriented e2 ON e1.dst = e2.src
+          |JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin)),
+
+    // R79 — CDC MERGE/upsert: a deterministic change feed against the
+    // orders table (updates for keys ≡0 mod 10, deletes for keys ≡3
+    // mod 97 not already updated, inserts under fresh keys for ≡7 mod
+    // 53), applied with the standard distributed MERGE shape — one
+    // shuffle-on-key full-outer join, tombstone filter, column
+    // coalesce. No per-row lookups, no driver loop; AQE picks the
+    // join strategy from the CDC batch's actual size (a trickle batch
+    // broadcasts, a backfill shuffles).
+    Q("r79_merge_upsert",
+      (s, d) => {
+        val tgt = Tables.orders(s, d)
+          .select(col("o_orderkey").as("key"),
+            col("o_orderstatus").as("t_status"),
+            col("o_totalprice").as("t_price"))
+        val src = Tables.orders(s, d)
+        val upd = src.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("ckey"), lit("U").as("c_status"),
+            (col("o_totalprice") + lit(10.0)).as("c_price"),
+            lit("u").as("op"))
+        val del = src.where(col("o_orderkey") % 10 =!= 0 &&
+            col("o_orderkey") % 97 === 3)
+          .select(col("o_orderkey").as("ckey"),
+            lit(null).cast("string").as("c_status"),
+            lit(null).cast("double").as("c_price"), lit("d").as("op"))
+        val ins = src.where(col("o_orderkey") % 53 === 7)
+          .select((col("o_orderkey") + 100000000L).as("ckey"),
+            lit("N").as("c_status"), col("o_totalprice").as("c_price"),
+            lit("i").as("op"))
+        val cdc = upd.unionByName(del).unionByName(ins)
+        val merged = tgt.join(cdc, col("key") === col("ckey"), "full_outer")
+          .where(col("op").isNull || col("op") =!= "d")
+          .select(
+            coalesce(col("key"), col("ckey")).as("key"),
+            when(col("op").isNotNull, col("c_status"))
+              .otherwise(col("t_status")).as("status"),
+            when(col("op").isNotNull, col("c_price"))
+              .otherwise(col("t_price")).as("price"))
+        merged.groupBy("status")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("price").cast(D)).cast("double").as("sum_price"))
+          .orderBy("status")
+      },
+      Some("""WITH upd AS (
+          |  SELECT o_orderkey AS ckey, 'U' AS c_status,
+          |    o_totalprice + 10.0 AS c_price, 'u' AS op
+          |  FROM orders WHERE o_orderkey % 10 = 0),
+          |del AS (
+          |  SELECT o_orderkey AS ckey, CAST(NULL AS VARCHAR) AS c_status,
+          |    CAST(NULL AS DOUBLE) AS c_price, 'd' AS op
+          |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 97 = 3),
+          |ins AS (
+          |  SELECT o_orderkey + 100000000 AS ckey, 'N' AS c_status,
+          |    o_totalprice AS c_price, 'i' AS op
+          |  FROM orders WHERE o_orderkey % 53 = 7),
+          |cdc AS (
+          |  SELECT * FROM upd UNION ALL SELECT * FROM del
+          |  UNION ALL SELECT * FROM ins),
+          |merged AS (
+          |  SELECT coalesce(t.o_orderkey, c.ckey) AS key,
+          |    CASE WHEN c.op IS NOT NULL THEN c.c_status
+          |         ELSE t.o_orderstatus END AS status,
+          |    CASE WHEN c.op IS NOT NULL THEN c.c_price
+          |         ELSE t.o_totalprice END AS price
+          |  FROM orders t FULL OUTER JOIN cdc c ON t.o_orderkey = c.ckey
+          |  WHERE c.op IS NULL OR c.op <> 'd')
+          |SELECT status, count(*) AS n_rows,
+          |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM merged GROUP BY status ORDER BY status""".stripMargin))
+  )
+}

@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for Avro Object Container Files, built on the
+  * `org.apache.avro` core library (no spark-avro module on this
+  * classpath). Flat records of primitive fields only — the training
+  * metadata/export shape — with the two properties that matter at
+  * 100 TB:
+  *
+  *  - *sync-marker splitting*: Avro containers interleave a 16-byte
+  *    sync marker between blocks, so a byte range [start, end) is an
+  *    independently readable split (`DataFileReader.sync(start)` /
+  *    `pastSync(end)` — the same protocol Hadoop's AvroInputFormat
+  *    uses). One huge container fans out across tasks like parquet
+  *    row groups; split size is the `maxSplitBytes` option
+  *    (default 128 MiB).
+  *  - *column pruning via reader schema*: Avro schema resolution skips
+  *    non-projected fields during decode (no per-row materialization
+  *    of dropped columns), so `SELECT lang FROM avro` never
+  *    deserializes `text`-sized fields.
+  *
+  * Supported field types: long, int, string, double, float, boolean,
+  * bytes, each optionally as the nullable `[null, T]` union. Anything
+  * else fails loudly at schema inference — a silent coercion would
+  * corrupt data.
+  */
+class AvroSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "avrograft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (schema, _) = AvroSource.writerSchema(options)
+    AvroSource.toSpark(schema)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroTable(new CaseInsensitiveStringMap(properties), schema)
+}
+
+object AvroSource {
+  /** First .avro file's writer schema + the file list (sorted for
+    * deterministic partition planning).
+    */
+  private[sources] def writerSchema(
+      options: CaseInsensitiveStringMap): (Schema, Seq[FileStatus]) = {
+    val path = options.get("path")
+    require(path != null, "avrograft source requires a path")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val files = listAvro(fs, p).sortBy(_.getPath.toString)
+    require(files.nonEmpty, s"no .avro files under $path")
+    val in = new FsInput(files.head.getPath, conf)
+    val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try (r.getSchema, files)
+    finally r.close()
+  }
+
+  private def listAvro(fs: FileSystem, p: HPath): Seq[FileStatus] = {
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq(st)
+    else fs.listStatus(p).toSeq.flatMap { c =>
+      if (c.isDirectory) listAvro(fs, c.getPath)
+      else if (c.getPath.getName.endsWith(".avro")) Seq(c)
+      else Nil
+    }
+  }
+
+  /** Unwrap `[null, T]` unions; null means "unsupported shape". */
+  private def unwrap(s: Schema): Option[(Schema, Boolean)] = s.getType match {
+    case Schema.Type.UNION =>
+      val ts = s.getTypes.asScala
+      if (ts.size == 2 && ts.exists(_.getType == Schema.Type.NULL))
+        ts.find(_.getType != Schema.Type.NULL).map((_, true))
+      else None
+    case _ => Some((s, false))
+  }
+
+  private def primToSpark(t: Schema.Type): Option[DataType] = t match {
+    case Schema.Type.LONG    => Some(LongType)
+    case Schema.Type.INT     => Some(IntegerType)
+    case Schema.Type.STRING  => Some(StringType)
+    case Schema.Type.DOUBLE  => Some(DoubleType)
+    case Schema.Type.FLOAT   => Some(FloatType)
+    case Schema.Type.BOOLEAN => Some(BooleanType)
+    case Schema.Type.BYTES   => Some(BinaryType)
+    case _                   => None
+  }
+
+  private[sources] def toSpark(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"avrograft supports flat record schemas, got ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (inner, nullable) = unwrap(f.schema()).getOrElse(
+        throw new IllegalArgumentException(
+          s"unsupported avro union for field ${f.name}: ${f.schema()}"))
+      val dt = primToSpark(inner.getType).getOrElse(
+        throw new IllegalArgumentException(
+          s"unsupported avro type for field ${f.name}: ${inner.getType}"))
+      StructField(f.name, dt, nullable)
+    })
+  }
+
+  /** Reader (projection) schema keeping only `names`, in writer-field
+    * order — Avro schema resolution then skips the dropped fields'
+    * bytes during decode.
+    */
+  private[sources] def project(writer: Schema, names: Seq[String]): Schema = {
+    val keep = names.toSet
+    val fields = writer.getFields.asScala.filter(f => keep(f.name)).map { f =>
+      new Schema.Field(f.name, f.schema, f.doc, f.defaultVal)
+    }
+    Schema.createRecord(writer.getName, writer.getDoc, writer.getNamespace,
+      false, fields.toList.asJava)
+  }
+}
+
+final class AvroTable(options: CaseInsensitiveStringMap, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"avrograft:${options.get("path")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(options, schema)
+}
+
+final class AvroScanBuilder(options: CaseInsensitiveStringMap, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Preserve writer-field order: Avro projection schemas must list
+    // fields in a resolution-compatible order.
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => keep(f.name)))
+  }
+
+  override def build(): Scan = new AvroScan(options, required)
+}
+
+final class AvroScan(options: CaseInsensitiveStringMap, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"avrograft ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (writer, files) = AvroSource.writerSchema(options)
+    val maxSplit = Option(options.get("maxSplitBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    files.flatMap { f =>
+      val len = f.getLen
+      val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
+      (0L until n).map { i =>
+        val start = i * maxSplit
+        val end = math.min(len, start + maxSplit)
+        AvroPartition(f.getPath.toString, start, end)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = HadoopConfSnapshot.capture(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new AvroReaderFactory(conf, required)
+  }
+}
+
+final case class AvroPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+final class AvroReaderFactory(conf: HadoopConfSnapshot, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[AvroPartition]
+    new AvroPartitionReader(conf, required, ap)
+  }
+}
+
+/** Reads records in [first sync ≥ start, first sync ≥ end) — each
+  * byte range yields a disjoint, exhaustive slice of the file's
+  * blocks (the Hadoop split protocol). Decodes only projected fields.
+  */
+final class AvroPartitionReader(
+    conf: HadoopConfSnapshot, required: StructType, part: AvroPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: DataFileReader[GenericRecord] = {
+    val in = new FsInput(new HPath(part.path), conf.conf)
+    val header = new DataFileReader[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    val writer = header.getSchema
+    header.close()
+    val projected = AvroSource.project(writer, required.fieldNames.toSeq)
+    val in2 = new FsInput(new HPath(part.path), conf.conf)
+    val r = new DataFileReader[GenericRecord](
+      in2, new GenericDatumReader[GenericRecord](writer, projected))
+    r.sync(part.start)
+    r
+  }
+  private var record: GenericRecord = _
+  private val converters: Array[AnyRef => Any] =
+    required.fields.map(f => AvroPartitionReader.converter(f.dataType))
+
+  override def next(): Boolean = {
+    if (reader.hasNext && !reader.pastSync(part.end)) {
+      record = reader.next(record)
+      true
+    } else false
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < vals.length) {
+      val v = record.get(required.fields(i).name)
+      vals(i) = if (v == null) null else converters(i)(v.asInstanceOf[AnyRef])
+      i += 1
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+object AvroPartitionReader {
+  private def converter(dt: DataType): AnyRef => Any = dt match {
+    case StringType => v => UTF8String.fromString(v.toString)
+    case BinaryType => v => {
+      val bb = v.asInstanceOf[java.nio.ByteBuffer]
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    }
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType =>
+      v => v
+    case other =>
+      throw new IllegalArgumentException(s"unsupported type $other")
+  }
+}

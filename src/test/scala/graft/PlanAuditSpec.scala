@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "e11_semdedup",       // 16 broadcast centroids × corpus scan
     "d21_dsir_weights",   // 1-row corpus-baseline broadcast
     "d22_bigram_fluency", // 1-row vocab-size + 1-row global-mean
-    "p10_curation_funnel" // d21's 1-row baseline inside the funnel
+    "p10_curation_funnel", // d21's 1-row baseline inside the funnel
+    "r78_triangle_count"  // three 1-row count aggregates combined
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-8 surface: the Avro container source (splits + pruning), the
+  * degree-oriented triangle count, and CDC merge semantics.
+  */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def stageAvro(n: Int, parts: Int): String = {
+    val dir = graft.util.TempDirs.create("avro_spec").toString
+    val df = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat(lit("l"), (col("id") % 3).cast("string")).as("lang"),
+        (col("id") * 7 % 1000).as("n_chars"))
+      .repartition(parts, col("doc_id"))
+    graft.sources.AvroFixture.write(df, dir, syncInterval = 512)
+    dir
+  }
+
+  test("avro roundtrip: schema inference + all rows back") {
+    val dir = stageAvro(500, 3)
+    val back = spark.read.format("avrograft").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(back.count() == 500)
+    val sums = back.agg(sum("doc_id"), sum("n_chars")).collect()(0)
+    assert(sums.getLong(0) == (0L until 500L).sum)
+    assert(sums.getLong(1) == (0L until 500L).map(_ * 7 % 1000).sum)
+  }
+
+  test("avro byte-range splits partition one file without dup/loss") {
+    val dir = stageAvro(2000, 1)
+    val whole = spark.read.format("avrograft").load(dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // tiny split size forces many byte ranges over the single file
+    val split = spark.read.format("avrograft")
+      .option("maxSplitBytes", "1024").load(dir)
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected multiple splits, got ${split.rdd.getNumPartitions}")
+    val rows = split.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == whole.toSeq)
+    assert(rows.length == 2000)
+  }
+
+  test("avro column pruning reaches the scan") {
+    val dir = stageAvro(100, 1)
+    val plan = spark.read.format("avrograft").load(dir)
+      .select("lang").queryExecution.executedPlan.toString
+    assert(plan.contains("avrograft ReadSchema: struct<lang:string>"),
+      s"pruned read schema not in scan:\n$plan")
+  }
+
+  test("r78 triangle count matches a brute-force reference") {
+    val row = graft.queries.Round8Queries.all
+      .find(_.name == "r78_triangle_count").get.run(spark, sf).collect()(0)
+    // brute force on the same graph, driver-side
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder: Map[Long, Seq[Long]] =
+      li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    val edges: Set[(Long, Long)] = byOrder.values.flatMap { ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var tri = 0L
+    for ((a, b) <- edges; c <- adj.getOrElse(b, Set.empty))
+      if (adj.getOrElse(a, Set.empty).contains(c)) tri += 1
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet.size
+    assert(row.getLong(0) == nodes.toLong, "n_nodes")
+    assert(row.getLong(1) == edges.size.toLong, "n_edges")
+    assert(row.getLong(2) == tri, s"n_triangles: got ${row.getLong(2)} want $tri")
+  }
+
+  test("r79 merge preserves row-count identity") {
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count()
+    val nUpd = orders.where(col("o_orderkey") % 10 === 0).count()
+    val nDel = orders.where(col("o_orderkey") % 10 =!= 0 &&
+      col("o_orderkey") % 97 === 3).count()
+    val nIns = orders.where(col("o_orderkey") % 53 === 7).count()
+    val out = graft.queries.Round8Queries.all
+      .find(_.name == "r79_merge_upsert").get.run(spark, sf).collect()
+    val mergedRows = out.map(_.getLong(1)).sum
+    assert(mergedRows == total - nDel + nIns,
+      s"merged $mergedRows vs ${total - nDel + nIns}")
+    val uRow = out.find(_.getString(0) == "U")
+    assert(uRow.exists(_.getLong(1) == nUpd), "updated rows keep status U")
+    val nRow = out.find(_.getString(0) == "N")
+    assert(nRow.exists(_.getLong(1) == nIns), "inserted rows have status N")
+  }
+}
