@@ -287,6 +287,7 @@ object Bench {
             knn += label -> ts.sum / ts.size
           }
           meanQ("knn_sq8_k10")(q => qidx.searchSq8(q, 10).collect())
+          meanQ("knn_int4_k10")(q => qidx.searchInt4(q, 10).collect())
           meanQ("knn_pq_k10")(q => qidx.searchPq(q, 10).collect())
           meanQ("knn_ivfpq_k10")(q => qidx.searchIvfPq(q, 10).collect())
           meanQ("knn_ivfpqr_k10")(q => qidx.searchIvfPqResidual(q, 10).collect())

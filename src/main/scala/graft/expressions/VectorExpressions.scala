@@ -195,6 +195,21 @@ object VecEval {
     new GenericArrayData(out)
   }
 
+  /** Truncate SQ8 codes (0–255 ints) to their top nibble and pack 16
+    * per long — the INT4 storage layout ([[VecNibblePack]]).
+    */
+  def nibblePack(a: ArrayData): GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long]((n + 15) >>> 4)
+    var i = 0
+    while (i < n) {
+      val nib = (a.getInt(i) >>> 4) & 0xF
+      out(i >>> 4) |= nib.toLong << ((i & 15) << 2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def lshBucket(a: ArrayData, matrix: Array[Array[Double]],
       numBuckets: Int, isFloat: Boolean): Int = {
     val n = a.numElements()
@@ -334,4 +349,91 @@ case class VecLshBucket(child: Expression, matrix: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): VecLshBucket =
     copy(child = c)
   override def prettyName: String = "vec_lsh_bucket"
+}
+
+/** Nibble-pack INT4 codes: input `array<int>` of SQ8 codes 0–255, each
+  * truncated to its top 4 bits (code >>> 4 — the standard int4
+  * truncation of an int8 scalar quantizer), 16 nibbles per output
+  * long. 4 bits/dim = 8× smaller than float32 at rest — double SQ8's
+  * coarse-scan byte advantage; two-stage search re-ranks exactly, so
+  * only the candidate cut coarsens.
+  */
+case class VecNibblePack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecEval.nibblePack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.VecEval.nibblePack($a)")
+
+  override protected def withNewChildInternal(c: Expression): VecNibblePack =
+    copy(child = c)
+  override def prettyName: String = "vec_nibble_pack"
+}
+
+/** Integer squared-L2 between two nibble-packed INT4 code arrays
+  * ([[VecNibblePack]] layout): Σ (aᵢ − bᵢ)² over 4-bit codes, unpacked
+  * 16 per long with shift/mask — no branching, whole-stage codegen.
+  * Same strict length rule as [[VecHamming64]]: a layout mismatch
+  * throws instead of returning a plausible distance. Trailing nibbles
+  * beyond the dimension are zero on both sides and contribute nothing.
+  */
+case class VecNibbleL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) VecEval.hammingLenMismatch(n, b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      var s = 0
+      while (s < 64) {
+        val d = ((x >>> s) & 0xFL).toInt - ((y >>> s) & 0xFL).toInt
+        acc += d * d
+        s += 4
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  graft.expressions.VecEval.hammingLenMismatch($n, $b.numElements());
+         |}
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($i);
+         |  for (int $s = 0; $s < 64; $s += 4) {
+         |    int $d = (int) (($x >>> $s) & 0xFL) - (int) (($y >>> $s) & 0xFL);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecNibbleL2 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_nibble_l2"
 }

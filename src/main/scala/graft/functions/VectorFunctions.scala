@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  import graft.expressions.{VecDot, VecHamming64, VecL2Normalize, VecL2Sq, VecNorm, VecSignPack}
+  import graft.expressions.{VecDot, VecHamming64, VecL2Normalize, VecL2Sq, VecNibbleL2, VecNibblePack, VecNorm, VecSignPack}
   import org.apache.spark.sql.graft.ColumnBridge
 
   private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
@@ -58,6 +58,13 @@ object VectorFunctions {
   def hamming64(a: Column, b: Column): Column =
     toCol(VecHamming64(ex(a), ex(b)))
 
+  /** INT4 nibble-pack of SQ8 codes (array<int> → array<long>). */
+  def nibblePack(codes: Column): Column = toCol(VecNibblePack(ex(codes)))
+
+  /** Integer squared-L2 between two nibble-packed INT4 code arrays. */
+  def nibbleL2(a: Column, b: Column): Column =
+    toCol(VecNibbleL2(ex(a), ex(b)))
+
   /** Dot product against a constant query vector. */
   def dotLit(a: Column, q: Array[Double]): Column =
     dot(a, typedLit(q))
@@ -82,6 +89,20 @@ object VectorFunctions {
   }
 
   def normS(a: Array[Double]): Double = math.sqrt(dotS(a, a))
+
+  /** Driver-side mirror of [[nibblePack]] (query INT4 code prep):
+    * pack the top nibbles of SQ8 codes, 16 per long.
+    */
+  def nibblePackS(codes: Array[Long]): Array[Long] = {
+    val out = new Array[Long]((codes.length + 15) >>> 4)
+    var i = 0
+    while (i < codes.length) {
+      val nib = (codes(i) >>> 4) & 0xFL
+      out(i >>> 4) |= nib << ((i & 15) << 2)
+      i += 1
+    }
+    out
+  }
 
   /** Driver-side mirror of [[signPack]] (query-signature prep). */
   def signPackS(a: Array[Double]): Array[Long] = {

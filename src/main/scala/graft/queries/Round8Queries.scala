@@ -55,6 +55,54 @@ object Round8Queries {
           |FROM documents WHERE doc_id < 2000
           |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // E16 — INT4 two-stage search over the persisted QuantIndex: the
+    // stored `i4` column holds each SQ8 code's top nibble, 16 per
+    // long — 4 bits/dim, 8× fewer bytes than float32 in the coarse
+    // scan (vs SQ8's 4×). Coarse top-100 by exact INTEGER nibble
+    // distance (engine-exact — the oracle recomputes codes>>4 in
+    // SQL), then the bounded exact float re-rank. The tier between
+    // sq8 (e6) and 1-bit bitq (e13) in the bytes/recall trade.
+    Q("e16_int4_search",
+      (s, d) => {
+        val idx = QuantCache.forDir(s, d)
+        val q = VectorQueries.qvec(s, d, 0)
+        idx.searchInt4(q, 10)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id"))
+      },
+      Some(s"""WITH st AS (
+           |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+           |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY i),
+           |scl AS (
+           |  SELECT list(mn ORDER BY i) AS mns,
+           |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+           |              ELSE 0.0 END ORDER BY i) AS ss
+           |  FROM st),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |qc AS (
+           |  SELECT list_transform(range(1, 65), i ->
+           |    CAST(round((CAST(qe[i] AS DOUBLE) - mns[i]) * ss[i])
+           |         AS BIGINT) // 16) AS c
+           |  FROM q, scl),
+           |codes AS (
+           |  SELECT vec_id, list_transform(range(1, 65), i ->
+           |    CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * ss[i])
+           |         AS BIGINT) // 16) AS c
+           |  FROM embeddings, scl),
+           |cand AS (
+           |  SELECT codes.vec_id,
+           |    list_sum(list_transform(range(1, 65), i ->
+           |      (codes.c[i] - qc.c[i]) * (codes.c[i] - qc.c[i]))) AS qd
+           |  FROM codes, qc
+           |  ORDER BY qd, vec_id LIMIT 100)
+           |SELECT e.vec_id,
+           |  round(${graft.functions.DuckSql.l2sq("e.embedding", "q.qe")}, 6)
+           |    AS dist
+           |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
+           |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin)),
+
     // R78 — triangle counting on the part co-purchase graph (parts
     // appearing in the same order are linked). The scale pattern is
     // DEGREE ORIENTATION: each undirected edge is directed from its

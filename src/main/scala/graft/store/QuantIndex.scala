@@ -68,6 +68,21 @@ final class QuantIndex(
         model.pqAdcCol(col("pq"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
 
+  /** (id, cell, adc) coarse candidates by integer INT4 code distance —
+    * the 8×-compression tier between SQ8 (4×) and BQ (32×): the scan
+    * reads (id, i4), 4 bits/dim, and the distance is shift/mask
+    * integer math over top-nibble codes — still engine-exact.
+    */
+  def coarseInt4(q: Array[Double], n: Int): DataFrame = {
+    require(indexDf.columns.contains("i4"),
+      s"$path lacks the 'i4' column — index built by an older graft " +
+        "version; rebuild it with QuantIndex.build")
+    indexDf.select(col("id"), col("cell"),
+        VF.nibbleL2(col("i4"),
+          typedLit(VF.nibblePackS(model.sq8Encode(q)))).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(n)
+  }
+
   /** (id, cell, ham) coarse candidates by Hamming distance over the stored
     * 1-bit sign signatures — the cheapest tier: the scan reads
     * (id, sig), 1/32 of the vector bytes, and the distance is one
@@ -129,6 +144,12 @@ final class QuantIndex(
     */
   def searchBitq(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
     rerank(coarseBitq(q, coarseN), q, k)
+
+  /** INT4 two-stage search: coarse by stored nibble codes, exact
+    * re-rank.
+    */
+  def searchInt4(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
+    rerank(coarseInt4(q, coarseN), q, k)
 
   /** (id, adc) coarse candidates by PQ asymmetric distance WITHIN the
     * `nprobe` IVF cells nearest the query — the FAISS IVFPQ layout:
@@ -300,16 +321,19 @@ final class QuantIndex(
 
 object QuantIndex {
 
-  /** (id, embedding, sq8, pq, sig, pqr, cell) from raw (id, embedding)
-    * rows. `sig` is the 1-bit sign signature (binary quantization,
-    * 32× smaller than float32) — parameterless, so it needs nothing
-    * from the trained model. `pqr` is the residual-PQ code against the
-    * row's coarse cell (the FAISS IVFPQ encoding).
+  /** (id, embedding, sq8, i4, pq, sig, pqr, cell) from raw
+    * (id, embedding) rows. `sig` is the 1-bit sign signature (binary
+    * quantization, 32× smaller than float32) — parameterless, so it
+    * needs nothing from the trained model. `i4` is the nibble-packed
+    * top-4-bits truncation of the SQ8 codes (8× smaller than float32).
+    * `pqr` is the residual-PQ code against the row's coarse cell (the
+    * FAISS IVFPQ encoding).
     */
   private def encode(df: DataFrame, model: QuantModel,
                      idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
       .withColumn("sq8", model.sq8Col(col("embedding")))
+      .withColumn("i4", VF.nibblePack(col("sq8")))
       .withColumn("pq", model.pqCol(col("embedding")))
       .withColumn("sig", VF.signPack(col("embedding")))
       .withColumn("cell", model.ivfCellCol(col("embedding")))

@@ -31,7 +31,7 @@ class QuantIndexSpec extends AnyFunSuite {
 
   test("build persists codes + cell partitions; reopen round-trips the model") {
     assert(idx.indexDf.columns.toSet ==
-      Set("id", "embedding", "sq8", "pq", "sig", "pqr", "cell"))
+      Set("id", "embedding", "sq8", "i4", "pq", "sig", "pqr", "cell"))
     assert(idx.indexDf.count() == 500)
     val cells = new java.io.File(idx.path).listFiles
       .count(_.getName.startsWith("cell="))
@@ -73,6 +73,7 @@ class QuantIndexSpec extends AnyFunSuite {
 
   test("coarse scans read ONLY the code columns, never the embeddings") {
     assert(readFields(idx.coarseSq8(q, 100)) == Set("id", "sq8"))
+    assert(readFields(idx.coarseInt4(q, 100)) == Set("id", "i4"))
     assert(readFields(idx.coarsePq(q, 100)) == Set("id", "pq"))
   }
 
@@ -179,6 +180,7 @@ class QuantIndexSpec extends AnyFunSuite {
         .select(col("vec_id").as("id"), col("embedding")), q, 10)
       .collect().map(_.getLong(0)).toSet
     for ((name, df) <- Seq("sq8" -> idx.searchSq8(q, 10),
+                           "int4" -> idx.searchInt4(q, 10),
                            "pq" -> idx.searchPq(q, 10))) {
       val got = df.collect().map(_.getLong(0))
       assert(got.length == 10)

@@ -75,6 +75,35 @@ class Round8Spec extends AnyFunSuite {
     assert(row.getLong(2) == tri, s"n_triangles: got ${row.getLong(2)} want $tri")
   }
 
+  test("int4 nibble pack and distance match driver-side math") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val codes = Seq.fill(20)(Array.fill(37)(rnd.nextInt(256)))
+    val df = codes.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("i", "sq8")
+    val packed = df.select(col("i"),
+        graft.functions.VectorFunctions.nibblePack(col("sq8")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    codes.zipWithIndex.foreach { case (c, i) =>
+      val want = graft.functions.VectorFunctions
+        .nibblePackS(c.map(_.toLong))
+      assert(packed(i).toSeq == want.toSeq, s"row $i pack mismatch")
+    }
+    // distance: expression result == brute-force over top nibbles
+    val qp = graft.functions.VectorFunctions
+      .nibblePackS(codes.head.map(_.toLong))
+    val got = df.select(col("i"),
+        graft.functions.VectorFunctions.nibbleL2(
+          graft.functions.VectorFunctions.nibblePack(col("sq8")),
+          typedLit(qp.toSeq)).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    codes.zipWithIndex.foreach { case (c, i) =>
+      val want = c.zip(codes.head)
+        .map { case (a, b) => val d = (a >> 4) - (b >> 4); d * d }.sum
+      assert(got(i) == want, s"row $i dist ${got(i)} != $want")
+    }
+  }
+
   test("r79 merge preserves row-count identity") {
     val orders = Tables.orders(spark, sf)
     val total = orders.count()
