@@ -55,6 +55,56 @@ object Round8Queries {
           |FROM documents WHERE doc_id < 2000
           |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // S23 — streaming Avro ingest: the avrograft source's micro-batch
+    // form (file-list offsets, the NPZ-source convention). Two
+    // staged drops of container files; processAllAvailable between
+    // them proves incremental pickup — each micro-batch reads ONLY
+    // the files that appeared since the last offset. Oracle: the
+    // same per-language aggregate over the parquet documents table.
+    Q("s23_stream_avro_ingest",
+      (s, d) => {
+        val avroDir = graft.util.TempDirs.create("graft_s23_avro").toString
+        val outDir = graft.util.TempDirs.create("graft_s23_out").toString
+        val ckpt = graft.util.TempDirs.create("graft_s23_ckpt").toString
+        val docs = Tables.documents(s, d)
+          .where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.sources.AvroFixture.write(
+          docs.where(col("doc_id") % 2 === 0).repartition(2, col("doc_id")),
+          avroDir)
+        val q = s.readStream.format("avrograft").load(avroDir)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        // Stage the second drop in a scratch subdir (the writer names
+        // files per partition id, which would collide with the first
+        // drop's), then move them into the watched root.
+        graft.sources.AvroFixture.write(
+          docs.where(col("doc_id") % 2 === 1).repartition(2, col("doc_id")),
+          avroDir + "/late")
+        val fs = new org.apache.hadoop.fs.Path(avroDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val lateDir = new org.apache.hadoop.fs.Path(avroDir + "/late")
+        if (fs.exists(lateDir)) fs.listStatus(lateDir).foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+            avroDir, "late-" + st.getPath.getName))
+        }
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(outDir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE doc_id < 2000
+          |GROUP BY lang ORDER BY lang""".stripMargin),
+      streaming = true),
+
     // E16 — INT4 two-stage search over the persisted QuantIndex: the
     // stored `i4` column holds each SQ8 code's top nibble, 16 per
     // long — 4 bits/dim, 8× fewer bytes than float32 in the coarse

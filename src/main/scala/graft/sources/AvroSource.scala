@@ -139,7 +139,7 @@ final class AvroTable(options: CaseInsensitiveStringMap, schema: StructType)
   override def name(): String = s"avrograft:${options.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(options, schema)
 }
@@ -185,6 +185,68 @@ final class AvroScan(options: CaseInsensitiveStringMap, required: StructType)
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     new AvroReaderFactory(conf, required)
   }
+
+  /** Streaming form: file-list offsets (the NPZ-source convention) —
+    * each micro-batch reads exactly the container files that appeared
+    * since the last offset, whole-file per partition.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val conf = HadoopConfSnapshot.capture(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new AvroMicroBatchStream(options.get("path"), required, conf)
+  }
+}
+
+final class AvroMicroBatchStream(
+    path: String, required: StructType, snap: HadoopConfSnapshot)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var seen: Set[String] = Set.empty
+
+  private def list(): Seq[(String, Long)] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(snap.conf)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  override def initialOffset(): Offset = NpzOffset(Nil)
+
+  override def latestOffset(): Offset = {
+    seen = seen ++ list().map(_._1)
+    NpzOffset(seen.toSeq.sorted)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    NpzOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val prev = start.asInstanceOf[NpzOffset].files.toSet
+    val lens = list().toMap
+    // end = the file's byte length, NOT Long.MaxValue: Avro's
+    // pastSync(pos) computes pos + SYNC_SIZE, which overflows on
+    // MaxValue and reads as "already past" (zero rows).
+    end.asInstanceOf[NpzOffset].files.filterNot(prev)
+      .map { f =>
+        val len = lens.getOrElse(f,
+          new HPath(f).getFileSystem(snap.conf)
+            .getFileStatus(new HPath(f)).getLen)
+        AvroPartition(f, 0L, len): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(snap, required)
+
+  override def commit(end: Offset): Unit =
+    seen = seen ++ end.asInstanceOf[NpzOffset].files
+
+  override def stop(): Unit = ()
 }
 
 final case class AvroPartition(path: String, start: Long, end: Long)

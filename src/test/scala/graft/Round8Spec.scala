@@ -75,6 +75,17 @@ class Round8Spec extends AnyFunSuite {
     assert(row.getLong(2) == tri, s"n_triangles: got ${row.getLong(2)} want $tri")
   }
 
+  test("s23 streaming avro ingest picks up late files incrementally") {
+    val row = graft.queries.Round8Queries.all
+      .find(_.name == "s23_stream_avro_ingest").get.run(spark, sf)
+      .agg(sum("n_docs"), sum("sum_chars")).collect()(0)
+    val want = Tables.documents(spark, sf)
+      .where(col("doc_id") < 2000)
+      .agg(count(lit(1)), sum("n_chars")).collect()(0)
+    assert(row.getLong(0) == want.getLong(0), "doc count")
+    assert(row.getLong(1) == want.getLong(1), "char sum")
+  }
+
   test("int4 nibble pack and distance match driver-side math") {
     import spark.implicits._
     val rnd = new scala.util.Random(11L)
