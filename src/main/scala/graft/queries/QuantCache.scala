@@ -264,6 +264,14 @@ object QuantCache {
        |         ELSE m[i] + round((CAST(e.embedding[i] AS DOUBLE) - m[i])
        |                           * sc[i], 0) / sc[i] END) AS dec
        |  FROM embeddings e, mn),
+       |i4d AS (
+       |  SELECT e.vec_id, list_transform(range(1, ${dim + 1}), i ->
+       |    CASE WHEN sc[i] = 0 THEN m[i]
+       |         ELSE m[i] +
+       |           ((CAST(round((CAST(e.embedding[i] AS DOUBLE) - m[i])
+       |                        * sc[i], 0) AS BIGINT) // 16) * 16 + 7.5)
+       |           / sc[i] END) AS dec
+       |  FROM embeddings e, mn),
        |pqc AS (
        |  SELECT vec_id, list_transform(dl, dj ->
        |    list_position(dj, list_min(dj))) AS c
@@ -306,6 +314,9 @@ object QuantCache {
        |FROM (
        |  SELECT 'sq8' AS tier, ${errU("s.dec")} AS eu
        |  FROM embeddings e JOIN sq8d s ON e.vec_id = s.vec_id
+       |  UNION ALL
+       |  SELECT 'i4', ${errU("s.dec")}
+       |  FROM embeddings e JOIN i4d s ON e.vec_id = s.vec_id
        |  UNION ALL
        |  SELECT 'pq', ${errU("p.dec")}
        |  FROM embeddings e JOIN pqd p ON e.vec_id = p.vec_id

@@ -494,12 +494,14 @@ object Round6cQueries {
         idx.indexDf
           .select(
             errU(m.sq8DecodeCol(col("sq8"))).as("e_sq8"),
+            errU(m.int4DecodeCol(col("sq8"))).as("e_i4"),
             errU(m.pqDecodeCol(col("pq"))).as("e_pq"),
             errU(m.pqrDecodeCol(col("pqr"), col("cell"))).as("e_pqr"))
           .agg(sum("e_sq8").as("s1"), sum("e_pq").as("s2"),
-            sum("e_pqr").as("s3"), count(lit(1)).as("n"))
-          .selectExpr("stack(3, 'pq', s2 div n, 'pqr', s3 div n, " +
-            "'sq8', s1 div n) as (tier, mean_err_u)")
+            sum("e_pqr").as("s3"), sum("e_i4").as("s4"),
+            count(lit(1)).as("n"))
+          .selectExpr("stack(4, 'i4', s4 div n, 'pq', s2 div n, " +
+            "'pqr', s3 div n, 'sq8', s1 div n) as (tier, mean_err_u)")
           .orderBy("tier")
       },
       None,

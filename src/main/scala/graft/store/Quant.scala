@@ -116,6 +116,23 @@ final class QuantModel(
     })
   }
 
+  /** INT4 reconstruction from the stored SQ8 codes: the `i4` column is
+    * BY CONSTRUCTION the top nibble of each SQ8 code (VecNibblePack,
+    * pinned in Round8Spec), so decoding `sq8 >> 4` audits exactly what
+    * the int4 tier sees — the bucket [16·b, 16·b+15] decodes to its
+    * midpoint mn + (16·b + 7.5)/scale (constant dims to their min).
+    */
+  def int4DecodeCol(sq8Codes: Column): Column = {
+    val mnsL = typedlit(mins.toSeq)
+    val ssL = typedlit(scales.toSeq)
+    transform(sq8Codes, (c, i) => {
+      val mn = element_at(mnsL, i + 1)
+      val sc = element_at(ssL, i + 1)
+      when(sc === 0.0, mn).otherwise(
+        mn + (shiftright(c.cast("int"), 4).cast("double") * 16.0 + 7.5) / sc)
+    })
+  }
+
   /** Inverse of [[pqCol]]: the concatenation of each subspace's coded
     * centroid — the quantized approximation PQ search actually "sees".
     */

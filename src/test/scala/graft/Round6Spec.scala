@@ -290,16 +290,19 @@ class Round6Spec extends AnyFunSuite {
     assert(agree > 0.7, s"distilled scorer agrees only $agree with d20")
   }
 
-  test("e15 reconstruction error ranks the tiers: sq8 < pqr < pq") {
+  test("e15 reconstruction error ranks the tiers: sq8 < i4, sq8 < pqr < pq") {
     val errs = run("e15_quant_error").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(errs.keySet == Set("sq8", "pq", "pqr"))
+    assert(errs.keySet == Set("sq8", "i4", "pq", "pqr"))
     assert(errs.values.forall(_ > 0), s"degenerate zero error: $errs")
     // 8 bits/dim beats 0.5 bits/dim handily
     assert(errs("sq8") < errs("pqr"), errs.toString)
     // the audit's reason to exist: residual coding beats raw PQ at
     // identical bytes
     assert(errs("pqr") < errs("pq"), errs.toString)
+    // dropping 4 bits/dim must cost accuracy: int4 sits strictly
+    // above sq8
+    assert(errs("sq8") < errs("i4"), errs.toString)
   }
 
   test("s21 streamed quant ingest reproduces the exact full-corpus " +
