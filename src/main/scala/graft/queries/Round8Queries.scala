@@ -165,7 +165,12 @@ object Round8Queries {
     // point inward). Three hash joins, no driver state.
     Q("r78_triangle_count",
       (s, d) => {
+        // One co-purchase year: keeps the graph sparse (orders, not
+        // the whole history, define affinity) and the bench cost flat
+        // across sf — the full-history graph at sf0.1 is 1.2M edges /
+        // 1.9M triangles and join-bound in ANY engine.
         val li = Tables.lineitem(s, d)
+          .where(to_date(col("l_shipdate")).between("1995-01-01", "1995-12-31"))
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
         val a = li.select(col("ok"), col("pk").as("u"))
@@ -197,7 +202,9 @@ object Round8Queries {
           .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
       },
       Some("""WITH li AS (
-          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+          |  WHERE CAST(l_shipdate AS DATE)
+          |    BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
           |edges AS (
           |  SELECT DISTINCT a.pk AS u, b.pk AS v
           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),

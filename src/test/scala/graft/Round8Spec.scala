@@ -58,6 +58,7 @@ class Round8Spec extends AnyFunSuite {
       .find(_.name == "r78_triangle_count").get.run(spark, sf).collect()(0)
     // brute force on the same graph, driver-side
     val li = Tables.lineitem(spark, sf)
+      .where(to_date(col("l_shipdate")).between("1995-01-01", "1995-12-31"))
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val byOrder: Map[Long, Seq[Long]] =
