@@ -24,22 +24,22 @@ object Round8Queries {
       d: String): String =
     avroStaged.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       val dir = graft.util.TempDirs.create("graft_x24").toString
-      graft.sources.AvroFixture.write(
-        Tables.documents(s, d).where(col("doc_id") < 2000)
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-          .repartition(4, col("doc_id")),
-        dir)
+      Tables.documents(s, d).where(col("doc_id") < 2000)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(4, col("doc_id"))
+        .write.format("avrograft").option("syncInterval", "2048")
+        .mode("append").save(dir)
       dir
     })
 
   val all: Seq[Q] = Seq(
 
-    // X24 — Avro Object Container source: stage the fixture with the
-    // distributed FileSystem-API writer, read it back through the
-    // hand-rolled DSv2 source (sync-marker byte-range splits, reader-
-    // schema column pruning — this query decodes only (lang, n_chars),
-    // never doc_id), aggregate per language. Oracle recomputes from
-    // the parquet documents table.
+    // X24 — Avro Object Container source: stage the fixture through
+    // the DSv2 SINK (one container per task, tmp+rename commit), read
+    // it back through the source (sync-marker byte-range splits,
+    // reader-schema column pruning — this query decodes only
+    // (lang, n_chars), never doc_id), aggregate per language. Oracle
+    // recomputes from the parquet documents table.
     Q("x24_avro_source",
       (s, d) => {
         val dir = x24Stage(s, d)
@@ -69,28 +69,18 @@ object Round8Queries {
         val docs = Tables.documents(s, d)
           .where(col("doc_id") < 2000)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-        graft.sources.AvroFixture.write(
-          docs.where(col("doc_id") % 2 === 0).repartition(2, col("doc_id")),
-          avroDir)
+        docs.where(col("doc_id") % 2 === 0).repartition(2, col("doc_id"))
+          .write.format("avrograft").mode("append").save(avroDir)
         val q = s.readStream.format("avrograft").load(avroDir)
           .writeStream.format("parquet")
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .start()
         q.processAllAvailable()
-        // Stage the second drop in a scratch subdir (the writer names
-        // files per partition id, which would collide with the first
-        // drop's), then move them into the watched root.
-        graft.sources.AvroFixture.write(
-          docs.where(col("doc_id") % 2 === 1).repartition(2, col("doc_id")),
-          avroDir + "/late")
-        val fs = new org.apache.hadoop.fs.Path(avroDir)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val lateDir = new org.apache.hadoop.fs.Path(avroDir + "/late")
-        if (fs.exists(lateDir)) fs.listStatus(lateDir).foreach { st =>
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
-            avroDir, "late-" + st.getPath.getName))
-        }
+        // Second drop appends directly: sink file names carry the
+        // session-unique task id, so successive appends never collide.
+        docs.where(col("doc_id") % 2 === 1).repartition(2, col("doc_id"))
+          .write.format("avrograft").mode("append").save(avroDir)
         q.processAllAvailable()
         q.stop()
         s.read.parquet(outDir)

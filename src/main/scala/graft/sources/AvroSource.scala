@@ -43,6 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
 class AvroSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "avrograft"
 
+  // Write path: the DataFrame's own schema defines the container
+  // schema (no files to infer from on a fresh sink dir).
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (schema, _) = AvroSource.writerSchema(options)
     AvroSource.toSpark(schema)
@@ -132,16 +136,177 @@ object AvroSource {
     Schema.createRecord(writer.getName, writer.getDoc, writer.getNamespace,
       false, fields.toList.asJava)
   }
+
+  /** Spark → Avro schema (inverse of [[toSpark]]): flat primitives,
+    * nullable columns become `[null, T]` unions. Fails loudly on
+    * anything the reader could not round-trip.
+    */
+  private[sources] def toAvro(schema: StructType): Schema = {
+    def prim(dt: DataType): Schema = dt match {
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case other => throw new IllegalArgumentException(
+        s"avrograft sink supports flat primitive columns, got $other")
+    }
+    val fields = schema.fields.map { f =>
+      val s =
+        if (f.nullable)
+          Schema.createUnion(util.Arrays.asList(
+            Schema.create(Schema.Type.NULL), prim(f.dataType)))
+        else prim(f.dataType)
+      new Schema.Field(f.name, s, null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord("row", null, "graft", false,
+      util.Arrays.asList(fields: _*))
+  }
 }
 
 final class AvroTable(options: CaseInsensitiveStringMap, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"avrograft:${options.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(options, schema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val syncInterval = Option(options.get("syncInterval"))
+      .map(_.toInt).getOrElse(1 << 16)
+    new AvroWriteBuilder(options.get("path"), info.schema(), syncInterval,
+      HadoopConfSnapshot.capture(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+// ---------------------------------------------------------------- write
+
+/** Batch sink: one container file per non-empty task, committed via
+  * hidden-tmp + rename (task-atomic, the NPZ-sink convention).
+  * Overwrite deletes prior *.avro files; append relies on the
+  * `part-<partition>-<task>` name carrying the session-unique task id
+  * so successive appends never collide.
+  */
+final class AvroWriteBuilder(
+    dir: String, schema: StructType, syncInterval: Int,
+    snap: HadoopConfSnapshot)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write._
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(dir, schema, syncInterval, doTruncate, snap)
+  }
+}
+
+final case class AvroCommitMessage(file: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class AvroBatchWrite(
+    dir: String, schema: StructType, syncInterval: Int,
+    truncate: Boolean, snap: HadoopConfSnapshot)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(snap.conf)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    if (truncate)
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".avro"))
+          fs.delete(st.getPath, false)
+      }
+    new AvroWriterFactory(dir, schema, syncInterval, snap)
+  }
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+}
+
+final class AvroWriterFactory(
+    dir: String, schema: StructType, syncInterval: Int,
+    snap: HadoopConfSnapshot)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new AvroDataWriter(dir, schema, syncInterval, partitionId, taskId, snap)
+}
+
+final class AvroDataWriter(
+    dir: String, schema: StructType, syncInterval: Int,
+    partitionId: Int, taskId: Long, snap: HadoopConfSnapshot)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.avro.generic.GenericData
+
+  private val avroSchema = AvroSource.toAvro(schema)
+  private val name = f"part-$partitionId%05d-$taskId.avro"
+  private val fs = new HPath(dir).getFileSystem(snap.conf)
+  private val tmp = new HPath(dir, s".$name.tmp")
+  private var rows = 0L
+  private var writer: org.apache.avro.file.DataFileWriter[GenericRecord] = _
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) {
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema))
+      w.setSyncInterval(syncInterval)
+      w.create(avroSchema, fs.create(tmp, true))
+      writer = w
+    }
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < schema.length) {
+      val v: AnyRef =
+        if (record.isNullAt(i)) {
+          require(schema.fields(i).nullable,
+            s"null in non-nullable column ${schema.fields(i).name}")
+          null
+        } else schema.fields(i).dataType match {
+          case LongType    => java.lang.Long.valueOf(record.getLong(i))
+          case IntegerType => Integer.valueOf(record.getInt(i))
+          case StringType  => record.getUTF8String(i).toString
+          case DoubleType  => java.lang.Double.valueOf(record.getDouble(i))
+          case FloatType   => java.lang.Float.valueOf(record.getFloat(i))
+          case BooleanType => java.lang.Boolean.valueOf(record.getBoolean(i))
+          case BinaryType  => java.nio.ByteBuffer.wrap(record.getBinary(i))
+          case other => throw new IllegalArgumentException(s"unsupported $other")
+        }
+      rec.put(i, v)
+      i += 1
+    }
+    writer.append(rec)
+    rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer == null) return AvroCommitMessage(null, 0L)
+    writer.close()
+    val dst = new HPath(dir, name)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    AvroCommitMessage(dst.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 final class AvroScanBuilder(options: CaseInsensitiveStringMap, full: StructType)

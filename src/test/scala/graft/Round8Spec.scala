@@ -12,12 +12,13 @@ class Round8Spec extends AnyFunSuite {
 
   private def stageAvro(n: Int, parts: Int): String = {
     val dir = graft.util.TempDirs.create("avro_spec").toString
-    val df = spark.range(n.toLong)
+    spark.range(n.toLong)
       .select(col("id").as("doc_id"),
         concat(lit("l"), (col("id") % 3).cast("string")).as("lang"),
         (col("id") * 7 % 1000).as("n_chars"))
       .repartition(parts, col("doc_id"))
-    graft.sources.AvroFixture.write(df, dir, syncInterval = 512)
+      .write.format("avrograft").option("syncInterval", "512")
+      .mode("append").save(dir)
     dir
   }
 
@@ -51,6 +52,29 @@ class Round8Spec extends AnyFunSuite {
       .select("lang").queryExecution.executedPlan.toString
     assert(plan.contains("avrograft ReadSchema: struct<lang:string>"),
       s"pruned read schema not in scan:\n$plan")
+  }
+
+  test("avro sink: overwrite truncates, append accumulates, " +
+    "nulls and wide types round-trip") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("avro_sink_spec").toString
+    val df = Seq(
+      (1L, Some("a"), 1.5, 2.5f, true, Some(Array[Byte](1, 2))),
+      (2L, None, -0.25, 0f, false, None))
+      .toDF("id", "s", "d", "f", "b", "bin")
+    df.write.format("avrograft").mode("append").save(dir)
+    df.write.format("avrograft").mode("append").save(dir)
+    assert(spark.read.format("avrograft").load(dir).count() == 4,
+      "append accumulates")
+    df.write.format("avrograft").mode("overwrite").save(dir)
+    val back = spark.read.format("avrograft").load(dir)
+      .orderBy("id").collect()
+    assert(back.length == 2, "overwrite truncates")
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "a")
+    assert(back(0).getDouble(2) == 1.5 && back(0).getFloat(3) == 2.5f)
+    assert(back(0).getBoolean(4))
+    assert(back(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](1, 2))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(5), "nulls survive")
   }
 
   test("r78 triangle count matches a brute-force reference") {
