@@ -143,6 +143,28 @@ object Round8Queries {
            |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
            |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin)),
 
+    // P14 — the Avro migration capstone (p9's shape for the second
+    // interchange format): embeddings exported as Avro containers
+    // (array<float> columns — the common embedding-export layout) →
+    // read back through the avrograft source → exact kNN. Oracle is
+    // v1's brute-force kNN: the round-trip must be byte-lossless.
+    Q("p14_avro_ingest_search",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_p14_avro").toString
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .repartition(3)
+          .write.format("avrograft").mode("overwrite").save(dir)
+        val emb = s.read.format("avrograft").load(dir)
+        val q = VectorQueries.qvec(s, d, 0)
+        emb.select(col("vec_id"),
+            graft.functions.VectorFunctions.l2sqLit(col("embedding"), q)
+              .as("dd"))
+          .orderBy(col("dd"), col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("dd"), 6).as("dist"))
+      },
+      Some(VectorQueries.knnOracle(10))),
+
     // R78 — triangle counting on the part co-purchase graph (parts
     // appearing in the same order are linked). The scale pattern is
     // DEGREE ORIENTATION: each undirected edge is directed from its

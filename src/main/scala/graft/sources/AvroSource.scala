@@ -36,9 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    deserializes `text`-sized fields.
   *
   * Supported field types: long, int, string, double, float, boolean,
-  * bytes, each optionally as the nullable `[null, T]` union. Anything
-  * else fails loudly at schema inference — a silent coercion would
-  * corrupt data.
+  * bytes, arrays of those (the embedding-export layout), each
+  * optionally as the nullable `[null, T]` union. Anything else fails
+  * loudly at schema inference — a silent coercion would corrupt data.
+  * The matching DSv2 sink ([[AvroWriteBuilder]]) maps a DataFrame
+  * schema back to the same shapes.
   */
 class AvroSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "avrograft"
@@ -110,6 +112,13 @@ object AvroSource {
     case _                   => None
   }
 
+  private def anyToSpark(sch: Schema): Option[DataType] = sch.getType match {
+    case Schema.Type.ARRAY =>
+      primToSpark(sch.getElementType.getType)
+        .map(et => ArrayType(et, containsNull = false))
+    case t => primToSpark(t)
+  }
+
   private[sources] def toSpark(schema: Schema): StructType = {
     require(schema.getType == Schema.Type.RECORD,
       s"avrograft supports flat record schemas, got ${schema.getType}")
@@ -117,7 +126,7 @@ object AvroSource {
       val (inner, nullable) = unwrap(f.schema()).getOrElse(
         throw new IllegalArgumentException(
           s"unsupported avro union for field ${f.name}: ${f.schema()}"))
-      val dt = primToSpark(inner.getType).getOrElse(
+      val dt = anyToSpark(inner).getOrElse(
         throw new IllegalArgumentException(
           s"unsupported avro type for field ${f.name}: ${inner.getType}"))
       StructField(f.name, dt, nullable)
@@ -150,8 +159,10 @@ object AvroSource {
       case FloatType   => Schema.create(Schema.Type.FLOAT)
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case ArrayType(et, _) => Schema.createArray(prim(et))
       case other => throw new IllegalArgumentException(
-        s"avrograft sink supports flat primitive columns, got $other")
+        s"avrograft sink supports primitive and array-of-primitive " +
+          s"columns, got $other")
     }
     val fields = schema.fields.map { f =>
       val s =
@@ -276,16 +287,8 @@ final class AvroDataWriter(
           require(schema.fields(i).nullable,
             s"null in non-nullable column ${schema.fields(i).name}")
           null
-        } else schema.fields(i).dataType match {
-          case LongType    => java.lang.Long.valueOf(record.getLong(i))
-          case IntegerType => Integer.valueOf(record.getInt(i))
-          case StringType  => record.getUTF8String(i).toString
-          case DoubleType  => java.lang.Double.valueOf(record.getDouble(i))
-          case FloatType   => java.lang.Float.valueOf(record.getFloat(i))
-          case BooleanType => java.lang.Boolean.valueOf(record.getBoolean(i))
-          case BinaryType  => java.nio.ByteBuffer.wrap(record.getBinary(i))
-          case other => throw new IllegalArgumentException(s"unsupported $other")
-        }
+        } else AvroDataWriter.toAvroValue(
+          schema.fields(i).dataType, record, i)
       rec.put(i, v)
       i += 1
     }
@@ -307,6 +310,45 @@ final class AvroDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+object AvroDataWriter {
+  /** One top-level column of an InternalRow as the boxed value Avro's
+    * GenericDatumWriter expects (arrays become java Lists of boxed
+    * elements; null elements are rejected — the read side declares
+    * containsNull = false).
+    */
+  private[sources] def toAvroValue(dt: DataType, record: InternalRow,
+      i: Int): AnyRef = dt match {
+    case LongType    => java.lang.Long.valueOf(record.getLong(i))
+    case IntegerType => Integer.valueOf(record.getInt(i))
+    case StringType  => record.getUTF8String(i).toString
+    case DoubleType  => java.lang.Double.valueOf(record.getDouble(i))
+    case FloatType   => java.lang.Float.valueOf(record.getFloat(i))
+    case BooleanType => java.lang.Boolean.valueOf(record.getBoolean(i))
+    case BinaryType  => java.nio.ByteBuffer.wrap(record.getBinary(i))
+    case ArrayType(et, _) =>
+      val arr = record.getArray(i)
+      val n = arr.numElements()
+      val out = new java.util.ArrayList[AnyRef](n)
+      var j = 0
+      while (j < n) {
+        require(!arr.isNullAt(j), "avrograft sink rejects null array elements")
+        out.add(et match {
+          case LongType    => java.lang.Long.valueOf(arr.getLong(j))
+          case IntegerType => Integer.valueOf(arr.getInt(j))
+          case StringType  => arr.getUTF8String(j).toString
+          case DoubleType  => java.lang.Double.valueOf(arr.getDouble(j))
+          case FloatType   => java.lang.Float.valueOf(arr.getFloat(j))
+          case BooleanType => java.lang.Boolean.valueOf(arr.getBoolean(j))
+          case BinaryType  => java.nio.ByteBuffer.wrap(arr.getBinary(j))
+          case other => throw new IllegalArgumentException(s"unsupported $other")
+        })
+        j += 1
+      }
+      out
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
 }
 
 final class AvroScanBuilder(options: CaseInsensitiveStringMap, full: StructType)
@@ -480,6 +522,14 @@ object AvroPartitionReader {
     }
     case LongType | IntegerType | DoubleType | FloatType | BooleanType =>
       v => v
+    case ArrayType(et, _) =>
+      val elem = converter(et)
+      v => {
+        val it = v.asInstanceOf[java.util.Collection[AnyRef]].iterator()
+        val buf = new scala.collection.mutable.ArrayBuffer[Any]()
+        while (it.hasNext) buf += elem(it.next())
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toSeq)
+      }
     case other =>
       throw new IllegalArgumentException(s"unsupported type $other")
   }

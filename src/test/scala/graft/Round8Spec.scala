@@ -77,6 +77,26 @@ class Round8Spec extends AnyFunSuite {
     assert(back(1).isNullAt(1) && back(1).isNullAt(5), "nulls survive")
   }
 
+  test("avro array<float> round-trips byte-losslessly (p14 path)") {
+    val dir = graft.util.TempDirs.create("avro_vec_spec").toString
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(2)
+      .write.format("avrograft").mode("overwrite").save(dir)
+    val back = spark.read.format("avrograft").load(dir)
+    assert(back.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = back.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(got.length == orig.size)
+    got.foreach { case (id, v) =>
+      assert(v == orig(id), s"vector $id drifted through avro")
+    }
+  }
+
   test("r78 triangle count matches a brute-force reference") {
     val row = graft.queries.Round8Queries.all
       .find(_.name == "r78_triangle_count").get.run(spark, sf).collect()(0)
