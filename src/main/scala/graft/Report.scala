@@ -80,6 +80,25 @@ object Report {
     }
     sb ++= "\n"
 
+    // ---- 2b. Quantized tiers ---------------------------------------
+    val tiers = Seq(
+      ("sq8", "knn_sq8_k10", "8 bits/dim"),
+      ("int4", "knn_int4_k10", "4 bits/dim"),
+      ("pq", "knn_pq_k10", "~0.5 bits/dim"),
+      ("ivfpq", "knn_ivfpq_k10", "~0.5 bits/dim, 2/16 cells"),
+      ("ivfpqr", "knn_ivfpqr_k10", "~0.5 bits/dim residual, 2/16 cells"),
+      ("bitq", "knn_bitq_k10", "1 bit/dim"))
+      .flatMap { case (n, k, b) => q.get(k).map(v => (n, v, b)) }
+    if (tiers.nonEmpty) {
+      sb ++= "### Quantized-tier search, k=10 (coarse code scan + " +
+        "bounded exact re-rank)\n\n"
+      sb ++= "| tier | ms/query | code size (vs 32 bits/dim float) |\n|---|---|---|\n"
+      tiers.foreach { case (n, v, b) =>
+        sb ++= f"| $n | ${v * 1000}%.1f | $b |\n"
+      }
+      sb ++= "\n"
+    }
+
     // ---- 3. Recall vs probes ---------------------------------------
     sb ++= "## 3. Pruned-search recall@10 vs probes (16-bucket store)\n\n"
     sb ++= "```\n"
