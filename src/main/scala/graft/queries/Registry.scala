@@ -22,7 +22,8 @@ object Registry {
       Round6bQueries.all ++
       Round6cQueries.all ++
       Round7Queries.all ++
-      Round8Queries.all
+      Round8Queries.all ++
+      Round9Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -42,7 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "d21_dsir_weights",   // 1-row corpus-baseline broadcast
     "d22_bigram_fluency", // 1-row vocab-size + 1-row global-mean
     "p10_curation_funnel", // d21's 1-row baseline inside the funnel
-    "r78_triangle_count"  // three 1-row count aggregates combined
+    "r78_triangle_count", // three 1-row count aggregates combined
+    "m8_lsh_audit",       // 10 broadcast query vectors × corpus scan
+    "d25_bm25"            // 1-row N/avgdl corpus-stats broadcast
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {

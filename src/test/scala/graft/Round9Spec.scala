@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-9 surface: LSH quality audit, BM25 ranking, BFS levels, and
+  * BPE tokenizer training.
+  */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def run(name: String) =
+    queries.Registry.all.find(_.name == name).get.run(spark, sf)
+
+  test("m8: every bucket accounted for, hits bounded by 10 per query") {
+    val rows = run("m8_lsh_audit").collect()
+    assert(rows.nonEmpty)
+    val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(nVecs == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    val nQueries = rows.map(_.getAs[Long]("n_queries")).sum
+    assert(nQueries == 10, s"expected the 10 audit queries, got $nQueries")
+    rows.foreach { r =>
+      val (q, h) = (r.getAs[Long]("n_queries"), r.getAs[Long]("n_hits"))
+      assert(h <= q * 10, s"bucket ${r.get(0)}: $h hits for $q queries")
+      val rec = r.getAs[Double]("recall_1probe")
+      assert(rec >= 0.0 && rec <= 1.0)
+      if (q > 0) assert(math.abs(rec - h.toDouble / (q * 10)) < 1e-6)
+    }
+  }
+
+  test("m8: plan computes buckets without a shuffle before the aggregate") {
+    val q = queries.Registry.all.find(_.name == "m8_lsh_audit").get
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("vec_lsh_bucket"),
+      s"native bucket kernel missing from plan:\n$plan")
+  }
+
+  test("d25: scores ordered, bounded, and only query-term docs appear") {
+    val rows = run("d25_bm25").collect()
+    assert(rows.length == 15)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.sameElements(scores.sorted.reverse), "not score-descending")
+    assert(scores.forall(v => v > 0.0 && v < 100.0))
+  }
+
+  test("r80: level counts positive and frontier grows from the source") {
+    val rows = run("r80_bfs_levels").collect()
+    val byDist = rows.map(r => r.getAs[Int]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    assert(byDist(0) == 1, "BFS must start from exactly one source")
+    assert(byDist.keySet.max <= 4)
+    assert(byDist.values.forall(_ > 0))
+  }
+
+  test("p15: 8 merges, counts non-increasing, merged = lhs ++ rhs") {
+    val rows = run("p15_bpe_train").collect()
+    assert(rows.length == 8)
+    val counts = rows.map(_.getAs[Long]("pair_n"))
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+    }
+    // Each merge consumes pair occurrences; later merges can never be
+    // MORE frequent than an earlier one was at selection time.
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"pair counts increased: ${counts.mkString(",")}")
+    assert(rows.map(_.getAs[Int]("step")).toSeq == (1 to 8))
+  }
+
+  test("p15: greedy merge handles the l==r run case exactly") {
+    import spark.implicits._
+    // aaaa -> greedy (a,a) gives [aa, aa]; aaa gives [aa, a].
+    val types = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("word", "n")
+      .withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val m = queries.Round9Queries.testApplyMerge(types, "a", "a")
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getSeq[String](r.fieldIndex("toks"))).toMap
+    assert(m("aaaa") == Seq("aa", "aa"), s"got ${m("aaaa")}")
+    assert(m("aaa") == Seq("aa", "a"), s"got ${m("aaa")}")
+  }
+}
