@@ -60,6 +60,45 @@ object Round9Queries {
   private[graft] def testApplyMerge(types: DataFrame, l: String, r: String): DataFrame =
     applyMerge(types, l, r)
 
+  /** BPE training, computed once per (session, sf dir) and shared by
+    * p15 (the merge table) and p16 (corpus encoding): returns the
+    * learned merges and the word-type table with its final token
+    * split, localCheckpoint'ed (the vocabulary is small by
+    * construction, so pinning it for the session is the same
+    * trade-off the m4 cluster cache makes).
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Int, String, String, String, Long)], DataFrame)]
+
+  private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      var types = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .select(lower(col("t")).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("toks",
+          expr("transform(sequence(1, length(word), 1), i -> substring(word, i, 1))"))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (step <- 1 to 8) {
+        val best = types.where(size(col("toks")) > 1)
+          .select(col("n"),
+            explode(arrays_zip(
+              expr("slice(toks, 1, size(toks) - 1)").as("l"),
+              expr("slice(toks, 2, size(toks) - 1)").as("r"))).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"), col("n"))
+          .groupBy("l", "r").agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .head()
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, l, r, l + r, c))
+        types = applyMerge(types, l, r).localCheckpoint(true)
+      }
+      (merges.result(), types)
+    })
+
   /** Machine-generated DuckDB replay of the full K-step BPE training:
     * each step recounts pairs, picks its own argmax (count DESC, then
     * lexicographic — the deterministic tie rule both engines share),
@@ -112,6 +151,27 @@ object Round9Queries {
     }.mkString(" UNION ALL ")
     (Seq(t0) ++ steps).mkString("WITH ", ",\n", "\n") +
       s"SELECT * FROM ($finals) zz ORDER BY step"
+  }
+
+  /** p16's oracle: the same training replay, then the corpus encoded
+    * against the final type table t_k.
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val train = bpeOracleSql(k)
+    val upToWith = train.substring(0, train.lastIndexOf("\nSELECT"))
+    s"""$upToWith,
+       |enc AS (
+       |  SELECT lang, lower(t) AS word FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS t
+       |    FROM documents) u
+       |  WHERE regexp_matches(lower(t), '^[a-z]+$$')),
+       |wl AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_sub FROM t$k)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+       |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6)
+       |    AS avg_tokens_per_word
+       |FROM enc JOIN wl USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   // ------------------------------------------------------------- d25
@@ -315,34 +375,38 @@ object Round9Queries {
     // merge semantics and all.
     Q("p15_bpe_train",
       (s, d) => {
-        var types = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("t"))
-          .select(lower(col("t")).as("word"))
-          .where(col("word").rlike("^[a-z]+$"))
-          .groupBy("word").agg(count(lit(1)).as("n"))
-          .withColumn("toks",
-            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-          .localCheckpoint(true)
-        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-        for (step <- 1 to 8) {
-          val best = types.where(size(col("toks")) > 1)
-            .select(col("n"),
-              explode(arrays_zip(
-                expr("slice(toks, 1, size(toks) - 1)").as("l"),
-                expr("slice(toks, 2, size(toks) - 1)").as("r"))).as("p"))
-            .select(col("p.l").as("l"), col("p.r").as("r"), col("n"))
-            .groupBy("l", "r").agg(sum("n").as("cnt"))
-            .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-            .head()
-          val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((step, l, r, l + r, c))
-          types = applyMerge(types, l, r).localCheckpoint(true)
-        }
+        val (merges, _) = trainedBpe(s, d)
         val sess = s
         import sess.implicits._
-        merges.result().toDF("step", "lhs", "rhs", "merged", "pair_n")
+        merges.toDF("step", "lhs", "rhs", "merged", "pair_n")
           .orderBy("step")
       },
-      Some(bpeOracleSql(8)))
+      Some(bpeOracleSql(8))),
+
+    // P16 — tokenizer APPLICATION at corpus scale: encode every word
+    // occurrence of the corpus with p15's trained vocabulary and
+    // report per-language subword statistics (the compression ratio a
+    // tokenizer team watches per data source). Scale shape: the
+    // vocabulary (word type → final token count) is tiny by
+    // construction and BROADCASTS to the corpus-wide word stream —
+    // one scan, one broadcast-hash join, one aggregation shuffle;
+    // exactly how a production pipeline tokenizes 100 TB. The oracle
+    // replays the training AND the encoding independently.
+    Q("p16_bpe_encode",
+      (s, d) => {
+        val (_, types) = trainedBpe(s, d)
+        val enc = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+          .select(col("lang"), lower(col("t")).as("word"))
+          .where(col("word").rlike("^[a-z]+$"))
+        val wl = types.select(col("word"), size(col("toks")).cast("long").as("n_sub"))
+        enc.join(broadcast(wl), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtokens"))
+          .withColumn("avg_tokens_per_word",
+            round(col("n_subtokens").cast("double") / col("n_words"), 6))
+          .orderBy("lang")
+      },
+      Some(bpeEncodeOracleSql(8)))
   )
 }

@@ -67,6 +67,21 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("step")).toSeq == (1 to 8))
   }
 
+  test("p16: encoding broadcasts the vocabulary and compresses words") {
+    val q = queries.Registry.all.find(_.name == "p16_bpe_encode").get
+    val df = q.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary join must broadcast:\n$plan")
+    df.collect().foreach { r =>
+      val ratio = r.getAs[Double]("avg_tokens_per_word")
+      // 8 merges on short words: between 1 (fully merged) and the
+      // raw char count; the corpus words average ~5 chars.
+      assert(ratio >= 1.0 && ratio <= 6.0, s"ratio $ratio out of range")
+      assert(r.getAs[Long]("n_subtokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("p15: greedy merge handles the l==r run case exactly") {
     import spark.implicits._
     // aaaa -> greedy (a,a) gives [aa, aa]; aaa gives [aa, a].
