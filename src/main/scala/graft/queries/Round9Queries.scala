@@ -362,6 +362,54 @@ object Round9Queries {
           |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
           |FROM walk GROUP BY dist ORDER BY dist""".stripMargin)),
 
+    // E17 — distributed kNN JOIN: both sides are TABLES (queries =
+    // vec_ids 0–49, corpus = all embeddings), neither broadcasts by
+    // construction. Semantics are deterministic bucket-restricted
+    // exact top-3: candidates share the query's LSH bucket, ranked by
+    // exact L2. Scale shape: with numHashTables buckets the raw join
+    // key is low-cardinality (the LSH skew problem), so the query
+    // side replicates across 4 SALTS and the corpus side salts by
+    // pmod(vec_id, 4) — join key (bucket, salt) has 4× the
+    // parallelism, and TopKAgg's partial/final split merges the
+    // per-salt partial top-ks without any extra pass. This is the
+    // r19/r77 salting pattern applied to similarity search — the
+    // 100 TB-safe form of "for each query row, find its neighbors".
+    Q("e17_knn_join",
+      (s, d) => {
+        val b = Tables.embeddings(s, d)
+          .withColumn("bucket", model.bucketCol(col("embedding")))
+        val qs = b.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
+            col("embedding").as("qe"))
+          .withColumn("qsalt", explode(sequence(lit(0), lit(3))))
+        val corpus = b.withColumn("salt", pmod(col("vec_id"), lit(4)).cast("int"))
+        corpus.join(qs,
+            col("bucket") === col("qbucket") && col("salt") === col("qsalt") &&
+              col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VF.l2sq(col("embedding"), col("qe")).as("dd"))
+          .groupBy("qid")
+          .agg(graft.functions.TopKAgg(col("vec_id"), col("dd"), 3).as("topk"))
+          .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "e")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+            col("e._1").as("vec_id"), round(col("e._2"), 6).as("dist"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${model.bucketSql("embedding")} AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS qid, bucket AS qbucket, embedding AS qe
+           |      FROM b WHERE vec_id < 50),
+           |j AS (
+           |  SELECT q.qid, b.vec_id, ${DuckSql.l2sq("b.embedding", "q.qe")} AS dd
+           |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
+           |top AS (
+           |  SELECT qid, vec_id, dd,
+           |    row_number() OVER (PARTITION BY qid ORDER BY dd, vec_id) AS rk
+           |  FROM j)
+           |SELECT qid, CAST(rk AS INTEGER) AS rank, vec_id, round(dd, 6) AS dist
+           |FROM top WHERE rk <= 3 ORDER BY qid, rank""".stripMargin)),
+
     // P15 — distributed BPE tokenizer training, 8 merges, over the
     // lowercase alpha word types of the corpus. The Sennrich shape:
     // the ONLY corpus-scale operation is the initial word count (one

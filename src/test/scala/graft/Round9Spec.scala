@@ -67,6 +67,29 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("step")).toSeq == (1 to 8))
   }
 
+  test("e17: salted kNN join equals unsalted bucket-restricted top-3") {
+    import org.apache.spark.sql.expressions.Window
+    val model = queries.VectorQueries.model
+    val b = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("bucket", model.bucketCol(col("embedding")))
+    val qs = b.where(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
+        col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("dd"), col("vec_id"))
+    val expected = b.join(qs,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.l2sq(col("embedding"), col("qe")).as("dd"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("int").as("rank"), col("vec_id"),
+        round(col("dd"), 6).as("dist"))
+      .orderBy("qid", "rank").collect()
+    val got = queries.Registry.all.find(_.name == "e17_knn_join").get
+      .run(spark, sf).collect()
+    assert(got.toSeq == expected.toSeq,
+      s"salted join drifted from unsalted semantics (${got.length} vs ${expected.length} rows)")
+  }
+
   test("p16: encoding broadcasts the vocabulary and compresses words") {
     val q = queries.Registry.all.find(_.name == "p16_bpe_encode").get
     val df = q.run(spark, sf)
