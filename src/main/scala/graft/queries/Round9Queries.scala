@@ -455,6 +455,50 @@ object Round9Queries {
             round(col("n_subtokens").cast("double") / col("n_words"), 6))
           .orderBy("lang")
       },
-      Some(bpeEncodeOracleSql(8)))
+      Some(bpeEncodeOracleSql(8))),
+
+    // S24 — streaming tokenizer encode: p16's shape under Structured
+    // Streaming. The vocabulary is trained ONCE on the static corpus
+    // (the frozen-model convention s13/s21/s22 established for
+    // LSH/quant stores), then document files stream through a
+    // stream-static broadcast join against it, aggregating per-lang
+    // subword stats in complete mode. At 100 TB the static side is
+    // exactly the artifact a tokenizer service would pin in executor
+    // memory while the corpus flows past. Oracle: identical to p16's
+    // independent training+encoding replay.
+    Q("s24_stream_bpe_encode",
+      (s, d) => {
+        val (_, types) = trainedBpe(s, d)
+        val wl = types.select(col("word"), size(col("toks")).cast("long").as("n_sub"))
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val name = s"s24_sink_${s24Id.incrementAndGet()}"
+        val ckpt = graft.util.TempDirs.create("graft_s24_ckpt").toString
+        val srcDir = graft.util.TempDirs.create("graft_s24_src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"),
+          srcDir.resolve("documents.parquet"))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+          .select(col("lang"), lower(col("t")).as("word"))
+          .where(col("word").rlike("^[a-z]+$"))
+          .join(broadcast(wl), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtokens"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name)
+          .withColumn("avg_tokens_per_word",
+            round(col("n_subtokens").cast("double") / col("n_words"), 6))
+          .orderBy("lang")
+      },
+      Some(bpeEncodeOracleSql(8)),
+      streaming = true)
   )
+
+  private val s24Id = new java.util.concurrent.atomic.AtomicInteger(0)
 }

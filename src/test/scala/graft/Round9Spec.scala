@@ -105,6 +105,12 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("s24: streaming encode matches the batch (p16) result exactly") {
+    val batch = run("p16_bpe_encode").collect().toSeq
+    val stream = run("s24_stream_bpe_encode").collect().toSeq
+    assert(stream == batch, s"stream drift:\n$stream\nvs\n$batch")
+  }
+
   test("p15: greedy merge handles the l==r run case exactly") {
     import spark.implicits._
     // aaaa -> greedy (a,a) gives [aa, aa]; aaa gives [aa, a].
