@@ -82,7 +82,13 @@ object Round9Queries {
           expr("transform(sequence(1, length(word), 1), i -> substring(word, i, 1))"))
         .localCheckpoint(true)
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (step <- 1 to 8) {
+      var step = 1
+      var exhausted = false
+      while (step <= 8 && !exhausted) {
+        // headOption: if a (tiny) corpus runs out of adjacent pairs
+        // before K merges, training stops early — the oracle's replay
+        // emits the same truncated merge list (its argmax CTE is empty
+        // from the same step on). The shipped corpora never exhaust.
         val best = types.where(size(col("toks")) > 1)
           .select(col("n"),
             explode(arrays_zip(
@@ -91,10 +97,15 @@ object Round9Queries {
           .select(col("p.l").as("l"), col("p.r").as("r"), col("n"))
           .groupBy("l", "r").agg(sum("n").as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-          .head()
-        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((step, l, r, l + r, c))
-        types = applyMerge(types, l, r).localCheckpoint(true)
+          .collect().headOption
+        best match {
+          case Some(row) =>
+            val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((step, l, r, l + r, c))
+            types = applyMerge(types, l, r).localCheckpoint(true)
+            step += 1
+          case None => exhausted = true
+        }
       }
       (merges.result(), types)
     })
@@ -361,6 +372,46 @@ object Round9Queries {
           |  SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM w GROUP BY node)
           |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
           |FROM walk GROUP BY dist ORDER BY dist""".stripMargin)),
+
+    // D26 — edit-distance similarity join with LOSSLESS length
+    // blocking: pairs (doc_id < 200) with levenshtein ≤ 100. Since
+    // edit distance ≥ |len(a) − len(b)|, blocking on
+    // blk = n_chars div 100 and joining each doc to blocks
+    // {blk−1, blk, blk+1} provably loses no qualifying pair — the
+    // classic length-filter trick that turns an O(n²) similarity
+    // join into an equi-join (the exploded 3-key form keeps it a
+    // HASH join — no theta/BNLJ). Spark evaluates the banded
+    // threshold form (levenshtein(a, b, t) early-exits at O(t·len)
+    // instead of O(len²)) — the compute bound that matters when the
+    // blocks hold millions of rows.
+    Q("d26_editdist_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            expr("n_chars div 100").as("blk"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+            col("n_chars").as("na"),
+            explode(array(col("blk") - 1, col("blk"), col("blk") + 1)).as("jblk"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+          col("n_chars").as("nb"), col("blk"))
+        a.join(b,
+            col("jblk") === col("blk") && col("doc_a") < col("doc_b") &&
+              abs(col("na") - col("nb")) <= 100)
+          .withColumn("dist", expr("levenshtein(ta, tb, 100)"))
+          .where(col("dist") =!= -1)
+          .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (
+          |  SELECT doc_id, text, n_chars, n_chars // 100 AS blk
+          |  FROM documents WHERE doc_id < 200)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+          |FROM d a JOIN d b
+          |  ON a.doc_id < b.doc_id AND abs(a.blk - b.blk) <= 1
+          |  AND abs(a.n_chars - b.n_chars) <= 100
+          |WHERE levenshtein(a.text, b.text) <= 100
+          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // E17 — distributed kNN JOIN: both sides are TABLES (queries =
     // vec_ids 0–49, corpus = all embeddings), neither broadcasts by

@@ -105,6 +105,24 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("d26: block join is a hash join; distances bounded by threshold") {
+    val q = queries.Registry.all.find(_.name == "d26_editdist_pairs").get
+    val df = q.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"length blocking must stay an equi-join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dist = r.getAs[Long]("dist")
+      assert(dist >= 0 && dist <= 100, s"dist $dist outside threshold")
+    }
+    // no duplicate pairs from the 3-block explode
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      rows.length)
+  }
+
   test("s24: streaming encode matches the batch (p16) result exactly") {
     val batch = run("p16_bpe_encode").collect().toSeq
     val stream = run("s24_stream_bpe_encode").collect().toSeq
