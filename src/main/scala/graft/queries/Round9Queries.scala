@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -194,9 +194,11 @@ object Round9Queries {
     // M8 — LSH index-quality audit: per-bucket population plus
     // measured 1-probe recall@10 (for query vecs 0–9, the fraction of
     // exact top-10 neighbors — self excluded — that share the query's
-    // bucket). The measurement the reference's performance analysis
-    // never takes; it is what tells an operator whether the hash
-    // family still routes neighbors together as the corpus drifts.
+    // bucket). The reference analyzes shard-size balance only
+    // (`performance_analysis.py:186-237` analyze_shard_distribution);
+    // recall — whether the hash family still routes neighbors
+    // together as the corpus drifts — is the metric an operator
+    // actually pages on, and it never measures it.
     // Scale shape: one corpus pass computes buckets (native codegen
     // expression, no shuffle), per-query exact top-10 via the
     // partial-aggregated TopKAgg (e5's shape — NOT a corpus-wide
