@@ -510,6 +510,88 @@ object Round9Queries {
       },
       Some(bpeEncodeOracleSql(8))),
 
+    // P17 — Zipf rank–frequency fit by closed-form OLS over SUFFICIENT
+    // STATISTICS: slope/intercept/R² of ln(freq) ~ ln(rank) for the
+    // top-200 corpus terms. The scale pattern is the point — the fit
+    // is five map-side-combinable sums (Σx, Σy, Σxy, Σx², Σy²), the
+    // only way regression happens at 100 TB (no solver, no iteration,
+    // one aggregation). Determinism: each ln rounds to 6 decimals and
+    // sums as DECIMAL (order-independent, engine-exact); the final
+    // slope arithmetic runs on the exact sums. Rank itself is a
+    // bounded top-200 TakeOrdered, not a global sort.
+    Q("p17_zipf_fit",
+      (s, d) => {
+        val top = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .select(lower(col("t")).as("term"))
+          .where(col("term").rlike("^[a-z]+$"))
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("term")).limit(200)
+        val ranked = top.select(col("term"), col("freq"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("term"))).cast("long").as("rank"))
+        val xy = ranked.select(
+          round(log(col("rank").cast("double")), 6).cast(DecimalType(18, 6)).as("x"),
+          round(log(col("freq").cast("double")), 6).cast(DecimalType(18, 6)).as("y"))
+        // Sums accumulate EXACTLY as decimals; each sufficient
+        // statistic then casts to double ONCE (IEEE nearest — the
+        // same value in any engine) before the closed-form combine,
+        // so no decimal-precision-cap rounding ever differs.
+        xy.agg(count(lit(1)).as("nl"),
+            sum("x").as("sxd"), sum("y").as("syd"),
+            sum(col("x") * col("y")).as("sxyd"),
+            sum(col("x") * col("x")).as("sxxd"),
+            sum(col("y") * col("y")).as("syyd"))
+          .select(col("nl").as("n"),
+            col("nl").cast("double").as("nd"),
+            col("sxd").cast("double").as("sx"),
+            col("syd").cast("double").as("sy"),
+            col("sxyd").cast("double").as("sxy"),
+            col("sxxd").cast("double").as("sxx"),
+            col("syyd").cast("double").as("syy"))
+          .select(col("n"),
+            round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (col("nd") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") -
+              ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+                (col("nd") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("nd"), 6).as("intercept"),
+            round(
+              pow(col("nd") * col("sxy") - col("sx") * col("sy"), 2) /
+                ((col("nd") * col("sxx") - col("sx") * col("sx")) *
+                  (col("nd") * col("syy") - col("sy") * col("sy"))),
+              6).as("r2"))
+      },
+      Some("""WITH tf AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+          |    SELECT lower(unnest(string_split(text, ' '))) AS term
+          |    FROM documents) u
+          |  WHERE regexp_matches(term, '^[a-z]+$')
+          |  GROUP BY 1 ORDER BY freq DESC, term LIMIT 200),
+          |ranked AS (
+          |  SELECT term, freq,
+          |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+          |  FROM tf),
+          |xy AS (
+          |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+          |         CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          |  FROM ranked),
+          |ss AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(count(*) AS DOUBLE) AS nd,
+          |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+          |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+          |         CAST(sum(y * y) AS DOUBLE) AS syy
+          |  FROM xy)
+          |SELECT n,
+          |  round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS slope,
+          |  round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd,
+          |        6) AS intercept,
+          |  round(pow(nd * sxy - sx * sy, 2) /
+          |        ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS r2
+          |FROM ss""".stripMargin)),
+
     // S24 — streaming tokenizer encode: p16's shape under Structured
     // Streaming. The vocabulary is trained ONCE on the static corpus
     // (the frozen-model convention s13/s21/s22 established for

@@ -129,6 +129,18 @@ class Round9Spec extends AnyFunSuite {
     assert(stream == batch, s"stream drift:\n$stream\nvs\n$batch")
   }
 
+  test("p17: OLS over sufficient statistics - slope <= 0, r2 in [0,1]") {
+    val rows = run("p17_zipf_fit").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // freq is non-increasing in rank, so the OLS slope of
+    // ln(freq) ~ ln(rank) cannot be positive.
+    assert(r.getAs[Double]("slope") <= 0.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(r.getAs[Long]("n") > 0)
+  }
+
   test("p15: greedy merge handles the l==r run case exactly") {
     import spark.implicits._
     // aaaa -> greedy (a,a) gives [aa, aa]; aaa gives [aa, a].
