@@ -86,11 +86,17 @@ object Bench {
     // methodology — one untimed warm-up, then median of 3 — so the
     // reported number is the steady-state per-query cost. Everything
     // else stays single-shot (the sweep's wall budget).
+    // d26/r80 join pre-emptively: the two slowest cache-free round-9
+    // queries, so a loaded driver environment can't flag them the way
+    // r6 flagged the set above. (p15 stays single-shot deliberately:
+    // its repeats would hit the session BPE cache and time ~nothing —
+    // the cold number IS the honest training cost.)
     val stabilized = Set(
       "m6_norm_dedup", "e13_bitq_index", "e14_ivfpq_residual",
       "x21_zorder_layout", "x22_corrupt_records", "p12_temperature_mix",
       "r77_skew_join", "r75_bloom_runtime_filter",
-      "s21_stream_quant_ingest", "s6_stream_stream_join")
+      "s21_stream_quant_ingest", "s6_stream_stream_join",
+      "d26_editdist_pairs", "r80_bfs_levels")
 
     val perQuery = selected.map { case (name, fn) =>
       def once(): Unit =
