@@ -20,6 +20,18 @@ object Round9Queries {
 
   import VectorQueries.model
 
+  /** Lowercase alpha word stream of the corpus — the shared
+    * tokenization of p15/p16/p17/s24 (one definition so the BPE
+    * cache's train/encode consistency cannot drift), with optional
+    * extra columns carried through.
+    */
+  private def alphaWords(docs: DataFrame, as: String,
+      carry: String*): DataFrame =
+    docs
+      .select(carry.map(col) :+ explode(split(col("text"), " ")).as("t"): _*)
+      .select(carry.map(col) :+ lower(col("t")).as(as): _*)
+      .where(col(as).rlike("^[a-z]+$"))
+
   // ------------------------------------------------------------- p15
 
   /** One greedy BPE merge of pair (l, r) over the tokenized word-type
@@ -73,10 +85,7 @@ object Round9Queries {
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
     bpeCache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
-      var types = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("t"))
-        .select(lower(col("t")).as("word"))
-        .where(col("word").rlike("^[a-z]+$"))
+      var types = alphaWords(Tables.documents(s, d), "word")
         .groupBy("word").agg(count(lit(1)).as("n"))
         .withColumn("toks",
           expr("transform(sequence(1, length(word), 1), i -> substring(word, i, 1))"))
@@ -88,7 +97,9 @@ object Round9Queries {
         // headOption: if a (tiny) corpus runs out of adjacent pairs
         // before K merges, training stops early — the oracle's replay
         // emits the same truncated merge list (its argmax CTE is empty
-        // from the same step on). The shipped corpora never exhaust.
+        // from the same step on, and ex's LEFT JOIN passes the type
+        // table through unchanged, so the encode oracle stays aligned
+        // too). The shipped corpora never exhaust.
         val best = types.where(size(col("toks")) > 1)
           .select(col("n"),
             explode(arrays_zip(
@@ -136,7 +147,8 @@ object Round9Queries {
          |      lead(tok) OVER (PARTITION BY word ORDER BY pos) = b.r
          |      THEN 1 ELSE 0 END AS mt
          |  FROM (SELECT word, n, unnest(toks) AS tok,
-         |        unnest(range(1, len(toks)+1)) AS pos FROM t$p) e, b$i b),
+         |        unnest(range(1, len(toks)+1)) AS pos FROM t$p) e
+         |  LEFT JOIN b$i b ON TRUE),
          |g$i AS (
          |  SELECT *, CASE WHEN mt = 1 THEN pos - row_number() OVER
          |      (PARTITION BY word, mt ORDER BY pos) ELSE NULL END AS run
@@ -199,16 +211,20 @@ object Round9Queries {
     // recall — whether the hash family still routes neighbors
     // together as the corpus drifts — is the metric an operator
     // actually pages on, and it never measures it.
-    // Scale shape: one corpus pass computes buckets (native codegen
-    // expression, no shuffle), per-query exact top-10 via the
-    // partial-aggregated TopKAgg (e5's shape — NOT a corpus-wide
-    // window sort), then a 100-row join back to bucket ids that AQE
-    // broadcasts. Oracle recomputes the bucket formula from the
-    // seeded projection matrix embedded as literals.
+    // Scale shape: buckets are computed ONCE (native codegen
+    // expression, no shuffle) and materialized — the audit's four
+    // consumers (query panel, candidate scan, join-back, sizes) then
+    // read the bucketed corpus, exactly as the production audit reads
+    // the already-bucketed persisted store rather than re-hashing.
+    // Per-query exact top-10 via the partial-aggregated TopKAgg (e5's
+    // shape — NOT a corpus-wide window sort), then a 100-row join
+    // back to bucket ids that AQE broadcasts. Oracle recomputes the
+    // bucket formula from the seeded projection matrix as literals.
     Q("m8_lsh_audit",
       (s, d) => {
         val b = Tables.embeddings(s, d)
           .withColumn("bucket", model.bucketCol(col("embedding")))
+          .localCheckpoint(true)
         val qs = b.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
             col("embedding").as("qe"))
@@ -347,10 +363,18 @@ object Round9Queries {
           .select(col("node"), lit(0).as("dist"))
         var frontier = visited.select("node")
         for (i <- 1 to 4) {
+          // Each level's frontier is consumed TWICE downstream (joined
+          // to edges as the next frontier AND unioned into visited for
+          // every later anti-join), so a lazy plan re-executes level j
+          // ~2^(4-j) times. The frontiers are small by construction —
+          // checkpoint each so every level's expansion join runs once
+          // (r76 keeps its 5 linear levels lazy; BFS's doubling
+          // reference pattern is the case where that trade flips).
           val nxt = frontier.join(edges, col("node") === col("u"))
             .select(col("v").as("node")).distinct()
             .join(visited.select(col("node").as("vn")),
               col("node") === col("vn"), "left_anti")
+            .localCheckpoint(true)
           visited = visited.union(nxt.select(col("node"), lit(i).as("dist")))
           frontier = nxt
         }
@@ -376,26 +400,34 @@ object Round9Queries {
           |FROM walk GROUP BY dist ORDER BY dist""".stripMargin)),
 
     // D26 — edit-distance similarity join with LOSSLESS length
-    // blocking: pairs (doc_id < 200) with levenshtein ≤ 100. Since
-    // edit distance ≥ |len(a) − len(b)|, blocking on
-    // blk = n_chars div 100 and joining each doc to blocks
-    // {blk−1, blk, blk+1} provably loses no qualifying pair — the
-    // classic length-filter trick that turns an O(n²) similarity
-    // join into an equi-join (the exploded 3-key form keeps it a
-    // HASH join — no theta/BNLJ). Spark evaluates the banded
-    // threshold form (levenshtein(a, b, t) early-exits at O(t·len)
-    // instead of O(len²)) — the compute bound that matters when the
-    // blocks hold millions of rows.
+    // blocking: pairs (doc_id < 200) with levenshtein ≤ 100 over the
+    // ASCII projection of the text. The projection pins the
+    // cross-engine contract: Spark's levenshtein counts code points
+    // while DuckDB's counts BYTES, so on printable-ASCII input (where
+    // the two coincide) the distances are identical by construction —
+    // the semantics a multilingual corpus would need is a declared
+    // per-engine choice, not an accident of encoding. Since edit
+    // distance ≥ |len(a) − len(b)|, blocking on blk = len div 100 (of
+    // the SAME projected text the distance sees) and joining each doc
+    // to blocks {blk−1, blk, blk+1} provably loses no qualifying
+    // pair — the classic length-filter trick that turns an O(n²)
+    // similarity join into an equi-join (the exploded 3-key form
+    // keeps it a HASH join — no theta/BNLJ). Spark evaluates the
+    // banded threshold form (levenshtein(a, b, t) early-exits at
+    // O(t·len) instead of O(len²)) — the compute bound that matters
+    // when the blocks hold millions of rows.
     Q("d26_editdist_pairs",
       (s, d) => {
         val docs = Tables.documents(s, d).where(col("doc_id") < 200)
-          .select(col("doc_id"), col("text"), col("n_chars"),
-            expr("n_chars div 100").as("blk"))
-        val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-            col("n_chars").as("na"),
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("txt"))
+          .withColumn("len", length(col("txt")).cast("long"))
+          .withColumn("blk", expr("len div 100"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("txt").as("ta"),
+            col("len").as("na"),
             explode(array(col("blk") - 1, col("blk"), col("blk") + 1)).as("jblk"))
-        val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
-          col("n_chars").as("nb"), col("blk"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("txt").as("tb"),
+          col("len").as("nb"), col("blk"))
         a.join(b,
             col("jblk") === col("blk") && col("doc_a") < col("doc_b") &&
               abs(col("na") - col("nb")) <= 100)
@@ -405,14 +437,16 @@ object Round9Queries {
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH d AS (
-          |  SELECT doc_id, text, n_chars, n_chars // 100 AS blk
-          |  FROM documents WHERE doc_id < 200)
+          |  SELECT doc_id, txt, strlen(txt) AS len, strlen(txt) // 100 AS blk
+          |  FROM (SELECT doc_id,
+          |          regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS txt
+          |        FROM documents WHERE doc_id < 200) z)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+          |  CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
           |FROM d a JOIN d b
           |  ON a.doc_id < b.doc_id AND abs(a.blk - b.blk) <= 1
-          |  AND abs(a.n_chars - b.n_chars) <= 100
-          |WHERE levenshtein(a.text, b.text) <= 100
+          |  AND abs(a.len - b.len) <= 100
+          |WHERE levenshtein(a.txt, b.txt) <= 100
           |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // E17 — distributed kNN JOIN: both sides are TABLES (queries =
@@ -496,10 +530,7 @@ object Round9Queries {
     Q("p16_bpe_encode",
       (s, d) => {
         val (_, types) = trainedBpe(s, d)
-        val enc = Tables.documents(s, d)
-          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
-          .select(col("lang"), lower(col("t")).as("word"))
-          .where(col("word").rlike("^[a-z]+$"))
+        val enc = alphaWords(Tables.documents(s, d), "word", "lang")
         val wl = types.select(col("word"), size(col("toks")).cast("long").as("n_sub"))
         enc.join(broadcast(wl), "word")
           .groupBy("lang")
@@ -521,10 +552,7 @@ object Round9Queries {
     // bounded top-200 TakeOrdered, not a global sort.
     Q("p17_zipf_fit",
       (s, d) => {
-        val top = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("t"))
-          .select(lower(col("t")).as("term"))
-          .where(col("term").rlike("^[a-z]+$"))
+        val top = alphaWords(Tables.documents(s, d), "term")
           .groupBy("term").agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("term")).limit(200)
         val ranked = top.select(col("term"), col("freq"),
@@ -612,11 +640,10 @@ object Round9Queries {
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/documents.parquet"),
           srcDir.resolve("documents.parquet"))
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
-          .select(col("lang"), lower(col("t")).as("word"))
-          .where(col("word").rlike("^[a-z]+$"))
+        val q = alphaWords(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+            "word", "lang")
           .join(broadcast(wl), "word")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtokens"))

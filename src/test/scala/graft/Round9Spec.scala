@@ -29,11 +29,25 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
-  test("m8: plan computes buckets without a shuffle before the aggregate") {
+  test("m8: buckets computed natively once; audit reads the materialization") {
+    // The bucket kernel itself is a native expression (no UDF, no
+    // shuffle before it)...
+    val bucketPlan = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("bucket",
+        queries.VectorQueries.model.bucketCol(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(bucketPlan.contains("vec_lsh_bucket"),
+      s"native bucket kernel missing:\n$bucketPlan")
+    assert(!bucketPlan.contains("Exchange"),
+      s"bucket computation must not shuffle:\n$bucketPlan")
+    // ...and the audit consumes the ONE materialized bucketed corpus
+    // (checkpoint scan), never re-hashing per consumer.
     val q = queries.Registry.all.find(_.name == "m8_lsh_audit").get
     val plan = q.run(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("vec_lsh_bucket"),
-      s"native bucket kernel missing from plan:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"audit should read the materialized bucketed corpus:\n$plan")
+    assert(!plan.contains("vec_lsh_bucket"),
+      s"audit re-computes buckets instead of reusing the materialization:\n$plan")
   }
 
   test("d25: scores ordered, bounded, and only query-term docs appear") {
@@ -42,6 +56,15 @@ class Round9Spec extends AnyFunSuite {
     val scores = rows.map(_.getAs[Double]("bm25"))
     assert(scores.sameElements(scores.sorted.reverse), "not score-descending")
     assert(scores.forall(v => v > 0.0 && v < 100.0))
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    val matching = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id").isin(ids.map(Long.box): _*))
+      .where(array_intersect(split(col("text"), " "),
+        array(lit("vector"), lit("merge"), lit("window"))) =!= array())
+      .count()
+    assert(matching == ids.length,
+      s"only $matching of ${ids.length} results contain a query term")
   }
 
   test("r80: level counts positive and frontier grows from the source") {
