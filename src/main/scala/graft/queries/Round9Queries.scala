@@ -497,6 +497,48 @@ object Round9Queries {
            |SELECT qid, CAST(rk AS INTEGER) AS rank, vec_id, round(dd, 6) AS dist
            |FROM top WHERE rk <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // R81 — KMV (k-minimum-values) cardinality sketch, k = 128, over
+    // o_custkey: keep the 128 smallest values of a seeded
+    // multiplicative hash; estimate = (k−1)·M / h_k. Unlike r7/r39's
+    // HLL (engine-specific register layout ⇒ rows-only checked), KMV
+    // under a FIXED hash is fully deterministic — the estimate itself
+    // hash-matches an independent DuckDB replay, upgrading the sketch
+    // family to the strong oracle. Scale shape: the sketch is the
+    // k-smallest-of-distinct-hashes, i.e. a partial TakeOrdered per
+    // partition + a k-item driver merge — mergeable across any
+    // partitioning (union of sketches = sketch of union), which is
+    // what makes it a sketch and not a sample. Output carries the
+    // exact count beside the estimate with its relative error.
+    Q("r81_kmv_distinct",
+      (s, d) => {
+        val M = 1L << 31
+        val h = ((col("o_custkey") % M) * lit(2654435761L) + lit(40503L)) % M
+        val hs = Tables.orders(s, d).select(h.as("h")).distinct()
+        val sketch = hs.orderBy("h").limit(128)
+          .agg(count(lit(1)).as("k"), max("h").as("hk"))
+        val exact = Tables.orders(s, d)
+          .agg(countDistinct("o_custkey").as("n_exact"))
+        exact.crossJoin(broadcast(sketch))
+          .withColumn("kmv_est", expr(s"((k - 1) * ${M}L) div hk"))
+          .select(col("n_exact"), col("k"), col("kmv_est"),
+            round(abs(col("kmv_est") - col("n_exact")).cast("double") /
+              col("n_exact"), 6).as("rel_err"))
+      },
+      Some(s"""WITH hs AS (
+           |  SELECT DISTINCT ((o_custkey % ${1L << 31}) * 2654435761 + 40503)
+           |    % ${1L << 31} AS h
+           |  FROM orders),
+           |sk AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS hk
+           |  FROM (SELECT h FROM hs ORDER BY h LIMIT 128) z),
+           |ex AS (
+           |  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           |  FROM orders)
+           |SELECT ex.n_exact, sk.k, ((sk.k - 1) * ${1L << 31}) // sk.hk AS kmv_est,
+           |  round(CAST(abs(((sk.k - 1) * ${1L << 31}) // sk.hk - ex.n_exact)
+           |        AS DOUBLE) / ex.n_exact, 6) AS rel_err
+           |FROM ex, sk""".stripMargin)),
+
     // P15 — distributed BPE tokenizer training, 8 merges, over the
     // lowercase alpha word types of the corpus. The Sennrich shape:
     // the ONLY corpus-scale operation is the initial word count (one

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "p10_curation_funnel", // d21's 1-row baseline inside the funnel
     "r78_triangle_count", // three 1-row count aggregates combined
     "m8_lsh_audit",       // 10 broadcast query vectors × corpus scan
-    "d25_bm25"            // 1-row N/avgdl corpus-stats broadcast
+    "d25_bm25",           // 1-row N/avgdl corpus-stats broadcast
+    "r81_kmv_distinct"    // 1-row sketch × 1-row exact-count combine
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {

@@ -152,6 +152,17 @@ class Round9Spec extends AnyFunSuite {
     assert(stream == batch, s"stream drift:\n$stream\nvs\n$batch")
   }
 
+  test("r81: KMV estimate lands within sketch error of the exact count") {
+    val r = run("r81_kmv_distinct").collect().head
+    val (exact, k, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("k"),
+      r.getAs[Long]("kmv_est"))
+    assert(k <= 128 && k > 0)
+    // KMV standard error is ~1/sqrt(k) ≈ 9% at k=128; 50% is the
+    // generous determinism-preserving bound.
+    assert(r.getAs[Double]("rel_err") < 0.5,
+      s"estimate $est too far from exact $exact")
+  }
+
   test("p17: OLS over sufficient statistics - slope <= 0, r2 in [0,1]") {
     val rows = run("p17_zipf_fit").collect()
     assert(rows.length == 1)
