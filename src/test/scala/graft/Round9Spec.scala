@@ -175,6 +175,34 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n") > 0)
   }
 
+  test("p15: windowed merge kernel == pure greedy fold on random inputs") {
+    import spark.implicits._
+    // Reference semantics: greedy left-to-right fold — merge when the
+    // accumulator's last token is l and the current token is r.
+    def greedy(toks: Seq[String], l: String, r: String): Seq[String] =
+      toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == l && t == r)
+          acc.init :+ (l + r)
+        else acc :+ t
+      }
+    val rnd = new scala.util.Random(20260814L)
+    val syms = Vector("a", "b", "ab", "c")
+    val words = (0 until 60).map { i =>
+      (s"w$i", 1L, Vector.fill(1 + rnd.nextInt(9))(syms(rnd.nextInt(syms.size))))
+    }
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("ab", "c"), ("b", "a"))) {
+      val df = words.toDF("word", "n", "toks")
+      val got = queries.Round9Queries.testApplyMerge(df, l, r)
+        .collect().map(x => x.getAs[String]("word") ->
+          x.getSeq[String](x.fieldIndex("toks")).toVector).toMap
+      words.foreach { case (w, _, toks) =>
+        val want = greedy(toks, l, r).toVector
+        assert(got(w) == want,
+          s"pair ($l,$r) word $w: toks=$toks got=${got(w)} want=$want")
+      }
+    }
+  }
+
   test("p15: greedy merge handles the l==r run case exactly") {
     import spark.implicits._
     // aaaa -> greedy (a,a) gives [aa, aa]; aaa gives [aa, a].
