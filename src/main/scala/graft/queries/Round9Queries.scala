@@ -662,6 +662,39 @@ object Round9Queries {
           |        ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS r2
           |FROM ss""".stripMargin)),
 
+    // X25 — DYNAMIC PARTITION PRUNING, plan-pinned: orders staged as a
+    // year-partitioned fact table, joined to a tiny year-dimension
+    // filtered on a dim ATTRIBUTE (era = 'mid'). The years to scan are
+    // only known at runtime — Catalyst injects the broadcast result as
+    // a partition filter (dynamicpruningexpression in the scan,
+    // asserted by Round9Spec), so the fact scan reads 2 of 7 year
+    // directories instead of all of them. This is THE star-schema
+    // optimization at 100 TB: the fact side never touches partitions
+    // the dimension filter excludes, without the query author naming
+    // them. Fixture staged once per (session, sf dir).
+    Q("x25_dpp_join",
+      (s, d) => {
+        val dir = x25Stage(s, d)
+        val fact = s.read.parquet(dir)
+        val dim = s.range(1992, 1999)
+          .select(col("id").cast("int").as("yr"),
+            when(col("id").isin(1995L, 1996L), "mid").otherwise("other")
+              .as("era"))
+        fact.join(broadcast(dim.where(col("era") === "mid")),
+            col("oyear") === col("yr"))
+          .groupBy("oyear")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+          .orderBy("oyear")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS oyear,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders
+          |WHERE year(o_orderdate) IN (1995, 1996)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S24 — streaming tokenizer encode: p16's shape under Structured
     // Streaming. The vocabulary is trained ONCE on the static corpus
     // (the frozen-model convention s13/s21/s22 established for
@@ -705,4 +738,22 @@ object Round9Queries {
   )
 
   private val s24Id = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val D = DecimalType(18, 2)
+
+  /** x25's fixture: orders partitioned by order year, staged once per
+    * (session, sf dir).
+    */
+  private val x25Staged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def x25Stage(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    x25Staged.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = graft.util.TempDirs.create("graft_x25").toString
+      Tables.orders(s, d)
+        .withColumn("oyear", year(col("o_orderdate")))
+        .write.partitionBy("oyear").mode("overwrite").parquet(dir)
+      dir
+    })
 }

@@ -152,6 +152,13 @@ class Round9Spec extends AnyFunSuite {
     assert(stream == batch, s"stream drift:\n$stream\nvs\n$batch")
   }
 
+  test("x25: runtime partition pruning reaches the fact scan") {
+    val q = queries.Registry.all.find(_.name == "x25_dpp_join").get
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in the fact scan:\n$plan")
+  }
+
   test("r81: KMV estimate lands within sketch error of the exact count") {
     val r = run("r81_kmv_distinct").collect().head
     val (exact, k, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("k"),
