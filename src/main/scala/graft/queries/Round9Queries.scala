@@ -695,6 +695,25 @@ object Round9Queries {
           |WHERE year(o_orderdate) IN (1995, 1996)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // X26 — NESTED-SCHEMA PRUNING, plan-pinned: documents staged with
+    // a struct payload column, then aggregated by ONE struct field.
+    // The parquet reader must push the projection inside the struct
+    // (ReadSchema: struct<meta:struct<source>> — asserted in spec) so
+    // none of the sibling fields' column chunks are read. At 100 TB
+    // the metadata struct of a multimodal corpus is wide (EXIF,
+    // provenance, quality signals); reading one signal must not pay
+    // for the rest.
+    Q("x26_nested_pruning",
+      (s, d) => {
+        val dir = x26Stage(s, d)
+        s.read.parquet(dir)
+          .groupBy(col("meta.source").as("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S24 — streaming tokenizer encode: p16's shape under Structured
     // Streaming. The vocabulary is trained ONCE on the static corpus
     // (the frozen-model convention s13/s21/s22 established for
@@ -754,6 +773,23 @@ object Round9Queries {
       Tables.orders(s, d)
         .withColumn("oyear", year(col("o_orderdate")))
         .write.partitionBy("oyear").mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** x26's fixture: documents with a struct metadata payload, staged
+    * once per (session, sf dir).
+    */
+  private val x26Staged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def x26Stage(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    x26Staged.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = graft.util.TempDirs.create("graft_x26").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .write.mode("overwrite").parquet(dir)
       dir
     })
 }

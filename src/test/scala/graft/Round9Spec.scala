@@ -159,6 +159,13 @@ class Round9Spec extends AnyFunSuite {
       s"expected dynamicpruningexpression in the fact scan:\n$plan")
   }
 
+  test("x26: struct projection prunes to the one read field") {
+    val q = queries.Registry.all.find(_.name == "x26_nested_pruning").get
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<meta:struct<source:string>>"),
+      s"nested pruning did not reach the scan:\n$plan")
+  }
+
   test("r81: KMV estimate lands within sketch error of the exact count") {
     val r = run("r81_kmv_distinct").collect().head
     val (exact, k, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("k"),
