@@ -714,6 +714,30 @@ object Round9Queries {
       Some("""SELECT source, count(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // X27 — PARQUET AGGREGATE PUSHDOWN, plan-pinned: COUNT/MIN/MAX
+    // answered from parquet FOOTER STATISTICS (PushedAggregation in
+    // the scan, spec-asserted) — zero data pages read. At 100 TB,
+    // "how many rows / what's the value range" must cost metadata IO,
+    // not a table scan. The conf is enabled on an isolated
+    // newSession() so the rest of the inventory's plans are
+    // untouched; pushdown legality (no filter, non-nested column) is
+    // part of what the pin documents.
+    Q("x27_agg_pushdown",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        // pushdown lives in the DSv2 scan builder; parquet sits on the
+        // V1 list by default
+        s2.conf.set("spark.sql.sources.useV1SourceList",
+          "avro,csv,json,kafka,orc,text")
+        s2.read.parquet(s"$d/orders.parquet")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+      },
+      Some("""SELECT count(*) AS n_orders, min(o_totalprice) AS min_price,
+          |  max(o_totalprice) AS max_price FROM orders""".stripMargin)),
+
     // S24 — streaming tokenizer encode: p16's shape under Structured
     // Streaming. The vocabulary is trained ONCE on the static corpus
     // (the frozen-model convention s13/s21/s22 established for

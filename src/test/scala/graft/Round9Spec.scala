@@ -166,6 +166,13 @@ class Round9Spec extends AnyFunSuite {
       s"nested pruning did not reach the scan:\n$plan")
   }
 
+  test("x27: COUNT/MIN/MAX served from parquet footers") {
+    val q = queries.Registry.all.find(_.name == "x27_agg_pushdown").get
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregate pushdown did not reach the scan:\n$plan")
+  }
+
   test("r81: KMV estimate lands within sketch error of the exact count") {
     val r = run("r81_kmv_distinct").collect().head
     val (exact, k, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("k"),
