@@ -539,6 +539,35 @@ object Round9Queries {
            |        AS DOUBLE) / ex.n_exact, 6) AS rel_err
            |FROM ex, sk""".stripMargin)),
 
+    // R82 — VARIANT semi-structured access (Spark 4's typed
+    // open-schema path, the successor to string-JSON probing):
+    // parse_json once into the shredded binary VARIANT, then typed
+    // extraction (variant_get with a target type) and the
+    // null-not-error miss semantics (try_variant_get on an absent
+    // path). At scale this is the difference between re-parsing a
+    // JSON string per field access and decoding a binary-shredded
+    // value — the r13 get_json_object twin kept for contrast. Oracle
+    // uses DuckDB's JSON extraction over the same strings.
+    Q("r82_variant_json",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"), expr("parse_json(props)").as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k"),
+            expr("try_variant_get(v, '$.missing', 'bigint')").as("miss"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("k").as("sum_k"), max("k").as("max_k"),
+            count(col("miss")).as("n_miss"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          |    AS sum_k,
+          |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+          |  CAST(count(json_extract(props, '$.missing')) AS BIGINT) AS n_miss
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // P15 — distributed BPE tokenizer training, 8 merges, over the
     // lowercase alpha word types of the corpus. The Sennrich shape:
     // the ONLY corpus-scale operation is the initial word count (one

@@ -173,6 +173,19 @@ class Round9Spec extends AnyFunSuite {
       s"aggregate pushdown did not reach the scan:\n$plan")
   }
 
+  test("r82: variant strict get throws on type mismatch; try_ returns null") {
+    import spark.implicits._
+    val df = Seq("""{"k": "notanumber"}""").toDF("props")
+    intercept[Exception] {
+      df.select(expr("variant_get(parse_json(props), '$.k', 'bigint')"))
+        .collect()
+    }
+    val r = df.select(
+      expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .collect().head
+    assert(r.isNullAt(0), "try_variant_get must null out a type mismatch")
+  }
+
   test("r81: KMV estimate lands within sketch error of the exact count") {
     val r = run("r81_kmv_distinct").collect().head
     val (exact, k, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("k"),
