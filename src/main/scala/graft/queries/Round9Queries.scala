@@ -753,12 +753,7 @@ object Round9Queries {
     // part of what the pin documents.
     Q("x27_agg_pushdown",
       (s, d) => {
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        // pushdown lives in the DSv2 scan builder; parquet sits on the
-        // V1 list by default
-        s2.conf.set("spark.sql.sources.useV1SourceList",
-          "avro,csv,json,kafka,orc,text")
+        val s2 = x27Session(s)
         s2.read.parquet(s"$d/orders.parquet")
           .agg(count(lit(1)).as("n_orders"),
             min(col("o_totalprice")).as("min_price"),
@@ -827,6 +822,24 @@ object Round9Queries {
         .withColumn("oyear", year(col("o_orderdate")))
         .write.partitionBy("oyear").mode("overwrite").parquet(dir)
       dir
+    })
+
+  /** x27's isolated pushdown-enabled session, one per application (a
+    * fresh newSession per invocation would pay SessionState
+    * construction inside every benched run). Pushdown lives in the
+    * DSv2 scan builder; parquet sits on the V1 list by default.
+    */
+  private val x27Sessions = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.SparkSession]
+
+  private def x27Session(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    x27Sessions.getOrElseUpdate(s.sparkContext.applicationId, {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.conf.set("spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,text")
+      s2
     })
 
   /** x26's fixture: documents with a struct metadata payload, staged

@@ -169,7 +169,9 @@ class Round9Spec extends AnyFunSuite {
   test("x27: COUNT/MIN/MAX served from parquet footers") {
     val q = queries.Registry.all.find(_.name == "x27_agg_pushdown").get
     val plan = q.run(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("PushedAggregation"),
+    // DSv2 parquet scans print "PushedAggregation: []" even when
+    // nothing is pushed — assert the COUNT actually landed.
+    assert(plan.contains("PushedAggregation: [COUNT"),
       s"aggregate pushdown did not reach the scan:\n$plan")
   }
 
