@@ -123,6 +123,31 @@ object Report {
       sb ++= "```\n\n"
     }
 
+    // ---- 3b. Storage vs recall: the multi-table layout buys recall
+    //      with ×L storage; recall-per-MB makes the trade a number.
+    val layouts = Seq(
+      ("mod-16 bucket", "index_mb_mod16", "knn_pruned_recall_at10_p%d_of16"),
+      ("multi-table 4×16", "index_mb_mt4x16",
+        "knn_pruned_recall_at10_p%d_of16_mt"))
+      .flatMap { case (name, mbKey, rKey) =>
+        q.get(mbKey).map(mb => (name, mb,
+          (1 to 4).flatMap(p => q.get(rKey.format(p)))))
+      }
+    if (layouts.nonEmpty) {
+      sb ++= "### Storage vs recall (recall per MB)\n\n"
+      sb ++= "| layout | index MB | r@10 p=1 | p=2 | p=3 | p=4 | " +
+        "p=1 recall/MB |\n|---|---|---|---|---|---|---|\n"
+      layouts.foreach { case (name, mb, rs) =>
+        val cells = rs.map(r => f"$r%.3f").padTo(4, "—").mkString(" | ")
+        val perMb = rs.headOption.map(r => f"${r / mb}%.4f").getOrElse("—")
+        sb ++= f"| $name | $mb%.1f | $cells | $perMb |\n"
+      }
+      q.get("index_mb_mod3").foreach(mb =>
+        sb ++= f"\n(reference-shaped mod-3 store: $mb%.1f MB, " +
+          "prunes at most 1/3 of the corpus per probe)\n")
+      sb ++= "\n"
+    }
+
     // ---- PNG chart artifacts (the reference's matplotlib figures:
     //      latency_vs_k.png `performance_analysis.py:101-111`,
     //      shard_distribution.png `:200-214`) — written next to the
@@ -160,6 +185,7 @@ object Report {
     // totals via Bench.groupOf (the single shared mapping).
     val perQuery = q.filterNot { case (k, _) =>
       k.startsWith("knn_") || k.startsWith("index_build") ||
+        k.startsWith("index_mb") ||
         k == "quant_index_build" || k.endsWith("_total")
     }
     val groups = perQuery.groupBy { case (n, _) => Bench.groupOf(n) }

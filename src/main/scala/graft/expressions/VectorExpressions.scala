@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   * left-to-right fold as `aggregate(...)` / DuckDB `list_sum(...)`.
   *
   * Inputs are `ArrayType(FloatType|DoubleType)` with non-null elements
-  * (the embeddings schema); unequal lengths fold over the common prefix.
+  * (the embeddings schema). Binary folds require equal lengths: a
+  * dimension mismatch is a schema/layout bug, and folding the common
+  * prefix would return a plausible-but-wrong distance, so they throw
+  * (same strict rule as [[VecHamming64]]/[[VecNibbleL2]]).
   */
 trait VecExprHelpers { self: Expression =>
   protected def elemPrim(dt: DataType): String = dt match {
@@ -51,7 +54,9 @@ abstract class VecBinaryFold extends BinaryExpression with VecExprHelpers {
     val b = r.asInstanceOf[ArrayData]
     val lf = isFloat(left.dataType)
     val rf = isFloat(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      VecEval.foldLenMismatch(prettyName, n, b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -69,7 +74,10 @@ abstract class VecBinaryFold extends BinaryExpression with VecExprHelpers {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  graft.expressions.VecEval.foldLenMismatch("$prettyName", $n, $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${getter(left.dataType, a, i)};
@@ -155,6 +163,14 @@ object VecEval {
   /** Shared failure path for [[VecHamming64]] (interpreted + codegen):
     * a signature-length mismatch is a layout bug, never a distance.
     */
+  /** Shared failure path for the binary vector folds (interpreted +
+    * codegen): a dimension mismatch is a schema bug, never a distance.
+    */
+  def foldLenMismatch(name: String, a: Int, b: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: vector dimensions differ ($a vs $b); " +
+        "both sides of a distance/dot must share one embedding layout")
+
   def hammingLenMismatch(a: Int, b: Int): Nothing =
     throw new IllegalArgumentException(
       s"vec_hamming64: signature lengths differ ($a vs $b words); " +

@@ -27,7 +27,8 @@ package graft.ml
 final class ToyCnn(
     val kernel: Array[Double], // 9 = 3×3
     val bias: Double,
-    val dense: Array[Array[Double]]) { // outDim rows × 36 cols
+    val dense: Array[Array[Double]]) // outDim rows × 36 cols
+    extends ImageFeaturizer {
 
   def outDim: Int = dense.length
 

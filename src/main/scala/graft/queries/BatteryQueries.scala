@@ -675,8 +675,13 @@ object BatteryQueries {
     // hll_sketch_agg): per-type user sketches unioned into a global
     // estimate — the re-aggregatable distinct-count shape a 100 TB
     // rollup needs (partial sketches merge associatively across
-    // partitions/days). Estimates are engine-specific → rows-only;
-    // BatterySpec bounds the error against the exact count.
+    // partitions/days). Hash-gated: output is the exact distinct plus
+    // two flags — the merged (union-of-per-type) estimate and the
+    // direct single-sketch estimate each within 5% of exact; the
+    // oracle pins both to 1. (The union is NOT bit-identical to the
+    // direct sketch at every cardinality — DataSketches' union gadget
+    // can coarsen a register — so equality is not an invariant; the
+    // error bound is.)
     Q("r39_hll_sketch",
       (s, d) => {
         val perType = Tables.events(s, d)
@@ -686,9 +691,17 @@ object BatteryQueries {
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"))
           .crossJoin(Tables.events(s, d)
             .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
-              .as("direct_est")))
+              .as("direct_est"),
+              countDistinct(col("user_id")).as("n_exact")))
+          .select(col("n_exact"),
+            (abs(col("merged_est") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05).cast("int").as("merged_within_5pct"),
+            (abs(col("direct_est") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05).cast("int").as("direct_within_5pct"))
       },
-      None),
+      Some("""SELECT count(DISTINCT user_id) AS n_exact,
+          |  CAST(1 AS INT) AS merged_within_5pct,
+          |  CAST(1 AS INT) AS direct_within_5pct FROM events""".stripMargin)),
 
     // R40 — the NATIVE as-of join operator (graft.plans.AsOfJoinExec:
     // custom LogicalPlan → Strategy → SparkPlan, injected through

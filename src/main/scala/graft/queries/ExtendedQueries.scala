@@ -182,16 +182,25 @@ object ExtendedQueries {
       Some("""SELECT s_suppkey, s_nationkey, s_acctbal
           |FROM supplier ORDER BY s_suppkey""".stripMargin)),
 
-    // A6 — seeded random sampling (reference `np.random.choice` query
-    // sampling, `performance_analysis.py:78`). Bernoulli sampling is
-    // engine-specific → rows-only; ScalaTest asserts determinism
-    // across runs for a fixed seed.
+    // A6 — reproducible ~5% query sampling (reference
+    // `np.random.choice` query sampling, `performance_analysis.py:78`).
+    // An engine-seeded RNG (`df.sample(seed)`) can't be replayed
+    // cross-engine AND changes membership when partitioning changes —
+    // at 100 TB a sample that survives repartition/retry matters more
+    // than RNG fidelity, so the Bernoulli draw is a multiplicative hash
+    // of the key (odd constant → bijection mod 2^20, uniform over
+    // sequential keys; deterministic, partition-invariant, exactly
+    // replayable in the oracle — the d23 technique).
     Q("a6_sample",
       (s, d) => Tables.orders(s, d)
-        .sample(withReplacement = false, fraction = 0.05, seed = 42L)
+        .where(((col("o_orderkey") % lit(1048576L)) * lit(2654435761L)
+          + lit(99991L)) % lit(1048576L) < lit(52428L))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey"),
-      None),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |WHERE ((o_orderkey % 1048576) * 2654435761 + 99991) % 1048576
+          |  < 52428
+          |ORDER BY o_orderkey""".stripMargin)),
 
     // P1 — PCA 64→8 over embeddings via spark.ml (reference D1,
     // `load_coco_embeddings.py:24-36` — fixed here: one fitted model,

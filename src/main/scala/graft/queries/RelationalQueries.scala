@@ -121,12 +121,21 @@ object RelationalQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust")),
       Some("SELECT count(DISTINCT o_custkey) AS n_cust FROM orders")),
 
-    // R7b — approx_count_distinct (HLL++). Estimates differ per engine →
-    // no hash oracle; ScalaTest bounds the relative error vs exact.
+    // R7b — approx_count_distinct (HLL++). The raw estimate differs per
+    // engine, so the hash-checked output is the exact twin plus a
+    // tolerance flag: `within_5pct` certifies |approx−exact|/exact ≤ 5%
+    // (HLL++ at rsd 0.01 is far inside that), and the oracle pins the
+    // flag to 1. Same technique as r81's KMV: the sketch runs for real,
+    // the gate is exact.
     Q("r7_approx_distinct",
       (s, d) => Tables.orders(s, d)
-        .agg(approx_count_distinct(col("o_custkey")).as("n_cust_approx")),
-      None),
+        .agg(countDistinct(col("o_custkey")).as("n_cust_exact"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx"))
+        .select(col("n_cust_exact"),
+          (abs(col("approx") - col("n_cust_exact")).cast("double")
+            / col("n_cust_exact") <= 0.05).cast("int").as("within_5pct")),
+      Some("""SELECT count(DISTINCT o_custkey) AS n_cust_exact,
+          |  CAST(1 AS INT) AS within_5pct FROM orders""".stripMargin)),
 
     // R8 — rollup with exact sums.
     Q("r8_rollup",
@@ -250,17 +259,31 @@ object RelationalQueries {
           |  count(*) AS n
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // R7c — approximate quantiles (t-digest-style sketch): estimates
-    // are engine-specific → rows-only; ScalaTest bounds error vs exact.
+    // R7c — approximate quantiles (Greenwald–Khanna sketch). Hash-gated
+    // like r7_approx_distinct: the output is the EXACT interpolated
+    // percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+    // linear interpolation, rounded 6dp) plus one flag certifying every
+    // approx value within max(1.0, 5%·|exact|) of its exact twin — the
+    // same bound ApproxSpec enforced when this was rows-only.
     Q("r7_approx_quantiles",
-      (s, d) => Tables.events(s, d)
-        .agg(percentile_approx(col("value"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
-        // scalar projection: array cells break the harness comparator
-        .select(element_at(col("q"), 1).as("p25"),
-          element_at(col("q"), 2).as("p50"),
-          element_at(col("q"), 3).as("p75")),
-      None),
+      (s, d) => {
+        val ps = array(lit(0.25), lit(0.5), lit(0.75))
+        def ok(i: Int) =
+          abs(element_at(col("qa"), i) - element_at(col("qe"), i)) <=
+            greatest(lit(1.0), abs(element_at(col("qe"), i)) * 0.05)
+        Tables.events(s, d)
+          .agg(percentile_approx(col("value"), ps, lit(10000)).as("qa"),
+            percentile(col("value"), ps).as("qe"))
+          // scalar projection: array cells break the harness comparator
+          .select(round(element_at(col("qe"), 1), 6).as("p25_exact"),
+            round(element_at(col("qe"), 2), 6).as("p50_exact"),
+            round(element_at(col("qe"), 3), 6).as("p75_exact"),
+            (ok(1) && ok(2) && ok(3)).cast("int").as("within_tol"))
+      },
+      Some("""SELECT round(quantile_cont(value, 0.25e0), 6) AS p25_exact,
+          |  round(quantile_cont(value, 0.5e0), 6) AS p50_exact,
+          |  round(quantile_cont(value, 0.75e0), 6) AS p75_exact,
+          |  CAST(1 AS INT) AS within_tol FROM events""".stripMargin)),
 
     // R21 — correlated scalar subquery (Catalyst decorrelates it into
     // a left outer join under the hood).

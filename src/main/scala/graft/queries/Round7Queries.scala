@@ -81,11 +81,15 @@ object Round7Queries {
         import s.implicits._
         val net = graft.ml.ToyCnn.seeded(20260813L)
         val bc = s.sparkContext.broadcast(net.toBytes)
+        // Pluggable runtime (graft.ml.Featurizers): the query compiles
+        // against the interface only — an ONNX adapter registered under
+        // another name slots in here with the plan and oracle unchanged.
+        val runtime = graft.ml.Featurizers.forName("toycnn")
         val qfeat = Tables.documents(s, d).where(col("doc_id") < 5)
           .select(col("doc_id")).as[Long]
           .mapPartitions { it =>
             // one session per partition — NEVER per row
-            val session = graft.ml.ToyCnn.fromBytes(bc.value)
+            val session = runtime.load(bc.value)
             it.map { id =>
               val img = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(fixturePng(id)))

@@ -78,13 +78,22 @@ object Round9Queries {
     * split, localCheckpoint'ed (the vocabulary is small by
     * construction, so pinning it for the session is the same
     * trade-off the m4 cluster cache makes).
+    *
+    * Cache key includes the session's identity hash, not just the
+    * applicationId: the cached DataFrame is bound to the creating
+    * SparkSession, and two sessions in one app (newSession(), tests)
+    * must not share it. Bench note: whichever of p15/p16/s24 runs
+    * first in a process pays the full 8-merge training; the committed
+    * bench runs them in registry order (p15 first), so p16/s24 numbers
+    * are encode-only — documented in BASELINE.md's round-9 table.
     */
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[(Int, String, String, String, Long)], DataFrame)]
 
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
-    bpeCache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+    bpeCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|$d", {
       var types = alphaWords(Tables.documents(s, d), "word")
         .groupBy("word").agg(count(lit(1)).as("n"))
         .withColumn("toks",
@@ -450,8 +459,11 @@ object Round9Queries {
           |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // E17 — distributed kNN JOIN: both sides are TABLES (queries =
-    // vec_ids 0–49, corpus = all embeddings), neither broadcasts by
-    // construction. Semantics are deterministic bucket-restricted
+    // vec_ids 0–49, corpus = all embeddings). At sf0.01 the salted
+    // query side is ~200 rows and AQE would happily broadcast it, so
+    // the shuffle_hash hint pins the shuffled shape the pattern exists
+    // to demonstrate (Round9Spec asserts ShuffledHashJoin in the
+    // executed plan). Semantics are deterministic bucket-restricted
     // exact top-3: candidates share the query's LSH bucket, ranked by
     // exact L2. Scale shape: with numHashTables buckets the raw join
     // key is low-cardinality (the LSH skew problem), so the query
@@ -470,7 +482,7 @@ object Round9Queries {
             col("embedding").as("qe"))
           .withColumn("qsalt", explode(sequence(lit(0), lit(3))))
         val corpus = b.withColumn("salt", pmod(col("vec_id"), lit(4)).cast("int"))
-        corpus.join(qs,
+        corpus.join(qs.hint("shuffle_hash"),
             col("bucket") === col("qbucket") && col("salt") === col("qsalt") &&
               col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
@@ -552,8 +564,11 @@ object Round9Queries {
       (s, d) => {
         Tables.events(s, d)
           .select(col("event_type"), expr("parse_json(props)").as("v"))
+          // try_variant_get for k too: one malformed/non-integer row
+          // degrades to NULL instead of failing the query, matching the
+          // oracle's TRY_CAST(json_extract_string(...)) semantics.
           .select(col("event_type"),
-            expr("variant_get(v, '$.k', 'bigint')").as("k"),
+            expr("try_variant_get(v, '$.k', 'bigint')").as("k"),
             expr("try_variant_get(v, '$.missing', 'bigint')").as("miss"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
@@ -562,9 +577,10 @@ object Round9Queries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n_events,
-          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-          |    AS sum_k,
-          |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+          |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+          |    AS BIGINT) AS sum_k,
+          |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+          |    AS max_k,
           |  CAST(count(json_extract(props, '$.missing')) AS BIGINT) AS n_miss
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -18,11 +18,49 @@ import graft.functions.{TextFunctions => TF}
 object TextQueries {
   import TF.P
 
-  /** MinHash parameters: 8 hash functions (a_j·x + b_j mod P), banded
-    * 2 rows × 4 bands for the LSH candidate join.
+  /** MinHash parameters: 8 QUADRATIC hash functions
+    * h_j(x) = (a_j·(x² mod P) + b_j·x + c_j) mod P, banded 2 rows × 4
+    * bands for the LSH candidate join.
+    *
+    * Why quadratic with large coefficients (measured by
+    * TextScaleSmokeSpec on a 500k/1M-doc corpus with planted dups):
+    * the theoretical false-candidate rate for a doc pair sharing ONE
+    * shingle value is the LSH S-curve at J = 1/|union| —
+    * bands·J² ≈ 4/361 ≈ 1.1% here — and the measured rate should sit
+    * ON it. The first-cut small affine multipliers (2,3,5,…) were
+    * order-PRESERVING below P/a_j, rank-correlating the 8 rows and
+    * inflating false candidates to ~1.7× the S-curve (316 vs ~190
+    * predicted at 500k docs); the quadratic family measures exactly
+    * at the prediction. Every product stays < 2^63 for x < P ≈ 1e9,
+    * and the form replays exactly in the DuckDB oracle.
+    *
+    * SCALE CEILING (inherent, documented not hidden): shingle hashes
+    * live in [0,P), P ≈ 1e9, so ~(10N)²/2P unrelated doc pairs share
+    * a hash value by birthday collision and become candidates at the
+    * 1.1% S-curve rate — a Θ(N²/P) term beside the Θ(N) true-dup
+    * term. It stays below the true-dup term up to ~100M docs per
+    * (lang, source) block; beyond that a production deployment widens
+    * the fingerprint space (64-bit shingles), which we keep at 1e9+7
+    * because the DuckDB oracle's BIGINT arithmetic must replay
+    * a·x + b without overflow. Exact verification (m5/m3) filters
+    * every such candidate regardless — only candidate-generation cost
+    * grows, never result correctness.
     */
-  val A: Seq[Long] = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
-  val B: Seq[Long] = Seq(23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L)
+  val A: Seq[Long] = Seq(981540727L, 622178233L, 338102573L, 744656287L,
+    462447481L, 594208951L, 889004987L, 157969343L)
+  val B: Seq[Long] = Seq(710949761L, 431396449L, 928396013L, 83572201L,
+    261662911L, 354394633L, 554246927L, 21939251L)
+  val C: Seq[Long] = Seq(133320731L, 902399677L, 487333219L, 61853717L,
+    775127429L, 244408181L, 698013233L, 346450913L)
+
+  /** h_j over a shingle column (Spark side). */
+  private[graft] def mhHash(j: Int, x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (lit(A(j)) * ((x * x) % P) + lit(B(j)) * x + lit(C(j))) % P
+
+  /** h_j over a DuckDB lambda variable (oracle side, same arithmetic). */
+  private[graft] def mhHashSql(j: Int, x: String): String =
+    s"(${A(j)}*(($x*$x) % $P) + ${B(j)}*$x + ${C(j)}) % $P"
   val Bands = 4
 
   /** Word-trigram shingle hashes from per-word hashes: shingle_i =
@@ -63,21 +101,38 @@ object TextQueries {
     * consumer orders as needed), and pinned in memory by the final
     * localCheckpoint.
     *
-    * Lifetime/fault semantics (deliberate, like [[QuantCache]]): the
-    * cache lives for the whole session — entries are never evicted —
-    * and `localCheckpoint` severs lineage, so losing an executor
-    * makes later consumers of a cached entry fail unrecoverably. Both
-    * are acceptable for this harness (one process, a handful of sf
-    * dirs, local mode can't lose executors); a multi-tenant service
-    * would use reliable `checkpoint` to a cluster FS plus an eviction
-    * hook instead.
+    * Lifetime/fault semantics: `localCheckpoint` severs lineage, so a
+    * cached entry whose blocks are gone (executor loss on a real
+    * cluster; simulated in `BatterySpec`) cannot recompute itself.
+    * [[m4Clusters]] therefore PROBES the cached frame with a 1-row
+    * read before handing it out and rebuilds on failure — consumers
+    * (d24, p11) never observe a dead entry. A multi-tenant service
+    * would use reliable `checkpoint` to a cluster FS instead; the
+    * probe-and-rebuild keeps the single-process harness honest about
+    * the same failure mode.
     */
-  private val m4Cache =
+  private[graft] val m4Cache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
   private[queries] def m4Clusters(s: org.apache.spark.sql.SparkSession,
-                                  d: String): org.apache.spark.sql.DataFrame =
-    m4Cache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    m4Cache.get(key) match {
+      case Some(cached) =>
+        try { cached.head(1); cached }  // 1-task probe of checkpoint blocks
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            m4Cache.remove(key)
+            m4Clusters(s, d)
+        }
+      case None =>
+        val built = computeM4Clusters(s, d)
+        m4Cache.putIfAbsent(key, built).getOrElse(built)
+    }
+  }
+
+  private def computeM4Clusters(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame =
       StreamingQueries.withStateShuffle(s) {
         val pairs = all.find(_.name == "m1_minhash_pairs").get.run(s, d)
           .select("id_a", "id_b")
@@ -121,11 +176,11 @@ object TextQueries {
           s"m4_dedup_clusters: connected components not converged " +
             s"after $maxIter rounds ($changed labels still changing)")
         labels.select(col("doc_id"), col("label").as("cluster_rep"))
-      })
+      }
 
   private[queries] lazy val minhashPairsCte: String = {
     val mhCols = (0 until 8).map(j =>
-      s"list_min(list_transform(shs, x -> (${A(j)}*x + ${B(j)}) % $P)) AS mh$j")
+      s"list_min(list_transform(shs, x -> ${mhHashSql(j, "x")})) AS mh$j")
       .mkString(",\n        ")
     val bandRows = (0 until Bands).map(bi =>
       s"SELECT doc_id, $bi AS band_idx, mh${2 * bi}*$P + mh${2 * bi + 1} AS bv FROM sig")
@@ -267,7 +322,7 @@ object TextQueries {
           .select(col("doc_id") +:
             (0 until 8).map(j =>
               array_min(transform(col("shs"),
-                x => (lit(A(j)) * x + lit(B(j))) % P)).as(s"mh$j")): _*)
+                x => mhHash(j, x))).as(s"mh$j")): _*)
         val bands = sig.select(col("doc_id"),
           explode(array((0 until Bands).map(bi =>
             struct(lit(bi).as("band_idx"),
@@ -496,7 +551,7 @@ object TextQueries {
           .select(Seq(col("doc_id"), array_distinct(col("shs")).as("dsh")) ++
             (0 until 8).map(j =>
               array_min(transform(col("shs"),
-                x => (lit(A(j)) * x + lit(B(j))) % P)).as(s"mh$j")): _*)
+                x => mhHash(j, x))).as(s"mh$j")): _*)
         val pairs = all.find(_.name == "m1_minhash_pairs").get.run(s, d)
           .select("id_a", "id_b")
         val a = sig.select(Seq(col("doc_id").as("id_a"),

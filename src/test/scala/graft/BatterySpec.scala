@@ -131,15 +131,13 @@ class BatterySpec extends AnyFunSuite {
     }
   }
 
-  test("r39 hll: merged per-type sketches equal the direct sketch, ~exact") {
+  test("r39 hll: merged and direct sketch estimates within 5% of exact") {
     val r = run("r39_hll_sketch").head
-    val merged = r.getLong(0)
-    val direct = r.getLong(1)
-    assert(merged == direct, "sketch union is not lossless vs direct agg")
     val exact = Tables.events(spark, sf)
       .select(countDistinct("user_id")).head.getLong(0)
-    assert(math.abs(merged - exact).toDouble / exact < 0.05,
-      s"estimate $merged vs exact $exact")
+    assert(r.getLong(0) == exact, "n_exact column disagrees with direct count")
+    assert(r.getInt(1) == 1, "merged (union) estimate outside 5% of exact")
+    assert(r.getInt(2) == 1, "direct estimate outside 5% of exact")
   }
 
   test("m4 clusters: reps are component minima and respect the pair edges") {
@@ -155,6 +153,32 @@ class BatterySpec extends AnyFunSuite {
     pairs.foreach { case (a, b) =>
       assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
     }
+  }
+
+  test("m4 cache: a dead cached entry is detected and rebuilt") {
+    // Reference result from the healthy path
+    val before = run("m4_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // Simulate executor loss: poison the cache entry with a frame whose
+    // evaluation fails (a parquet dir deleted after plan creation — the
+    // same observable as severed localCheckpoint blocks).
+    val dir = graft.util.TempDirs.create("graft_m4_poison")
+    spark.range(1).select(col("id").as("doc_id"), col("id").as("cluster_rep"))
+      .write.mode("overwrite").parquet(dir.toString + "/p")
+    val poisoned = spark.read.parquet(dir.toString + "/p")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir.toString + "/p"))
+    val key = spark.sparkContext.applicationId + "|" + sf
+    queries.TextQueries.m4Cache.put(key, poisoned)
+    // The consumer must not see the dead entry: probe fails → rebuild
+    val after = run("m4_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after.toSeq == before.toSeq,
+      "rebuild after cache invalidation changed the clustering")
+    assert(queries.TextQueries.m4Cache(key) ne poisoned,
+      "poisoned entry still cached")
   }
 
   test("r43 range-bin join plans as an equi-join, never a cartesian") {

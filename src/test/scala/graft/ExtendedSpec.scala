@@ -180,14 +180,14 @@ class ApproxSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("approx quantiles within tolerance of exact") {
     val row = SparkEntry.queries("r7_approx_quantiles")(spark, TestSpark.sf)
       .head
-    val approx = Seq(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    val emitted = Seq(row.getDouble(0), row.getDouble(1), row.getDouble(2))
     val exact = Tables.events(spark, TestSpark.sf)
       .agg(percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))))
       .head.getSeq[Double](0)
-    approx.zip(exact).foreach { case (a, e) =>
-      assert(math.abs(a - e) <= math.max(1.0, math.abs(e) * 0.05),
-        s"approx=$a exact=$e")
+    emitted.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 1e-6, s"emitted exact=$a recomputed=$e")
     }
+    assert(row.getInt(3) == 1, "approx quantiles outside tolerance of exact")
   }
 
   test("salted aggregation equals direct aggregation") {

@@ -111,6 +111,64 @@ class HttpFacadeSpec extends AnyFunSuite {
     assert(counts >= 500.0)
   }
 
+  test("concurrency: 10-thread add+search load loses no update, keeps shapes") {
+    // Own store + facade: the shared one is mutated by earlier tests.
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_conc").toString
+    val store = graft.store.VectorStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index", graft.lsh.LshConfig(dim = 64, seed = 7L))
+    val f2 = new HttpFacade(spark, store, port = 0).start()
+    def post2(path: String, body: String): (Int, Any) = {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${f2.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), Json.parse(r.body()))
+    }
+    try {
+      val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+      val qj = q.mkString("[", ",", "]")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+      val futures = (0 until 10).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = (0 until 3).flatMap { i =>
+            val errs = scala.collection.mutable.Buffer.empty[String]
+            val id = 900000 + t * 10 + i
+            val (ca, ba) = post2("/add_vectors",
+              s"""{"vectors": [$qj], "ids": [$id]}""")
+            if (ca != 200) errs += s"add($id) -> $ca: $ba"
+            // k alternates over {-1, 0, 3}: clamp must hold under load
+            val k = Seq(-1, 0, 3)(i)
+            val (cs, bs) = post2("/search",
+              s"""{"query_vector": $qj, "k": $k}""")
+            if (cs != 200) errs += s"search(k=$k) -> $cs: $bs"
+            else {
+              val idx = obj(bs)("indices").asInstanceOf[Vector[Vector[Any]]]
+              val want = math.max(1, k)
+              if (idx.size != 1 || idx.head.size != want)
+                errs += s"search(k=$k) returned shape ${idx.map(_.size)}"
+            }
+            // the reference's 400 shapes must survive concurrent load too
+            val (ce, be) = post2("/search", """{"k": 1}""")
+            if (ce != 400 || obj(be)("error") != "No query vector provided")
+              errs += s"missing-vector 400 broke under load: $ce $be"
+            errs.toSeq
+          }
+        })
+      }
+      val errors = futures.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errors.isEmpty, errors.mkString("\n"))
+      // no lost updates: 500 base + 10 threads x 3 adds
+      assert(store.indexDf.count() == 530L)
+      val added = store.indexDf.where(col("id") >= 900000).count()
+      assert(added == 30L, s"expected 30 added ids, found $added")
+    } finally f2.stop()
+  }
+
   test("POST /load_npz ingests NPZ shards server-side") {
     val npzDir = java.nio.file.Files.createTempDirectory("graft_http_npz").toString
     Tables.embeddings(spark, TestSpark.sf).limit(5)

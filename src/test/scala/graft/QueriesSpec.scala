@@ -47,11 +47,11 @@ class QueriesSpec extends AnyFunSuite {
     assert(pruned.subsetOf(exactAll))
   }
 
-  test("r7 approx distinct within 10% of exact") {
-    val exact = run("r7_count_distinct").head.getLong(0).toDouble
-    val approx = run("r7_approx_distinct").head.getLong(0).toDouble
-    assert(math.abs(approx - exact) / exact < 0.10,
-      s"approx=$approx exact=$exact")
+  test("r7 approx distinct within 5% of exact (gated flag)") {
+    val exact = run("r7_count_distinct").head.getLong(0)
+    val r = run("r7_approx_distinct").head
+    assert(r.getLong(0) == exact, "exact twin disagrees with r7_count_distinct")
+    assert(r.getInt(1) == 1, "HLL++ estimate outside 5% of exact")
   }
 
   test("v5 histogram counts sum to table size") {

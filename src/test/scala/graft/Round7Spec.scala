@@ -72,4 +72,32 @@ class Round7Spec extends AnyFunSuite {
       assert(got == want, s"query $id: top-1 $got vs driver replay $want")
     }
   }
+
+  test("featurizer runtime seam: registry resolves, adapters plug in") {
+    import graft.ml.{Featurizers, FeaturizerRuntime, ImageFeaturizer, ToyCnn}
+    // the registered in-container runtime is ToyCnn's exact math
+    val net = ToyCnn.seeded(99L, outDim = 8)
+    val loaded = Featurizers.forName("toycnn").load(net.toBytes)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 8).foreach(x => (0 until 8).foreach(y =>
+      img.getRaster.setSample(x, y, 0, (x * 8 + y) % 256)))
+    assert(loaded.featurize(img).toSeq == net.featurize(img).toSeq)
+    // a third-party adapter (the ONNX integration shape) registers and
+    // resolves by name; unknown names fail loudly with the inventory
+    object StubRuntime extends FeaturizerRuntime {
+      val name = "stub-onnx"
+      def load(bytes: Array[Byte]): ImageFeaturizer = new ImageFeaturizer {
+        def outDim = 2
+        def featurize(i: java.awt.image.BufferedImage) =
+          Array(bytes.length.toDouble, i.getWidth.toDouble)
+      }
+    }
+    Featurizers.register(StubRuntime)
+    assert(Featurizers.forName("stub-onnx")
+      .load(Array[Byte](1, 2, 3)).featurize(img).toSeq == Seq(3.0, 8.0))
+    val e = intercept[IllegalArgumentException](Featurizers.forName("nope"))
+    assert(e.getMessage.contains("stub-onnx") &&
+      e.getMessage.contains("toycnn"))
+  }
 }

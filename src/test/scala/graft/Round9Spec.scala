@@ -107,10 +107,17 @@ class Round9Spec extends AnyFunSuite {
       .select(col("qid"), col("rk").cast("int").as("rank"), col("vec_id"),
         round(col("dd"), 6).as("dist"))
       .orderBy("qid", "rank").collect()
-    val got = queries.Registry.all.find(_.name == "e17_knn_join").get
-      .run(spark, sf).collect()
+    val e17 = queries.Registry.all.find(_.name == "e17_knn_join").get
+      .run(spark, sf)
+    val got = e17.collect()
     assert(got.toSeq == expected.toSeq,
       s"salted join drifted from unsalted semantics (${got.length} vs ${expected.length} rows)")
+    // Plan pin: the salted (bucket, salt) shuffle shape must actually
+    // be exercised — without the hint AQE broadcasts the ~200-row
+    // query side and the demo degenerates to a BroadcastHashJoin.
+    val plan = e17.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"e17 must shuffle on (bucket, salt), not broadcast:\n$plan")
   }
 
   test("p16: encoding broadcasts the vocabulary and compresses words") {

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Text-dedup scale smoke — the MinHash-band (m1) and PPJoin
+  * prefix-filter (m5) 100 TB claims, asserted on data instead of plan
+  * shape. The bench `documents` table is 5k rows; this generates
+  * 500k- and 1M-doc corpora (≈5M/10M shingle-posting rows — 100–200×
+  * the bench scale) with a PLANTED duplicate rate and checks the two
+  * properties that make banded/prefix-filtered dedup viable at scale:
+  *
+  *  1. PAIR COUNTS ON THE MODEL — the corpus plants one dup pair per
+  *     100 docs (doc 100k+1 repeats doc 100k's text) and draws all
+  *     other words hash-uniform from a 1M vocabulary, so unrelated
+  *     docs share no word TRIGRAM and m1's candidate count must be
+  *     exactly planted(N) = N/100 PLUS the textbook LSH false-positive
+  *     term: ~(10N)²/2P doc pairs collide on one mod-P shingle-hash
+  *     value (J = 1/19) and band-match at the S-curve rate 4·J² ≈
+  *     1.1% — a Θ(N²/P) term this spec PINS to its closed form (≤3×
+  *     predicted), so any unmodeled candidate channel (the
+  *     stop-shingle blowup the prefix filter guards against, or a
+  *     rank-correlated hash family — this spec caught one) fails the
+  *     bound. m5 verifies candidates exactly (J=1/19 < 0.2), so its
+  *     RESULT must equal the planted count exactly.
+  *
+  *  2. SHUFFLE-VOLUME LINEARITY — total shuffle records/bytes written
+  *     across every exchange in the physical plan scale ≤2.5× when
+  *     the corpus doubles (read off the executed plan's
+  *     ShuffleExchange metrics; AQE disabled for the measurement so
+  *     stages aren't re-wrapped). This is the "no shuffle becomes the
+  *     bottleneck at 1000×" check: a posting-list self-join without
+  *     the prefix filter is Σ|posting|² and fails it on the first
+  *     doubling.
+  *
+  * m5 ≡ m1-planted-count also re-proves the prefix-filter
+  * LOSSLESSNESS lemma at 200× the scale Round4Spec pins it.
+  */
+class TextScaleSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val N = 500000L
+
+  /** Synthetic corpus: 12 words/doc, words = decimal strings of
+    * hash(seed, i) mod 1e6; docs with id ≡ 1 (mod 100) reuse their
+    * predecessor's seed (exact text dup ⇒ Jaccard 1 pair). Fully
+    * expression-generated — nothing transits the driver.
+    */
+  private def corpus(n: Long): DataFrame = {
+    val seed = col("id") -
+      when(pmod(col("id"), lit(100L)) === 1L, 1L).otherwise(0L)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(11)),
+        i => pmod(hash(seed, i), lit(1000000)).cast("string"))).as("text"),
+      lit("en").as("lang"),
+      lit("web").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Write `n` docs as a Tables-compatible sf dir and return its path. */
+  private def sfDir(n: Long): String = {
+    val dir = graft.util.TempDirs.create(s"graft_textscale_$n").toString
+    corpus(n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Run a registered query with AQE off, returning (rowCount,
+    * shuffle records written, shuffle bytes written) summed over every
+    * exchange in the executed plan.
+    */
+  private def measure(name: String, dir: String): (Long, Long, Long) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = queries.Registry.all.find(_.name == name).get.run(spark, dir)
+      val rows = df.count()
+      // count() re-plans; execute the real query once for its metrics
+      val df2 = queries.Registry.all.find(_.name == name).get.run(spark, dir)
+      df2.collect()
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val shuffles = unwrap(df2.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike =>
+          (s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L),
+            s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L))
+      }
+      (rows, shuffles.map(_._1).sum, shuffles.map(_._2).sum)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("m1/m5: planted-dup pair counts and shuffle volume scale linearly") {
+    val dir1 = sfDir(N)
+    val dir2 = sfDir(2 * N)
+    val expected1 = N / 100      // ids 1, 101, 201, …
+    val expected2 = 2 * N / 100
+
+    for (q <- Seq("m1_minhash_pairs", "m5_jaccard_inverted")) {
+      val t0 = System.nanoTime()
+      val (n1, rec1, by1) = measure(q, dir1)
+      val t1 = System.nanoTime()
+      val (n2, rec2, by2) = measure(q, dir2)
+      val t2 = System.nanoTime()
+      info(f"$q: N pairs=$n1%,d (rec=$rec1%,d, ${by1 / 1e6}%.1f MB, " +
+        f"${(t1 - t0) / 1e9}%.1fs) 2N pairs=$n2%,d (rec=$rec2%,d, " +
+        f"${by2 / 1e6}%.1f MB, ${(t2 - t1) / 1e9}%.1fs)")
+
+      // No planted dup may be lost (identical text ⇒ identical
+      // signature ⇒ all bands match). m1 additionally carries the
+      // S-curve false positives; m5's exact verification removes them.
+      def fpPredicted(n: Long): Double = {
+        val shingles = 10.0 * n
+        val collidingPairs = shingles * shingles / (2.0 * 1000000007.0)
+        collidingPairs * 4.0 / 361.0 // bands · J², J = 1/19
+      }
+      val slack1 = if (q.startsWith("m1")) (3 * fpPredicted(N)).toLong else 0L
+      val slack2 = if (q.startsWith("m1")) (3 * fpPredicted(2 * N)).toLong else 0L
+      assert(n1 >= expected1 && n1 <= expected1 + slack1,
+        s"$q at N: $n1 pairs, expected $expected1 planted (+$slack1 S-curve)")
+      assert(n2 >= expected2 && n2 <= expected2 + slack2,
+        s"$q at 2N: $n2 pairs, expected $expected2 planted (+$slack2 S-curve)")
+
+      // shuffle volume must not grow super-linearly on doubling
+      assert(rec2 <= rec1 * 5 / 2,
+        s"$q shuffle records grew ${rec2.toDouble / rec1}x on a 2x corpus")
+      assert(by2 <= by1 * 5 / 2,
+        s"$q shuffle bytes grew ${by2.toDouble / by1}x on a 2x corpus")
+    }
+  }
+}

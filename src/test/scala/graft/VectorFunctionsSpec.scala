@@ -45,6 +45,33 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(one(VF.cosine(typedLit(a), typedLit(a))) - 1.0) < 1e-12)
   }
 
+  /** Strict-dimension pin (VERDICT r7 #1): a length mismatch in any
+    * binary vector kernel must surface as an error, never fold the
+    * common prefix into a plausible wrong distance.
+    */
+  private def mustMismatch(c: org.apache.spark.sql.Column, label: String): Unit = {
+    val e = intercept[Throwable] {
+      Seq(1).toDF("x").select(c.as("v")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(m => m.contains("differ")), s"$label: $e")
+  }
+
+  test("dot/l2sq throw on dimension mismatch (no silent prefix fold)") {
+    val short = Array(1.0f, 2.0f)
+    mustMismatch(VF.dot(typedLit(a), typedLit(short)), "dot")
+    mustMismatch(VF.l2sq(typedLit(a), typedLit(short)), "l2sq")
+  }
+
+  test("hamming64/nibble_l2 throw on signature-length mismatch") {
+    val s1 = Array(3L, 5L)
+    val s2 = Array(3L)
+    mustMismatch(VF.hamming64(typedLit(s1), typedLit(s2)), "hamming64")
+    mustMismatch(VF.nibbleL2(typedLit(s1), typedLit(s2)), "nibble_l2")
+  }
+
   test("scala mirrors match column expressions") {
     val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
     assert(VF.dotS(ad, bd) === one(VF.dot(typedLit(a), typedLit(b))))
