@@ -48,7 +48,8 @@ object QuantCache {
         "e9_ivfpq_search" -> pqSql(idx.model, pruned = true),
         "e10_batch_pq_knn" -> batchPqSql(idx.model),
         "e14_ivfpq_residual" -> pqrSql(idx.model),
-        "e15_quant_error" -> quantErrSql(idx.model)))
+        "e15_quant_error" -> quantErrSql(idx.model),
+        "e18_ivf_recall_audit" -> ivfRecallSql(idx.model)))
       idx
     })
   }
@@ -93,6 +94,56 @@ object QuantCache {
        |  SELECT a.vec_id AS vec_id, ${DuckSql.l2sq("a.embedding", "q.qe")} AS dd
        |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
        |ORDER BY dd, vec_id LIMIT 10""".stripMargin
+
+  /** DuckDB twin of the IVF recall audit (e18): for the 10-query
+    * panel, exact top-10 over the whole corpus vs exact top-10 within
+    * the single probed (nearest-centroid) cell, recall = overlap/10 —
+    * cell assignment and query→cell routing recomputed in SQL from
+    * the injected trained centroids, so the MEASURED recall value
+    * itself is hash-checked (the m8 treatment applied to the IVF
+    * tier).
+    */
+  private[queries] def ivfRecallSql(m: QuantModel): String =
+    s"""WITH ${clCte(m)},
+       |q AS (SELECT vec_id AS qid, embedding AS qe
+       |      FROM embeddings WHERE vec_id < 10),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, cl.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${DuckSql.l2sq("e.embedding", "cl.ce")}, cl.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cl)
+       |  WHERE rn = 1),
+       |qc AS (
+       |  SELECT qid, cid AS qcell FROM (
+       |    SELECT q.qid, cl.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${DuckSql.l2sq("cl.ce", "q.qe")}, cl.cid) AS rn
+       |    FROM cl, q)
+       |  WHERE rn = 1),
+       |sc AS (
+       |  SELECT q.qid, a.vec_id, a.cid,
+       |         ${DuckSql.l2sq("a.embedding", "q.qe")} AS dd
+       |  FROM asg a, q),
+       |ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY dd, vec_id) AS rn
+       |    FROM sc)
+       |  WHERE rn <= 10),
+       |pr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT sc.qid, sc.vec_id,
+       |           row_number() OVER (PARTITION BY sc.qid
+       |             ORDER BY sc.dd, sc.vec_id) AS rn
+       |    FROM sc JOIN qc ON sc.qid = qc.qid AND sc.cid = qc.qcell)
+       |  WHERE rn <= 10)
+       |SELECT ex.qid, CAST(qc.qcell AS INT) AS probed_cell,
+       |  round(CAST(count(p.vec_id) AS DOUBLE) / 10, 6) AS recall_at10
+       |FROM ex
+       |LEFT JOIN pr p ON ex.qid = p.qid AND ex.vec_id = p.vec_id
+       |JOIN qc ON qc.qid = ex.qid
+       |GROUP BY ex.qid, qc.qcell ORDER BY ex.qid""".stripMargin
 
   /** DuckDB SQL replicating the PQ pipeline bit-for-bit: encode each
     * row against the INJECTED codebook literals (exact %.17e double

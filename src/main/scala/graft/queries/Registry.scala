@@ -23,7 +23,8 @@ object Registry {
       Round6cQueries.all ++
       Round7Queries.all ++
       Round8Queries.all ++
-      Round9Queries.all
+      Round9Queries.all ++
+      Round10Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -208,7 +208,7 @@ object Round9Queries {
 
   // ------------------------------------------------------------- d25
 
-  private val Bm25Terms = Seq("vector", "merge", "window")
+  private[queries] val Bm25Terms = Seq("vector", "merge", "window")
 
   val all: Seq[Q] = Seq(
 

@@ -45,7 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "r78_triangle_count", // three 1-row count aggregates combined
     "m8_lsh_audit",       // 10 broadcast query vectors × corpus scan
     "d25_bm25",           // 1-row N/avgdl corpus-stats broadcast
-    "r81_kmv_distinct"    // 1-row sketch × 1-row exact-count combine
+    "r81_kmv_distinct",   // 1-row sketch × 1-row exact-count combine
+    "v20_rrf_fusion",     // inherits d25's 1-row corpus-stats broadcast
+    "e18_ivf_recall_audit" // 10 broadcast panel queries × corpus scan
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {

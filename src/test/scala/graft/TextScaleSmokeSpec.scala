@@ -69,35 +69,47 @@ class TextScaleSmokeSpec extends AnyFunSuite {
     dir
   }
 
-  /** Run a registered query with AQE off, returning (rowCount,
-    * shuffle records written, shuffle bytes written) summed over every
-    * exchange in the executed plan.
+  private lazy val dir1 = sfDir(N)
+  private lazy val dir2 = sfDir(2 * N)
+
+  /** Shuffle records/bytes written, summed over every exchange in an
+    * EXECUTED plan (AQE must be off so exchanges aren't re-wrapped).
     */
-  private def measure(name: String, dir: String): (Long, Long, Long) = {
+  private def shuffleMetrics(
+      df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val shuffles = unwrap(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike =>
+        (s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L),
+          s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L))
+    }
+    (shuffles.map(_._1).sum, shuffles.map(_._2).sum)
+  }
+
+  private def withAqeOff[T](body: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Run a registered query with AQE off, returning (rowCount,
+    * shuffle records written, shuffle bytes written).
+    */
+  private def measure(name: String, dir: String): (Long, Long, Long) =
+    withAqeOff {
       val df = queries.Registry.all.find(_.name == name).get.run(spark, dir)
       val rows = df.count()
       // count() re-plans; execute the real query once for its metrics
       val df2 = queries.Registry.all.find(_.name == name).get.run(spark, dir)
       df2.collect()
-      def unwrap(p: SparkPlan): SparkPlan = p match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case other => other
-      }
-      val shuffles = unwrap(df2.queryExecution.executedPlan).collect {
-        case s: ShuffleExchangeLike =>
-          (s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L),
-            s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L))
-      }
-      (rows, shuffles.map(_._1).sum, shuffles.map(_._2).sum)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-  }
+      val (rec, by) = shuffleMetrics(df2)
+      (rows, rec, by)
+    }
 
   test("m1/m5: planted-dup pair counts and shuffle volume scale linearly") {
-    val dir1 = sfDir(N)
-    val dir2 = sfDir(2 * N)
     val expected1 = N / 100      // ids 1, 101, 201, …
     val expected2 = 2 * N / 100
 
@@ -132,5 +144,42 @@ class TextScaleSmokeSpec extends AnyFunSuite {
       assert(by2 <= by1 * 5 / 2,
         s"$q shuffle bytes grew ${by2.toDouble / by1}x on a 2x corpus")
     }
+  }
+
+  /** d10 (chunk dedup, the CCNet paragraph-level shape): at W=8 every
+    * 12-word doc yields exactly one chunk (its first 8 words), so the
+    * planted structure gives a closed-form answer — every doc
+    * surfaces, every non-dup doc keeps its chunk, every planted dup
+    * keeps none (its predecessor owns the chunk). No S-curve term
+    * here: the dedup key is the exact chunk string, so the count
+    * check is exact at 1M docs, and the chunk-keyed window + doc
+    * groupBy must shuffle linearly.
+    */
+  test("d10: chunk dedup exact keep-counts and linear shuffles at 1M docs") {
+    def stats(dir: String): (Long, Long, Long, Long, Long) = withAqeOff {
+      val agg = queries.Registry.all.find(_.name == "d10_chunk_dedup").get
+        .run(spark, dir)
+        .agg(count(lit(1)).as("docs"), sum("n_chunks").as("chunks"),
+          sum("n_kept").as("kept"))
+      // collect(), not head(): head() executes a separate limit(1)
+      // plan and would leave agg's own exchanges unexecuted (metrics 0)
+      val row = agg.collect()(0)
+      val (rec, by) = shuffleMetrics(agg)
+      assert(rec > 0, "d10 must shuffle (chunk window + doc groupBy)")
+      (row.getLong(0), row.getLong(1), row.getLong(2), rec, by)
+    }
+    val (docs1, chunks1, kept1, rec1, by1) = stats(dir1)
+    val (docs2, chunks2, kept2, rec2, by2) = stats(dir2)
+    info(f"d10: N docs=$docs1%,d kept=$kept1%,d (rec=$rec1%,d, " +
+      f"${by1 / 1e6}%.1f MB) 2N docs=$docs2%,d kept=$kept2%,d " +
+      f"(rec=$rec2%,d, ${by2 / 1e6}%.1f MB)")
+    assert(docs1 == N && chunks1 == N && kept1 == N - N / 100,
+      s"d10 at N: docs=$docs1 chunks=$chunks1 kept=$kept1")
+    assert(docs2 == 2 * N && chunks2 == 2 * N && kept2 == 2 * N - 2 * N / 100,
+      s"d10 at 2N: docs=$docs2 chunks=$chunks2 kept=$kept2")
+    assert(rec2 <= rec1 * 5 / 2,
+      s"d10 shuffle records grew ${rec2.toDouble / rec1}x on a 2x corpus")
+    assert(by2 <= by1 * 5 / 2,
+      s"d10 shuffle bytes grew ${by2.toDouble / by1}x on a 2x corpus")
   }
 }
