@@ -45,4 +45,24 @@ object TopKAgg {
     */
   def apply(id: Column, dist: Column, k: Int): Column =
     udaf(TopKAgg(k)).apply(id, dist)
+
+  /** FILTER (WHERE cond) form: the SQL-standard filtered aggregate
+    * applied to the custom Aggregator, so one groupBy can take e.g. an
+    * unconditional top-k AND a cell-restricted top-k in a SINGLE pass
+    * over the scan (e18 does) instead of re-scanning per aggregate.
+    * Only the aggregate's input is filtered — the buffer/merge
+    * machinery (map-side partial top-k, k-way merge) is unchanged.
+    *
+    * Goes through a registered SQL function: the Column form of a
+    * UDAF is an unresolved invoke node until the analyzer runs, so
+    * the FILTER clause can only attach via SQL syntax. Registration
+    * is idempotent (same name ⇒ same aggregator).
+    */
+  def filtered(s: org.apache.spark.sql.SparkSession,
+               id: String, dist: String, k: Int, cond: String): Column = {
+    val fname = s"graft_top_k_$k"
+    s.udf.register(fname, udaf(TopKAgg(k)))
+    org.apache.spark.sql.functions.expr(
+      s"$fname($id, $dist) FILTER (WHERE $cond)")
+  }
 }

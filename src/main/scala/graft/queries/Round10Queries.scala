@@ -132,12 +132,14 @@ object Round10Queries {
           .crossJoin(broadcast(qdf))
           .select(col("qid"), col("qcell"), col("id"), col("cell"),
             VF.l2sq(col("embedding"), col("qe")).as("dd"))
-        val exact = scored.groupBy("qid")
-          .agg(graft.functions.TopKAgg(col("id"), col("dd"), 10).as("ex"))
-        val probed = scored.where(col("cell") === col("qcell"))
-          .groupBy("qid", "qcell")
-          .agg(graft.functions.TopKAgg(col("id"), col("dd"), 10).as("pr"))
-        exact.join(probed, "qid")
+        // ONE pass: the probed top-10 is the same aggregate under a
+        // FILTER (WHERE cell = qcell) clause, so both top-10s ride a
+        // single scan + single shuffle (two separate groupBys would
+        // re-scan the index per aggregate).
+        scored.groupBy("qid", "qcell")
+          .agg(graft.functions.TopKAgg(col("id"), col("dd"), 10).as("ex"),
+            graft.functions.TopKAgg.filtered(s, "id", "dd", 10,
+              "cell = qcell").as("pr"))
           .select(col("qid"), col("qcell").cast("int").as("probed_cell"),
             round(
               size(array_intersect(
