@@ -131,15 +131,17 @@ object Report {
         "knn_pruned_recall_at10_p%d_of16_mt"))
       .flatMap { case (name, mbKey, rKey) =>
         q.get(mbKey).map(mb => (name, mb,
-          (1 to 4).flatMap(p => q.get(rKey.format(p)))))
+          // one cell per probe position: a missing middle key must
+          // render as "—" in ITS column, not compact later values left
+          (1 to 4).map(p => q.get(rKey.format(p)))))
       }
     if (layouts.nonEmpty) {
       sb ++= "### Storage vs recall (recall per MB)\n\n"
       sb ++= "| layout | index MB | r@10 p=1 | p=2 | p=3 | p=4 | " +
         "p=1 recall/MB |\n|---|---|---|---|---|---|---|\n"
       layouts.foreach { case (name, mb, rs) =>
-        val cells = rs.map(r => f"$r%.3f").padTo(4, "—").mkString(" | ")
-        val perMb = rs.headOption.map(r => f"${r / mb}%.4f").getOrElse("—")
+        val cells = rs.map(_.map(r => f"$r%.3f").getOrElse("—")).mkString(" | ")
+        val perMb = rs.head.map(r => f"${r / mb}%.4f").getOrElse("—")
         sb ++= f"| $name | $mb%.1f | $cells | $perMb |\n"
       }
       q.get("index_mb_mod3").foreach(mb =>

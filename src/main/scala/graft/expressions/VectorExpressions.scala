@@ -160,9 +160,6 @@ case class VecNorm(child: Expression, safe: Boolean)
 
 /** Static loop bodies shared by interpreted eval and generated code. */
 object VecEval {
-  /** Shared failure path for [[VecHamming64]] (interpreted + codegen):
-    * a signature-length mismatch is a layout bug, never a distance.
-    */
   /** Shared failure path for the binary vector folds (interpreted +
     * codegen): a dimension mismatch is a schema bug, never a distance.
     */
@@ -171,6 +168,9 @@ object VecEval {
       s"$name: vector dimensions differ ($a vs $b); " +
         "both sides of a distance/dot must share one embedding layout")
 
+  /** Shared failure path for [[VecHamming64]] (interpreted + codegen):
+    * a signature-length mismatch is a layout bug, never a distance.
+    */
   def hammingLenMismatch(a: Int, b: Int): Nothing =
     throw new IllegalArgumentException(
       s"vec_hamming64: signature lengths differ ($a vs $b words); " +

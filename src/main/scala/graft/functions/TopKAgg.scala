@@ -57,12 +57,19 @@ object TopKAgg {
     * UDAF is an unresolved invoke node until the analyzer runs, so
     * the FILTER clause can only attach via SQL syntax. Registration
     * is idempotent (same name ⇒ same aggregator).
+    *
+    * `id`/`dist` are COLUMN NAMES and are backquoted here, so names
+    * needing quoting resolve instead of parsing as expressions.
+    * `cond` is TRUSTED SQL, interpolated verbatim (it must be able to
+    * reference multiple columns) — pass literals/column references
+    * only, never untrusted input.
     */
   def filtered(s: org.apache.spark.sql.SparkSession,
                id: String, dist: String, k: Int, cond: String): Column = {
     val fname = s"graft_top_k_$k"
     s.udf.register(fname, udaf(TopKAgg(k)))
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
     org.apache.spark.sql.functions.expr(
-      s"$fname($id, $dist) FILTER (WHERE $cond)")
+      s"$fname(${q(id)}, ${q(dist)}) FILTER (WHERE $cond)")
   }
 }

@@ -82,7 +82,13 @@ object Round9Queries {
     * Cache key includes the session's identity hash, not just the
     * applicationId: the cached DataFrame is bound to the creating
     * SparkSession, and two sessions in one app (newSession(), tests)
-    * must not share it. Bench note: whichever of p15/p16/s24 runs
+    * must not share it. Accepted for the single-process harness (the
+    * m4Cache trade-off): identity hashes can collide across sessions,
+    * and entries keyed to dead sessions are never evicted — a weak map
+    * would not help because the cached DataFrame strongly references
+    * its session, so the value pins the key. A long-lived multi-tenant
+    * service would key on an explicit session-close callback instead.
+    * Bench note: whichever of p15/p16/s24 runs
     * first in a process pays the full 8-merge training; the committed
     * bench runs them in registry order (p15 first), so p16/s24 numbers
     * are encode-only — documented in BASELINE.md's round-9 table.

@@ -119,7 +119,14 @@ object TextQueries {
     val key = s.sparkContext.applicationId + "|" + d
     m4Cache.get(key) match {
       case Some(cached) =>
-        try { cached.head(1); cached }  // 1-task probe of checkpoint blocks
+        // Full-partition probe: checkpoint-block loss can be PARTIAL
+        // (some partitions dead, others alive), and a head(1) would
+        // pass on the first live partition while consumers still die
+        // on the dead ones. count() touches every partition's blocks
+        // (a foreachPartition with an empty body would NOT — tasks
+        // succeed without ever pulling the lazy iterator); the
+        // clusters frame is cluster-count-sized, so this is cheap.
+        try { cached.count(); cached }
         catch {
           case scala.util.control.NonFatal(_) =>
             m4Cache.remove(key)
