@@ -41,6 +41,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * loudly at schema inference — a silent coercion would corrupt data.
   * The matching DSv2 sink ([[AvroWriteBuilder]]) maps a DataFrame
   * schema back to the same shapes.
+  *
+  * Corruption policy (`mode` option): `FAILFAST` (default) kills the
+  * job on any unreadable container — the right default for data whose
+  * loss must be LOUD. `PERMISSIVE` quarantines instead (the x22
+  * corrupt-CSV treatment applied to binary containers): a file whose
+  * header won't open contributes zero rows, and a truncated/corrupt
+  * block mid-file keeps the records decoded before the corruption
+  * point and drops the rest of that split — each with one warning
+  * naming the file. At 100 TB one torn container must not kill a
+  * thousand-task read; the unsupported-TYPE policy above is separate
+  * and always fails loudly (that's a schema contract, not bit rot).
   */
 class AvroSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "avrograft"
@@ -62,8 +73,14 @@ class AvroSource extends TableProvider with DataSourceRegister {
 }
 
 object AvroSource {
+
+  private[sources] def isPermissive(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("mode")).exists(_.equalsIgnoreCase("permissive"))
+
   /** First .avro file's writer schema + the file list (sorted for
-    * deterministic partition planning).
+    * deterministic partition planning). In PERMISSIVE mode a file
+    * whose header won't open is skipped for inference (later files
+    * are tried in order) — the read side then quarantines it too.
     */
   private[sources] def writerSchema(
       options: CaseInsensitiveStringMap): (Schema, Seq[FileStatus]) = {
@@ -75,11 +92,33 @@ object AvroSource {
     val fs = p.getFileSystem(conf)
     val files = listAvro(fs, p).sortBy(_.getPath.toString)
     require(files.nonEmpty, s"no .avro files under $path")
-    val in = new FsInput(files.head.getPath, conf)
-    val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    try (r.getSchema, files)
-    finally r.close()
+    def headerOf(f: FileStatus): Schema = {
+      val in = new FsInput(f.getPath, conf)
+      val r = new DataFileReader[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try r.getSchema
+      finally r.close()
+    }
+    if (!isPermissive(options)) (headerOf(files.head), files)
+    else {
+      val it = files.iterator.map(f =>
+        try Some(headerOf(f))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            AvroSource.warnQuarantine(f.getPath.toString,
+              s"unreadable header during schema inference (${e.getMessage})")
+            None
+        })
+      (it.collectFirst { case Some(s) => s }.getOrElse(
+        throw new IllegalArgumentException(
+          s"no readable .avro container under $path")), files)
+    }
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[AvroSource])
+
+  private[sources] def warnQuarantine(file: String, why: String): Unit =
+    log.warn(s"avrograft PERMISSIVE: quarantining $file — $why")
 
   private def listAvro(fs: FileSystem, p: HPath): Seq[FileStatus] = {
     val st = fs.getFileStatus(p)
@@ -390,7 +429,7 @@ final class AvroScan(options: CaseInsensitiveStringMap, required: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = HadoopConfSnapshot.capture(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    new AvroReaderFactory(conf, required)
+    new AvroReaderFactory(conf, required, AvroSource.isPermissive(options))
   }
 
   /** Streaming form: file-list offsets (the NPZ-source convention) —
@@ -401,12 +440,14 @@ final class AvroScan(options: CaseInsensitiveStringMap, required: StructType)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val conf = HadoopConfSnapshot.capture(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    new AvroMicroBatchStream(options.get("path"), required, conf)
+    new AvroMicroBatchStream(options.get("path"), required, conf,
+      AvroSource.isPermissive(options))
   }
 }
 
 final class AvroMicroBatchStream(
-    path: String, required: StructType, snap: HadoopConfSnapshot)
+    path: String, required: StructType, snap: HadoopConfSnapshot,
+    permissive: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -448,7 +489,7 @@ final class AvroMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(snap, required)
+    new AvroReaderFactory(snap, required, permissive)
 
   override def commit(end: Offset): Unit =
     seen = seen ++ end.asInstanceOf[NpzOffset].files
@@ -459,45 +500,71 @@ final class AvroMicroBatchStream(
 final case class AvroPartition(path: String, start: Long, end: Long)
     extends InputPartition
 
-final class AvroReaderFactory(conf: HadoopConfSnapshot, required: StructType)
+final class AvroReaderFactory(conf: HadoopConfSnapshot, required: StructType,
+                              permissive: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ap = p.asInstanceOf[AvroPartition]
-    new AvroPartitionReader(conf, required, ap)
+    new AvroPartitionReader(conf, required, ap, permissive)
   }
 }
 
 /** Reads records in [first sync ≥ start, first sync ≥ end) — each
   * byte range yields a disjoint, exhaustive slice of the file's
   * blocks (the Hadoop split protocol). Decodes only projected fields.
+  *
+  * With `permissive`, corruption is quarantined instead of fatal: an
+  * unopenable header yields an empty split, and a decode failure
+  * mid-split (truncated block, torn sync) ends the split at the last
+  * good record — a deterministic prefix, never garbage rows, because
+  * Avro decoding fails before a partially-read record is surfaced.
   */
 final class AvroPartitionReader(
-    conf: HadoopConfSnapshot, required: StructType, part: AvroPartition)
+    conf: HadoopConfSnapshot, required: StructType, part: AvroPartition,
+    permissive: Boolean = false)
     extends PartitionReader[InternalRow] {
 
-  private val reader: DataFileReader[GenericRecord] = {
-    val in = new FsInput(new HPath(part.path), conf.conf)
-    val header = new DataFileReader[GenericRecord](
-      in, new GenericDatumReader[GenericRecord]())
-    val writer = header.getSchema
-    header.close()
-    val projected = AvroSource.project(writer, required.fieldNames.toSeq)
-    val in2 = new FsInput(new HPath(part.path), conf.conf)
-    val r = new DataFileReader[GenericRecord](
-      in2, new GenericDatumReader[GenericRecord](writer, projected))
-    r.sync(part.start)
-    r
-  }
+  private val reader: DataFileReader[GenericRecord] =
+    try {
+      val in = new FsInput(new HPath(part.path), conf.conf)
+      val header = new DataFileReader[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      val writer = header.getSchema
+      header.close()
+      val projected = AvroSource.project(writer, required.fieldNames.toSeq)
+      val in2 = new FsInput(new HPath(part.path), conf.conf)
+      val r = new DataFileReader[GenericRecord](
+        in2, new GenericDatumReader[GenericRecord](writer, projected))
+      r.sync(part.start)
+      r
+    } catch {
+      case scala.util.control.NonFatal(e) if permissive =>
+        AvroSource.warnQuarantine(part.path,
+          s"container header unreadable (${e.getMessage})")
+        null
+    }
   private var record: GenericRecord = _
   private val converters: Array[AnyRef => Any] =
     required.fields.map(f => AvroPartitionReader.converter(f.dataType))
 
   override def next(): Boolean = {
-    if (reader.hasNext && !reader.pastSync(part.end)) {
-      record = reader.next(record)
-      true
-    } else false
+    if (reader == null) return false
+    try {
+      if (reader.hasNext && !reader.pastSync(part.end)) {
+        record = reader.next(record)
+        true
+      } else false
+    } catch {
+      case scala.util.control.NonFatal(e) if permissive =>
+        AvroSource.warnQuarantine(part.path,
+          s"corrupt block at ~byte ${safeTell()} — keeping the " +
+            s"records decoded before it (${e.getMessage})")
+        false
+    }
   }
+
+  private def safeTell(): Long =
+    try reader.tell() catch { case scala.util.control.NonFatal(_) => -1L }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](required.length)
@@ -510,7 +577,7 @@ final class AvroPartitionReader(
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 object AvroPartitionReader {
