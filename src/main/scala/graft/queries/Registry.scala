@@ -24,7 +24,8 @@ object Registry {
       Round7Queries.all ++
       Round8Queries.all ++
       Round9Queries.all ++
-      Round10Queries.all
+      Round10Queries.all ++
+      Round11Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -313,6 +313,55 @@ final class QuantIndex(
     (before, VectorStore.countDataFiles(spark, path))
   }
 
+  /** Re-train every quantizer on the CURRENT corpus and re-encode —
+    * FAISS's retrain path, closing the audit→action loop: `add` after
+    * a distribution shift encodes against stale codebooks (by design —
+    * codes are functions of the trained model), the e18/m8-style
+    * recall audits MEASURE the resulting drift, and this is the action
+    * the measurement calls for. One training pass (distributed stats +
+    * bounded driver sample, exactly [[QuantIndex.build]]'s shape), one
+    * distributed re-encode, one cell-repartitioned rewrite; the
+    * within-cell id sort is preserved so the re-rank's id pushdown
+    * keeps row-group-skipping. Returns the retrained index (this
+    * instance's model is immutable — use the returned one).
+    */
+  def retrain(): QuantIndex = {
+    // localCheckpoint severs the file-source lineage: the re-encode
+    // reads the same path the write overwrites
+    val data = indexDf.select(col("id"), col("embedding"))
+      .localCheckpoint(true)
+    val newModel = QuantModel.train(data, model.cfg)
+    QuantIndex.encode(data, newModel, "id", "embedding")
+      .repartition(newModel.cfg.ivfCells, col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    newModel.save(s"$path/_quant_model.json")
+    invalidateResident()
+    new QuantIndex(spark, path, newModel)
+  }
+
+  /** Measured `nprobe`-probe recall@k over a query panel — the e18
+    * audit as a store method, so retraining decisions can be made (and
+    * tested) against the same number the audit reports: for each
+    * query, |exact top-k ∩ top-k within the probed cells| / k,
+    * averaged over the panel. Cost is ~one corpus scan per query at
+    * the panel sizes audits use.
+    */
+  def recallAtK(panel: Seq[Array[Double]], k: Int = 10,
+                nprobe: Int = 1): Double = {
+    require(panel.nonEmpty, "empty audit panel")
+    val rs = panel.map { q =>
+      val exact = indexDf
+        .select(col("id"), VF.l2sqLit(col("embedding"), q).as("d"))
+        .orderBy(col("d"), col("id")).limit(k)
+        .collect().map(_.getLong(0)).toSet
+      val probed = searchIvf(q, k, nprobe)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect probed).size.toDouble / exact.size
+    }
+    rs.sum / rs.size
+  }
+
   private def invalidateResident(): Unit = resident.foreach { df =>
     df.unpersist()
     resident = None

@@ -58,6 +58,89 @@ final class VectorStore(
     */
   def stats(): DataFrame = VectorStore.statsOf(indexDf, model.cfg.dim)
 
+  /** Measure the recall-vs-probes curve over a query panel and persist
+    * it next to the index (`_recall_curve.json`): curve(p) = mean
+    * recall@k of p-probe pruned search vs exact, p = 1..numBuckets.
+    * This is the reference's claimed-but-never-implemented
+    * "latency vs recall tradeoffs" knob (`Readme.md:19`) made real:
+    * the m8/e18 audit number, per probe depth, stored where
+    * [[searchAtRecall]] can act on it.
+    *
+    * Cost: ONE corpus scan regardless of numBuckets — the panel
+    * broadcasts into the scan and every probe depth is a FILTERed
+    * [[graft.functions.TopKAgg]] over the same pass (the e18 shape;
+    * `candidates(q, p)` is a prefix of `candidates(q, p+1)` by
+    * construction, so depth-p membership is one array_position test).
+    * Cheap enough to re-run per-ingest; at 100 TB this is the audit
+    * you schedule, not the search path.
+    */
+  def auditRecallCurve(panel: Seq[Array[Double]], k: Int = 10): Seq[Double] = {
+    require(panel.nonEmpty, "empty audit panel")
+    val kk = math.max(1, k)
+    val nb = model.numBuckets
+    val sess = spark
+    import sess.implicits._
+    val pdf = panel.zipWithIndex.map { case (q, i) =>
+      (i.toLong, q.toSeq, model.candidates(q, nb).toArray)
+    }.toDF("qid", "qe", "cands")
+    val scored = indexDf.crossJoin(broadcast(pdf))
+      .select(col("qid"), col("cands"), col("id"),
+        col("bucket").cast("int").as("bucket"),
+        VF.l2sq(col("embedding"), col("qe")).as("dd"))
+    val aggs =
+      graft.functions.TopKAgg(col("id"), col("dd"), kk).as("ex") +:
+        (1 to nb).map(p => graft.functions.TopKAgg.filtered(spark, "id", "dd",
+          kk, s"array_position(cands, bucket) BETWEEN 1 AND $p").as(s"pr_$p"))
+    val perQuery = scored.groupBy("qid").agg(aggs.head, aggs.tail: _*)
+      .select((1 to nb).map { p =>
+        (size(array_intersect(
+          expr("transform(ex, x -> x._1)"),
+          expr(s"transform(pr_$p, x -> x._1)"))).cast("double") /
+          size(col("ex"))).as(s"r_$p")
+      }: _*)
+    val row = perQuery.agg(
+      avg(col("r_1")), (2 to nb).map(p => avg(col(s"r_$p"))): _*).head
+    val curve = (0 until nb).map(row.getDouble)
+    val json = s"""{"k":$kk,"panel":${panel.size},""" +
+      s""""recall":${curve.map(d => f"$d%.17e").mkString("[", ",", "]")}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_recall_curve.json"), json)
+    curve
+  }
+
+  /** The persisted measured curve (k, recall-per-probe), if
+    * [[auditRecallCurve]] has run for this index.
+    */
+  def recallCurve(): Option[(Int, Seq[Double])] = {
+    val p = java.nio.file.Paths.get(s"$path/_recall_curve.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    val s = java.nio.file.Files.readString(p)
+    val k = s.substring(s.indexOf("\"k\":") + 4,
+      s.indexWhere(c => c == ',' || c == '}', s.indexOf("\"k\":") + 4)).trim.toInt
+    val body = s.substring(s.indexOf("\"recall\":[") + 10, s.lastIndexOf("]"))
+    Some((k, body.split(",").map(_.trim.toDouble).toSeq))
+  }
+
+  /** Smallest probe count whose MEASURED recall meets the target —
+    * conservative by construction: with no persisted audit, or a
+    * target above every measured point, it degenerates to exact
+    * search (all buckets) rather than under-deliver.
+    */
+  def probesForRecall(minRecall: Double): Int = recallCurve() match {
+    case Some((_, curve)) =>
+      val i = curve.indexWhere(_ >= minRecall)
+      if (i < 0) model.numBuckets else i + 1
+    case None => model.numBuckets
+  }
+
+  /** Recall-targeted kNN: probe depth chosen from the persisted
+    * measured curve instead of a hand-tuned constant. The latency/
+    * recall knob exposed in the unit a user actually wants.
+    */
+  def searchAtRecall(q: Array[Double], k: Int, minRecall: Double,
+                     filter: Column = lit(true)): DataFrame =
+    search(q, k, probesForRecall(minRecall), filter)
+
   /** Delete vectors by id, rewriting ONLY the buckets that contain
     * them (dynamic partition overwrite — at scale this touches a few
     * partition directories, never the whole table). Returns the number
