@@ -243,7 +243,11 @@ object VecEval {
       if (acc > 0.0) sum += 1L << j
       j += 1
     }
-    (sum % numBuckets).toInt
+    // floorMod, not %: with >=64 projection bits (16 tables x 4 fns)
+    // bit 63 is 1L<<63 = Long.MIN_VALUE, sum goes negative, and Java %
+    // keeps the dividend's sign — buckets would land in
+    // (-numBuckets, numBuckets), silently doubling the partition count.
+    java.lang.Math.floorMod(sum, numBuckets.toLong).toInt
   }
 }
 

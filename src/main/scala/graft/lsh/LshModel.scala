@@ -93,7 +93,12 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
         s"CAST(($emb)[i] AS DOUBLE) * (${rowLit(row)})[i]))"
       s"(CASE WHEN $dotJ > 0 THEN ${1L << j} ELSE 0 END)"
     }
-    s"(CAST((${terms.mkString(" + ")}) % ${cfg.numHashTables} AS INT))"
+    // pmod, not %: DuckDB's % follows the dividend's sign like Java's,
+    // and on 64-bit configs the j=63 term is the negative literal
+    // -2^63 (Scala's 1L<<63 wraps), so the sum can be negative. The
+    // ((x % m) + m) % m form mirrors Math.floorMod in VecEval.lshBucket.
+    val m = cfg.numHashTables
+    s"(CAST((((${terms.mkString(" + ")}) % $m + $m) % $m) AS INT))"
   }
 
   // -------------------------------------------------------------- scala
@@ -109,7 +114,9 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
     var sum = 0L
     var j = 0
     while (j < bits.length) { sum += bits(j).toLong << j; j += 1 }
-    (sum % cfg.numHashTables).toInt
+    // floorMod mirrors VecEval.lshBucket: bit 63 wraps sum negative on
+    // 64-bit configs and signed % would emit negative bucket ids.
+    java.lang.Math.floorMod(sum, cfg.numHashTables.toLong).toInt
   }
 
   def bucket(v: Array[Double]): Int = bucketOfBits(bits(v))
@@ -261,7 +268,7 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
     val rows = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val json =
       s"""{"numHashFunctions":${cfg.numHashFunctions},"numHashTables":${cfg.numHashTables},"dim":${cfg.dim},"seed":${cfg.seed},"multiTable":${cfg.multiTable},"matrix":$rows}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    graft.util.FsIo.writeString(path, json)
   }
 }
 
@@ -276,7 +283,7 @@ object LshModel {
   }
 
   def load(path: String): LshModel = {
-    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val s = graft.util.FsIo.readString(path)
     def num(key: String): String = {
       val i = s.indexOf("\"" + key + "\":") + key.length + 3
       s.substring(i, s.indexWhere(c => c == ',' || c == '}', i))

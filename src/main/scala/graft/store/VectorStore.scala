@@ -33,9 +33,21 @@ final class VectorStore(
   def indexDf: DataFrame = spark.read.parquet(path)
 
   /** Append vectors (id, embedding) into the bucketed index table. */
-  def add(df: DataFrame, idCol: String = "id", embCol: String = "embedding"): Unit =
+  def add(df: DataFrame, idCol: String = "id", embCol: String = "embedding"): Unit = {
     VectorStore.bucketize(df, model, idCol, embCol)
       .write.mode("append").partitionBy("bucket").parquet(path)
+    invalidateRecallCurve()
+  }
+
+  /** Drop the persisted recall curve: it was MEASURED against a
+    * specific corpus, so any mutation (add/delete/upsert) makes it
+    * stale — a stale curve would turn [[probesForRecall]]'s
+    * "conservative by construction" contract optimistic. With no
+    * curve, recall-targeted search degenerates to exact (all-bucket)
+    * probing until the audit is re-run: never under-deliver.
+    */
+  private def invalidateRecallCurve(): Unit =
+    graft.util.FsIo.delete(s"$path/_recall_curve.json")
 
   /** kNN over the persisted index. `probes >= numBuckets` = exact.
     * `filter` restricts the search to matching rows (metadata-filtered
@@ -103,8 +115,9 @@ final class VectorStore(
     val curve = (0 until nb).map(row.getDouble)
     val json = s"""{"k":$kk,"panel":${panel.size},""" +
       s""""recall":${curve.map(d => f"$d%.17e").mkString("[", ",", "]")}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/_recall_curve.json"), json)
+    // Hadoop FS, not java.nio: this sidecar drives search behavior, so
+    // it must live on the index's filesystem (hdfs://, s3a://, ...).
+    graft.util.FsIo.writeString(s"$path/_recall_curve.json", json)
     curve
   }
 
@@ -112,9 +125,9 @@ final class VectorStore(
     * [[auditRecallCurve]] has run for this index.
     */
   def recallCurve(): Option[(Int, Seq[Double])] = {
-    val p = java.nio.file.Paths.get(s"$path/_recall_curve.json")
-    if (!java.nio.file.Files.exists(p)) return None
-    val s = java.nio.file.Files.readString(p)
+    val fp = s"$path/_recall_curve.json"
+    if (!graft.util.FsIo.exists(fp)) return None
+    val s = graft.util.FsIo.readString(fp)
     val k = s.substring(s.indexOf("\"k\":") + 4,
       s.indexWhere(c => c == ',' || c == '}', s.indexOf("\"k\":") + 4)).trim.toInt
     val body = s.substring(s.indexOf("\"recall\":[") + 10, s.lastIndexOf("]"))
@@ -170,6 +183,7 @@ final class VectorStore(
     // a fully-emptied bucket keeps its stale files — drop its directory
     VectorStore.dropBucketDirs(spark, path,
       affected.filterNot(keptPerBucket).toSeq)
+    invalidateRecallCurve()
     before - remaining.count()
   }
 
@@ -217,6 +231,7 @@ final class VectorStore(
     // would keep its stale files — drop its directory
     VectorStore.dropBucketDirs(spark, path,
       af.map(_.intValue()).filterNot(kept))
+    invalidateRecallCurve()
   }
 
   /** Compact the index's data files. Every `add`/streaming ingest

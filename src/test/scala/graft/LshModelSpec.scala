@@ -65,6 +65,50 @@ class LshModelSpec extends AnyFunSuite {
     assert(m2.matrix.flatten.toSeq == model.matrix.flatten.toSeq)
   }
 
+  // 16 tables x 4 fns = 64 projection bits: bit 63 is 1L<<63 =
+  // Long.MIN_VALUE, so the pre-floorMod formula emitted buckets in
+  // (-16, 16) — 31 partitions on a store claiming 16. Pin the fix on
+  // driver formula, codegen expression, AND the on-disk layout.
+  test("64-bit config: buckets stay in [0, numBuckets) everywhere") {
+    val cfg16 = LshConfig(numHashFunctions = 4, numHashTables = 16,
+      dim = 8, seed = 7L)
+    val m16 = LshModel(cfg16)
+    forRandomVecs(500) { v =>
+      val b = m16.bucket(v)
+      assert(b >= 0 && b < 16, s"driver bucket $b out of range")
+    }
+    // negative-sum corner exactly: only bit 63 set → sum = Long.MIN_VALUE,
+    // floorMod(Long.MIN_VALUE, 16) = 0 (Java % would give -8... sign issues)
+    assert(m16.bucketOfBits(Array.tabulate(64)(j => if (j == 63) 1 else 0)) ==
+      java.lang.Math.floorMod(Long.MinValue, 16L).toInt)
+  }
+
+  test("16-table store: <= numBuckets partitions; candidates cover all") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.TempDirs.create("graft_lsh16").toString + "/index"
+    val store = graft.store.VectorStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      dir, LshConfig(numHashTables = 16, dim = 64, seed = 42L))
+    val stored = store.indexDf.select("bucket").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSet
+    assert(stored.forall(b => b >= 0 && b < 16), s"out-of-range: $stored")
+    assert(stored.size <= 16)
+    // on-disk partition directories match — no hidden negative dirs
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).toSet
+    assert(dirs == stored, s"disk $dirs != data $stored")
+    // probes=numBuckets enumerates the complete bucket space, so the
+    // candidates path covers every stored bucket (exactness at p=16)
+    forRandomVecs(50) { v0 =>
+      val v = java.util.Arrays.copyOf(v0, 64)
+      val c = store.model.candidates(v, 16).toSet
+      assert(stored.subsetOf(c), s"candidates $c miss ${stored.diff(c)}")
+    }
+  }
+
   test("bucketCol matches driver-side bucket on real data") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
