@@ -95,6 +95,33 @@ object QuantCache {
        |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
        |ORDER BY dd, vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB twin of [[graft.store.QuantIndex.searchIvf]] at an
+    * arbitrary `nprobe`, the chosen depth echoed as a column — e19's
+    * recall-targeted replay: injected LATE, after the measured curve
+    * picks nprobe, so the curve-driven choice itself is hash-checked
+    * (a wrong choice probes different cells and the rows diverge).
+    */
+  private[queries] def ivfSqlAtNprobe(m: QuantModel, nprobe: Int): String =
+    s"""WITH ${clCte(m)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, cl.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${DuckSql.l2sq("e.embedding", "cl.ce")}, cl.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cl)
+       |  WHERE rn = 1),
+       |qc AS (
+       |  SELECT cid FROM (
+       |    SELECT cl.cid,
+       |           row_number() OVER (ORDER BY ${DuckSql.l2sq("cl.ce", "q.qe")}, cl.cid) AS rn
+       |    FROM cl, q)
+       |  WHERE rn <= $nprobe)
+       |SELECT vec_id, round(dd, 6) AS dist, CAST($nprobe AS INT) AS nprobe FROM (
+       |  SELECT a.vec_id AS vec_id, ${DuckSql.l2sq("a.embedding", "q.qe")} AS dd
+       |  FROM asg a, q WHERE a.cid IN (SELECT cid FROM qc))
+       |ORDER BY dd, vec_id LIMIT 10""".stripMargin
+
   /** DuckDB twin of the IVF recall audit (e18): for the 10-query
     * panel, exact top-10 over the whole corpus vs exact top-10 within
     * the single probed (nearest-centroid) cell, recall = overlap/10 —

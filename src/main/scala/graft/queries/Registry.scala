@@ -25,7 +25,8 @@ object Registry {
       Round8Queries.all ++
       Round9Queries.all ++
       Round10Queries.all ++
-      Round11Queries.all
+      Round11Queries.all ++
+      Round12Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -77,6 +77,22 @@ object AvroSource {
   private[sources] def isPermissive(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("mode")).exists(_.equalsIgnoreCase("permissive"))
 
+  /** Open a container reader over a fresh FsInput, closing the input
+    * when the reader constructor throws — otherwise every corrupt
+    * container leaks one open stream per probing task on the
+    * quarantine (and FAILFAST error) paths.
+    */
+  private[sources] def openReader(
+      path: HPath, conf: org.apache.hadoop.conf.Configuration,
+      datum: GenericDatumReader[GenericRecord]): DataFileReader[GenericRecord] = {
+    val in = new FsInput(path, conf)
+    try new DataFileReader[GenericRecord](in, datum)
+    catch { case e: Throwable => closeQuietly(in); throw e }
+  }
+
+  private[sources] def closeQuietly(c: java.io.Closeable): Unit =
+    try c.close() catch { case scala.util.control.NonFatal(_) => () }
+
   /** First .avro file's writer schema + the file list (sorted for
     * deterministic partition planning). In PERMISSIVE mode a file
     * whose header won't open is skipped for inference (later files
@@ -93,9 +109,8 @@ object AvroSource {
     val files = listAvro(fs, p).sortBy(_.getPath.toString)
     require(files.nonEmpty, s"no .avro files under $path")
     def headerOf(f: FileStatus): Schema = {
-      val in = new FsInput(f.getPath, conf)
-      val r = new DataFileReader[GenericRecord](
-        in, new GenericDatumReader[GenericRecord]())
+      val r = AvroSource.openReader(f.getPath, conf,
+        new GenericDatumReader[GenericRecord]())
       try r.getSchema
       finally r.close()
     }
@@ -526,17 +541,14 @@ final class AvroPartitionReader(
 
   private val reader: DataFileReader[GenericRecord] =
     try {
-      val in = new FsInput(new HPath(part.path), conf.conf)
-      val header = new DataFileReader[GenericRecord](
-        in, new GenericDatumReader[GenericRecord]())
-      val writer = header.getSchema
-      header.close()
+      val header = AvroSource.openReader(new HPath(part.path), conf.conf,
+        new GenericDatumReader[GenericRecord]())
+      val writer = try header.getSchema finally header.close()
       val projected = AvroSource.project(writer, required.fieldNames.toSeq)
-      val in2 = new FsInput(new HPath(part.path), conf.conf)
-      val r = new DataFileReader[GenericRecord](
-        in2, new GenericDatumReader[GenericRecord](writer, projected))
-      r.sync(part.start)
-      r
+      val r = AvroSource.openReader(new HPath(part.path), conf.conf,
+        new GenericDatumReader[GenericRecord](writer, projected))
+      try { r.sync(part.start); r }
+      catch { case e: Throwable => AvroSource.closeQuietly(r); throw e }
     } catch {
       case scala.util.control.NonFatal(e) if permissive =>
         AvroSource.warnQuarantine(part.path,

@@ -217,7 +217,10 @@ final class QuantModel(
       s""""dim":$dim,"mins":${arr(mins)},"scales":${arr(scales)},""" +
       s""""ivf_flat":${arr(ivfCentroids.flatten)},"books_flat":${arr(pqBooks.flatten.flatten)},""" +
       s""""booksr_flat":${arr(pqrBooks.flatten.flatten)}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    // Atomic (tmp + rename): this file's existence marks a versioned
+    // index snapshot COMPLETE (QuantIndex.currentDataDir), so it must
+    // never be observable half-written.
+    graft.util.FsIo.writeStringAtomic(path, json)
   }
 }
 
@@ -323,7 +326,7 @@ object QuantModel {
   }
 
   def load(path: String): QuantModel = {
-    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val s = graft.util.FsIo.readString(path)
     def field(key: String): String = {
       require(s.contains("\"" + key + "\":"),
         s"$path lacks '$key' — index built by an older graft version; " +

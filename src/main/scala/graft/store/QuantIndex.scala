@@ -28,10 +28,20 @@ final class QuantIndex(
     val path: String,
     val model: QuantModel) {
 
+  /** Data directory of the snapshot this instance serves, resolved
+    * ONCE at construction: either the flat legacy layout (`cell=` dirs
+    * directly under `path`, what [[QuantIndex.build]] writes) or the
+    * highest COMPLETE versioned snapshot `path/_versions/vN` left by
+    * [[retrain]]. Pinning it here means an instance keeps serving one
+    * consistent snapshot; after a retrain, reopen (or use the returned
+    * instance) to see the new version.
+    */
+  val dataDir: String = QuantIndex.currentDataDir(spark, path)
+
   @transient private var resident: Option[DataFrame] = None
 
   def indexDf: DataFrame =
-    resident.getOrElse(spark.read.parquet(path))
+    resident.getOrElse(spark.read.parquet(dataDir))
 
   /** Pin the index in executor memory for interactive serving (the
     * analogue of the reference's always-resident FAISS index): all
@@ -40,7 +50,7 @@ final class QuantIndex(
     * search plans a fresh parquet scan (the right default for batch).
     */
   def cacheIndex(): this.type = {
-    val df = spark.read.parquet(path).cache()
+    val df = spark.read.parquet(dataDir).cache()
     df.count()
     resident = Some(df)
     this
@@ -220,7 +230,8 @@ final class QuantIndex(
   def add(df: DataFrame, idCol: String = "id",
           embCol: String = "embedding"): Unit = {
     QuantIndex.encode(df, model, idCol, embCol)
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .write.mode("append").partitionBy("cell").parquet(dataDir)
+    invalidateRecallCurve()
     invalidateResident()
   }
 
@@ -245,9 +256,10 @@ final class QuantIndex(
       .collect().map(_.getAs[Number](0).intValue()).toSet
     remaining.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(path)
-    VectorStore.dropPartitionDirs(spark, path, "cell",
+      .partitionBy("cell").parquet(dataDir)
+    VectorStore.dropPartitionDirs(spark, dataDir, "cell",
       affected.filterNot(kept).toSeq)
+    invalidateRecallCurve()
     invalidateResident()
     before - remaining.count()
   }
@@ -280,9 +292,10 @@ final class QuantIndex(
       .collect().map(_.getAs[Number](0).intValue()).toSet
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(path)
-    VectorStore.dropPartitionDirs(spark, path, "cell",
+      .partitionBy("cell").parquet(dataDir)
+    VectorStore.dropPartitionDirs(spark, dataDir, "cell",
       af.map(_.intValue()).filterNot(kept))
+    invalidateRecallCurve()
     invalidateResident()
   }
 
@@ -293,8 +306,8 @@ final class QuantIndex(
     * filesAfter).
     */
   def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
-    val before = VectorStore.countDataFiles(spark, path)
-    val df = spark.read.parquet(path).localCheckpoint(true)
+    val before = VectorStore.countDataFiles(spark, dataDir)
+    val df = spark.read.parquet(dataDir).localCheckpoint(true)
     // max over zero groups is NULL — nothing to compact
     val maxRow = df.groupBy("cell").count().agg(max("count")).head
     if (maxRow.isNullAt(0)) return (before, before)
@@ -308,9 +321,9 @@ final class QuantIndex(
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(path)
+      .partitionBy("cell").parquet(dataDir)
     invalidateResident()
-    (before, VectorStore.countDataFiles(spark, path))
+    (before, VectorStore.countDataFiles(spark, dataDir))
   }
 
   /** Re-train every quantizer on the CURRENT corpus and re-encode —
@@ -324,18 +337,44 @@ final class QuantIndex(
     * within-cell id sort is preserved so the re-rank's id pushdown
     * keeps row-group-skipping. Returns the retrained index (this
     * instance's model is immutable — use the returned one).
+    *
+    * Crash-safe by versioned snapshot: the rewrite reads the CURRENT
+    * data directory and writes a fresh versioned snapshot `path/_versions/vN` (the
+    * underscore keeps Spark's partition discovery of the flat layout
+    * from seeing it) — the durable
+    * copy is never truncated mid-flight (an in-place static overwrite
+    * would leave the corpus only in ephemeral executor memory during
+    * the write), and reading from one path while writing another
+    * needs no corpus checkpoint/cache. The new snapshot's model JSON
+    * is written LAST and atomically (tmp + rename): its existence IS
+    * the commit — [[QuantIndex.currentDataDir]] only selects versions
+    * that have it, so a crash at ANY instant leaves `path` with a
+    * complete readable index (the old one until commit, the new one
+    * after). The superseded snapshot is deleted only after commit; at
+    * cluster scale you would garbage-collect it on a grace period
+    * instead, so long-running readers holding the old snapshot finish
+    * before the files vanish.
     */
   def retrain(): QuantIndex = {
-    // localCheckpoint severs the file-source lineage: the re-encode
-    // reads the same path the write overwrites
-    val data = indexDf.select(col("id"), col("embedding"))
-      .localCheckpoint(true)
+    val next = s"$path/_versions/v${QuantIndex.nextVersion(spark, path)}"
+    val data = spark.read.parquet(dataDir).select(col("id"), col("embedding"))
     val newModel = QuantModel.train(data, model.cfg)
     QuantIndex.encode(data, newModel, "id", "embedding")
       .repartition(newModel.cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    newModel.save(s"$path/_quant_model.json")
+      .write.mode("overwrite").partitionBy("cell").parquet(next)
+    newModel.save(s"$next/_quant_model.json") // atomic commit point
+    // post-commit cleanup of the superseded snapshot (flat layout:
+    // drop its cell dirs + model file; versioned: drop the directory)
+    if (dataDir == path) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
+          fs.delete(st.getPath, true)
+      }
+      graft.util.FsIo.delete(s"$path/_quant_model.json")
+    } else graft.util.FsIo.delete(dataDir)
     invalidateResident()
     new QuantIndex(spark, path, newModel)
   }
@@ -344,23 +383,111 @@ final class QuantIndex(
     * audit as a store method, so retraining decisions can be made (and
     * tested) against the same number the audit reports: for each
     * query, |exact top-k ∩ top-k within the probed cells| / k,
-    * averaged over the panel. Cost is ~one corpus scan per query at
-    * the panel sizes audits use.
+    * averaged over the panel. ONE corpus scan for the whole panel
+    * (shares [[recallByDepth]] with the curve audit).
     */
   def recallAtK(panel: Seq[Array[Double]], k: Int = 10,
-                nprobe: Int = 1): Double = {
+                nprobe: Int = 1): Double =
+    recallByDepth(panel, k, Seq(nprobe)).head
+
+  /** Mean recall@k per probe depth over a panel, in ONE corpus scan:
+    * the panel broadcasts into the scan; for each query the exact
+    * top-k and every requested depth's probed top-k are FILTERed
+    * [[graft.functions.TopKAgg]]s over the same pass (the e18 shape).
+    * A row's membership at depth p is one array_position test against
+    * the query's full centroid-distance cell ranking, of which every
+    * depth-p probe list is a prefix by construction
+    * ([[QuantModel.ivfNearestCells]] sorts once and takes).
+    */
+  private def recallByDepth(panel: Seq[Array[Double]], k: Int,
+                            depths: Seq[Int]): Seq[Double] = {
     require(panel.nonEmpty, "empty audit panel")
-    val rs = panel.map { q =>
-      val exact = indexDf
-        .select(col("id"), VF.l2sqLit(col("embedding"), q).as("d"))
-        .orderBy(col("d"), col("id")).limit(k)
-        .collect().map(_.getLong(0)).toSet
-      val probed = searchIvf(q, k, nprobe)
-        .collect().map(_.getLong(0)).toSet
-      (exact intersect probed).size.toDouble / exact.size
-    }
-    rs.sum / rs.size
+    val kk = math.max(1, k)
+    val sess = spark
+    import sess.implicits._
+    val pdf = panel.zipWithIndex.map { case (q, i) =>
+      (i.toLong, q.toSeq,
+        model.ivfNearestCells(q, model.cfg.ivfCells).toArray)
+    }.toDF("qid", "qe", "cells")
+    val scored = indexDf.crossJoin(broadcast(pdf))
+      .select(col("qid"), col("cells"), col("id"),
+        col("cell").cast("int").as("cell"),
+        VF.l2sq(col("embedding"), col("qe")).as("dd"))
+    val aggs =
+      graft.functions.TopKAgg(col("id"), col("dd"), kk).as("ex") +:
+        depths.map(p => graft.functions.TopKAgg.filtered(spark, "id", "dd",
+          kk, s"array_position(cells, cell) BETWEEN 1 AND $p").as(s"pr_$p"))
+    val perQuery = scored.groupBy("qid").agg(aggs.head, aggs.tail: _*)
+      .select(depths.map { p =>
+        (size(array_intersect(
+          expr("transform(ex, x -> x._1)"),
+          expr(s"transform(pr_$p, x -> x._1)"))).cast("double") /
+          size(col("ex"))).as(s"r_$p")
+      }: _*)
+    val row = perQuery.agg(
+      avg(col(s"r_${depths.head}")),
+      depths.tail.map(p => avg(col(s"r_$p"))): _*).head
+    depths.indices.map(row.getDouble)
   }
+
+  /** Measure the recall-vs-nprobe curve for [[searchIvf]] over a query
+    * panel and persist it INSIDE the current snapshot's data directory
+    * (`_recall_curve.json`) — so a retrain, whose new snapshot has no
+    * curve yet, naturally invalidates it, and add/delete/upsert drop
+    * it explicitly. The quant-tier twin of
+    * [[VectorStore.auditRecallCurve]]: curve(p) = mean recall@k of
+    * p-probe IVF search vs exact, p = 1..ivfCells, ONE corpus scan.
+    */
+  def auditRecallCurve(panel: Seq[Array[Double]], k: Int = 10): Seq[Double] = {
+    val kk = math.max(1, k)
+    val nb = model.cfg.ivfCells
+    val curve = recallByDepth(panel, kk, 1 to nb)
+    val json = s"""{"k":$kk,"panel":${panel.size},""" +
+      s""""recall":${curve.map(d => f"$d%.17e").mkString("[", ",", "]")}}"""
+    graft.util.FsIo.writeString(s"$dataDir/_recall_curve.json", json)
+    curve
+  }
+
+  /** The persisted measured curve (k, recall-per-nprobe), if
+    * [[auditRecallCurve]] has run for this snapshot.
+    */
+  def recallCurve(): Option[(Int, Seq[Double])] = {
+    val fp = s"$dataDir/_recall_curve.json"
+    if (!graft.util.FsIo.exists(fp)) return None
+    val s = graft.util.FsIo.readString(fp)
+    val k = s.substring(s.indexOf("\"k\":") + 4,
+      s.indexWhere(c => c == ',' || c == '}', s.indexOf("\"k\":") + 4)).trim.toInt
+    val body = s.substring(s.indexOf("\"recall\":[") + 10, s.lastIndexOf("]"))
+    Some((k, body.split(",").map(_.trim.toDouble).toSeq))
+  }
+
+  /** Smallest nprobe whose MEASURED recall meets the target —
+    * conservative by construction: with no persisted audit (fresh
+    * build, post-mutation, post-retrain), or a target above every
+    * measured point, it degenerates to probing every cell (exact
+    * search) rather than under-deliver.
+    */
+  def nprobeForRecall(minRecall: Double): Int = recallCurve() match {
+    case Some((_, curve)) =>
+      val i = curve.indexWhere(_ >= minRecall)
+      if (i < 0) model.cfg.ivfCells else i + 1
+    case None => model.cfg.ivfCells
+  }
+
+  /** Recall-targeted IVF kNN: nprobe chosen from the persisted
+    * measured curve instead of a hand-tuned constant — the same
+    * latency/recall knob [[VectorStore.searchAtRecall]] exposes, on
+    * the quantized layout.
+    */
+  def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame =
+    searchIvf(q, k, nprobeForRecall(minRecall))
+
+  /** Drop the persisted recall curve: it was measured against a
+    * specific corpus, so any mutation makes it stale (a stale curve
+    * would make [[nprobeForRecall]] silently optimistic).
+    */
+  private def invalidateRecallCurve(): Unit =
+    graft.util.FsIo.delete(s"$dataDir/_recall_curve.json")
 
   private def invalidateResident(): Unit = resident.foreach { df =>
     df.unpersist()
@@ -406,5 +533,40 @@ object QuantIndex {
   }
 
   def open(spark: SparkSession, path: String): QuantIndex =
-    new QuantIndex(spark, path, QuantModel.load(s"$path/_quant_model.json"))
+    new QuantIndex(spark, path,
+      QuantModel.load(s"${currentDataDir(spark, path)}/_quant_model.json"))
+
+  /** The data directory of the current COMPLETE snapshot: the highest
+    * `path/_versions/vN` containing `_quant_model.json` (the marker [[retrain]]
+    * writes last, atomically), else the flat legacy layout at `path`
+    * itself (what [[build]] writes). A version directory without the
+    * marker is a crashed retrain — ignored here, superseded by the
+    * next retrain's higher N.
+    */
+  private[store] def currentDataDir(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return path
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    if (!fs.exists(vroot)) return path
+    val complete = fs.listStatus(vroot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.matches("v\\d+") && fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_versions/$n/_quant_model.json")))
+      .map(_.drop(1).toInt)
+    if (complete.isEmpty) path else s"$path/_versions/v${complete.max}"
+  }
+
+  /** Next snapshot version number: one past the highest existing vN
+    * directory, complete or not (a crashed retrain's orphan is never
+    * reused, so a concurrent reader can't see it half-overwritten).
+    */
+  private[store] def nextVersion(spark: SparkSession, path: String): Int = {
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) return 1
+    val vs = fs.listStatus(vroot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+    if (vs.isEmpty) 1 else vs.max + 1
+  }
 }
