@@ -122,8 +122,22 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
       case v => Vector(v.map(_.asInstanceOf[Double]).toArray)
     }
     val k = math.max(1, body("k").asInstanceOf[Double].toInt)
+    // Recall/latency knob (the reference Readme's claimed-but-never-
+    // built tradeoff, exposed at the API): `min_recall` picks the
+    // smallest probe depth whose MEASURED persisted curve meets the
+    // target (no curve → exact, never under-deliver); `probes` sets
+    // the depth explicitly; neither → exact search (the default the
+    // concurrency battery and the reference comparison pin).
+    val probes = body.get("min_recall") match {
+      case Some(r: Double) => store.probesForRecall(r)
+      case _ => body.get("probes") match {
+        case Some(p: Double) =>
+          math.min(store.model.numBuckets, math.max(1, p.toInt))
+        case _ => store.model.numBuckets
+      }
+    }
     val rows = queries.map { q =>
-      store.search(q, k, probes = store.model.numBuckets)
+      store.search(q, k, probes)
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
     }
     if (rows.forall(_.isEmpty))
@@ -131,12 +145,14 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
         "status" -> "success",
         "distances" -> Vector.empty,
         "indices" -> Vector.empty,
+        "probes" -> probes,
         "warning" -> "No results found"))
     else
       (200, Map(
         "status" -> "success",
         "distances" -> rows.map(_.map(_._2).toVector),
-        "indices" -> rows.map(_.map(_._1).toVector)))
+        "indices" -> rows.map(_.map(_._1).toVector),
+        "probes" -> probes))
   }
 
   private def stats(body: Map[String, Any]): (Int, Any) = {

@@ -53,9 +53,117 @@ final class MultiTableStore(
     * multi-table layout keeps the same ingest surface.
     */
   def add(df: DataFrame, idCol: String = "id",
-          embCol: String = "embedding"): Unit =
+          embCol: String = "embedding"): Unit = {
     MultiTableStore.encode(df, model, idCol, embCol)
       .write.mode("append").partitionBy("table", "bucket").parquet(path)
+    invalidateRecallCurve()
+  }
+
+  // ------------------------------------------- recall-targeted search
+
+  /** Measure the recall-vs-probes curve for [[search]] over a query
+    * panel and persist it next to the index — [[VectorStore
+    * .auditRecallCurve]] on the multi-table layout, where a "probe"
+    * is one (table, bucket) pair reading ~2^-k of one corpus copy.
+    * ONE corpus scan: the panel broadcasts into the scan with each
+    * query's full ordered candidate list (prefix-closed by
+    * construction — [[graft.lsh.LshModel.tableCandidates]] fills an
+    * insertion-ordered set), the exact arm is a table-0-restricted
+    * FILTERed TopKAgg, and depth-p membership is one array_position
+    * test on the t·2^k+b pair code. Unlike the single-table layout,
+    * informed candidates need not cover every partition, so the curve
+    * may top out below 1.0 — [[searchAtRecall]] then degenerates to
+    * [[exact]] for targets above it (never under-deliver).
+    */
+  def auditRecallCurve(panel: Seq[Array[Double]], k: Int = 10,
+                       maxProbes: Int = 0): Seq[Double] = {
+    require(panel.nonEmpty, "empty audit panel")
+    val kk = math.max(1, k)
+    val mp = if (maxProbes > 0) maxProbes
+             else model.cfg.numHashTables * model.cfg.numHashFunctions
+    val b = model.bucketsPerTable
+    val sess = spark
+    import sess.implicits._
+    val pdf = panel.zipWithIndex.map { case (q, i) =>
+      (i.toLong, q.toSeq,
+        model.tableCandidates(q, mp).map { case (t, bk) => t * b + bk }.toArray)
+    }.toDF("qid", "qe", "cands")
+    // A row is stored once per table, and search() dedups candidates
+    // by id — so an id's membership at depth p is "ANY copy's
+    // (table, bucket) sits within the first p candidates" = the MIN
+    // candidate position over its copies. Deduping BEFORE the top-k
+    // aggregates is required for correctness, not just economy:
+    // duplicate copies of a near neighbor would eat top-k slots and
+    // make measured recall non-monotone in probes. (array_position
+    // returns 0 when absent; the when() maps that to null, which the
+    // BETWEEN filter rejects.)
+    val scored = indexDf.crossJoin(broadcast(pdf))
+      .select(col("qid"), col("id"),
+        (col("table").cast("int") * b + col("bucket").cast("int")).as("pc"),
+        array_position(col("cands"),
+          col("table").cast("int") * b + col("bucket").cast("int")).as("pos"),
+        graft.functions.VectorFunctions.l2sq(col("embedding"),
+          col("qe")).as("dd"))
+    val perId = scored.groupBy("qid", "id").agg(
+      min(col("dd")).as("dd"), // identical across copies
+      min(when(col("pos") > 0, col("pos"))).as("minpos"))
+    val aggs =
+      graft.functions.TopKAgg(col("id"), col("dd"), kk).as("ex") +:
+        (1 to mp).map(p => graft.functions.TopKAgg.filtered(spark, "id", "dd",
+          kk, s"minpos BETWEEN 1 AND $p").as(s"pr_$p"))
+    val perQuery = perId.groupBy("qid").agg(aggs.head, aggs.tail: _*)
+      .select((1 to mp).map { p =>
+        (size(array_intersect(
+          expr("transform(ex, x -> x._1)"),
+          expr(s"transform(pr_$p, x -> x._1)"))).cast("double") /
+          size(col("ex"))).as(s"r_$p")
+      }: _*)
+    val row = perQuery.agg(
+      avg(col("r_1")), (2 to mp).map(p => avg(col(s"r_$p"))): _*).head
+    val curve = (0 until mp).map(row.getDouble)
+    val json = s"""{"k":$kk,"panel":${panel.size},""" +
+      s""""recall":${curve.map(d => f"$d%.17e").mkString("[", ",", "]")}}"""
+    graft.util.FsIo.writeString(s"$path/_recall_curve.json", json)
+    curve
+  }
+
+  /** The persisted measured curve, if [[auditRecallCurve]] has run. */
+  def recallCurve(): Option[(Int, Seq[Double])] = {
+    val fp = s"$path/_recall_curve.json"
+    if (!graft.util.FsIo.exists(fp)) return None
+    val s = graft.util.FsIo.readString(fp)
+    val k = s.substring(s.indexOf("\"k\":") + 4,
+      s.indexWhere(c => c == ',' || c == '}', s.indexOf("\"k\":") + 4)).trim.toInt
+    val body = s.substring(s.indexOf("\"recall\":[") + 10, s.lastIndexOf("]"))
+    Some((k, body.split(",").map(_.trim.toDouble).toSeq))
+  }
+
+  /** Smallest probe count whose MEASURED recall meets the target, or
+    * None when no curve is persisted / no measured point reaches it —
+    * the caller ([[searchAtRecall]]) then uses [[exact]], because on
+    * this layout informed probing cannot promise full coverage.
+    */
+  def probesForRecall(minRecall: Double): Option[Int] =
+    recallCurve().flatMap { case (_, curve) =>
+      val i = curve.indexWhere(_ >= minRecall)
+      if (i < 0) None else Some(i + 1)
+    }
+
+  /** Recall-targeted kNN: probe depth from the persisted measured
+    * curve; exact search when the curve is missing or the target is
+    * above every measured point.
+    */
+  def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame =
+    probesForRecall(minRecall) match {
+      case Some(p) => search(q, k, p)
+      case None    => exact(q, k)
+    }
+
+  /** Drop the persisted recall curve on corpus mutation — a stale
+    * measured curve would make [[probesForRecall]] silently optimistic.
+    */
+  private def invalidateRecallCurve(): Unit =
+    graft.util.FsIo.delete(s"$path/_recall_curve.json")
 
   /** Delete ids, rewriting ONLY the (table, bucket) partitions that
     * hold them — each id lives in exactly L partitions, so a delete
@@ -86,6 +194,7 @@ final class MultiTableStore(
     // dynamic overwrite leaves fully-emptied partitions' stale files
     MultiTableStore.dropPartitionDirs(spark, path,
       affected.filterNot(kept).toSeq)
+    invalidateRecallCurve()
     (before - remaining.count()) / cfgTables
   }
 

@@ -12,14 +12,16 @@ import graft.server.{HttpFacade, Json}
 class HttpFacadeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private lazy val facade: HttpFacade = {
+  private lazy val fstore: graft.store.VectorStore = {
     val dir = java.nio.file.Files.createTempDirectory("graft_http").toString
-    val store = graft.store.VectorStore.build(spark,
+    graft.store.VectorStore.build(spark,
       Tables.embeddings(spark, TestSpark.sf)
         .select(col("vec_id").as("id"), col("embedding")),
       s"$dir/index", graft.lsh.LshConfig(dim = 64, seed = 42L))
-    new HttpFacade(spark, store, port = 0).start()
   }
+
+  private lazy val facade: HttpFacade =
+    new HttpFacade(spark, fstore, port = 0).start()
 
   private lazy val client = HttpClient.newHttpClient()
 
@@ -64,6 +66,35 @@ class HttpFacadeSpec extends AnyFunSuite {
     val (c2, b2) = post("/search", s"""{"query_vector": $qj, "k": 0}""")
     assert(c2 == 200 &&
       obj(b2)("indices").asInstanceOf[Vector[Vector[Any]]].head.size == 1)
+  }
+
+  test("POST /search: min_recall drives probes off the persisted measured curve") {
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val qj = q.mkString("[", ", ", "]")
+    // no persisted curve → conservative: exact search over every bucket
+    graft.util.FsIo.delete(s"${fstore.path}/_recall_curve.json")
+    val (c0, b0) = post("/search",
+      s"""{"query_vector": $qj, "k": 3, "min_recall": 0.5}""")
+    assert(c0 == 200 &&
+      obj(b0)("probes").asInstanceOf[Double].toInt == fstore.model.numBuckets)
+    // audit the curve, then the facade's choice must equal the store's
+    // and the results must equal searching at that depth directly
+    val panel = (0L until 5L)
+      .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
+    fstore.auditRecallCurve(panel, k = 10)
+    val p = fstore.probesForRecall(0.5)
+    val (c1, b1) = post("/search",
+      s"""{"query_vector": $qj, "k": 3, "min_recall": 0.5}""")
+    assert(c1 == 200 && obj(b1)("probes").asInstanceOf[Double].toInt == p)
+    val got = obj(b1)("indices").asInstanceOf[Vector[Vector[Any]]]
+      .head.map(_.asInstanceOf[Double].toLong)
+    val want = fstore.search(q, 3, p).collect().map(_.getLong(0)).toVector
+    assert(got == want)
+    // explicit probes override, clamped into [1, numBuckets]
+    val (c2, b2) = post("/search",
+      s"""{"query_vector": $qj, "k": 3, "probes": 99}""")
+    assert(c2 == 200 &&
+      obj(b2)("probes").asInstanceOf[Double].toInt == fstore.model.numBuckets)
   }
 
   test("POST /search: missing fields give the reference's 400s") {

@@ -88,6 +88,50 @@ class Round12Spec extends AnyFunSuite {
       ids(fresh.searchIvfPqResidual(q, 10)))
   }
 
+  // ------------------------- multi-table recall-targeted search (v22)
+
+  test("MultiTableStore recall curve: monotone, minimal probe choice, exact fallback") {
+    import graft.store.MultiTableStore
+    val sess = spark
+    import sess.implicits._
+    val dir = graft.util.TempDirs.create("graft_mtrc").toString + "/index"
+    val store = MultiTableStore.build(spark, embRows(500), dir,
+      LshConfig(numHashFunctions = 4, numHashTables = 4, dim = 64,
+        seed = 42L, multiTable = true))
+    val panel = (0L until 6L)
+      .map(i => graft.queries.VectorQueries.qvec(spark, TestSpark.sf, i))
+    val curve = store.auditRecallCurve(panel, k = 10)
+    assert(curve.length == 16) // default maxProbes = L·k = 4·4
+    // candidate lists are prefix-closed, so the curve is monotone
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-12, s"curve not monotone: $curve")
+    }
+    // minimal choice wherever a target is reachable
+    val mid = curve.last * 0.6
+    store.probesForRecall(mid) match {
+      case Some(p) =>
+        assert(curve(p - 1) >= mid && (p == 1 || curve(p - 2) < mid))
+        val q = panel.head
+        val viaKnob = store.searchAtRecall(q, 10, mid)
+          .collect().map(_.getLong(0)).toSeq
+        val direct = store.search(q, 10, p)
+          .collect().map(_.getLong(0)).toSeq
+        assert(viaKnob == direct)
+      case None => fail(s"target $mid under curve max ${curve.last} must resolve")
+    }
+    // unreachable target (or no curve) degenerates to EXACT, because
+    // informed probing cannot promise full coverage on this layout
+    val q = panel.head
+    val exactIds = store.exact(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(store.searchAtRecall(q, 10, 1.01)
+      .collect().map(_.getLong(0)).toSeq == exactIds)
+    // mutation invalidates the persisted curve
+    store.add(Seq((9999L, Seq.fill(64)(0.25))).toDF("id", "embedding"))
+    assert(store.recallCurve().isEmpty)
+    assert(store.probesForRecall(0.1).isEmpty)
+    store.delete(Seq(9999L))
+  }
+
   // -------------------------------------- concurrent mutation battery
 
   /** Run `reader` in a loop on background threads while `mutate`
@@ -172,6 +216,48 @@ class Round12Spec extends AnyFunSuite {
     }
     // final state: base corpus intact, probe gone
     assert(store.indexDf.count() == 200)
+    assert(store.indexDf.where(col("id") === probeId).count() == 0)
+  }
+
+  test("MultiTableStore: searches during add/delete/compact see pre- or post-state") {
+    import graft.store.MultiTableStore
+    val dir = graft.util.TempDirs.create("graft_mut_mt").toString + "/index"
+    val store = MultiTableStore.build(spark, embRows(200), dir,
+      LshConfig(numHashFunctions = 4, numHashTables = 4, dim = 64,
+        seed = 42L, multiTable = true))
+    val L = 4L
+    val sess = spark
+    import sess.implicits._
+    val qv = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val probeId = 5000L
+    def embOf(seed: Int) = Seq.tabulate(64)(i =>
+      math.sin(seed * 41 + i).toDouble)
+    battery(readers = 2)(reader = () => {
+      // each id lives in exactly L tables when fully committed; an
+      // append becomes visible file-by-file (raw-parquet caveat), so
+      // mid-add a reader may see [0, L] copies — but NEVER more than
+      // L (that would be a duplicated add), and the base corpus must
+      // always be complete in every table
+      val n = store.indexDf.where(col("id") === probeId).count()
+      if (n > L) Some(s"probe id over-replicated: $n > $L copies")
+      else {
+        val base = store.indexDf.where(col("id") < 200).count()
+        if (base != 200 * L) Some(s"base copies lost: $base != ${200 * L}")
+        else {
+          val ids = store.search(qv, 5, probes = 4)
+            .collect().map(_.getLong(0)).toSeq
+          if (ids.distinct.size != ids.size) Some(s"dup ids in search: $ids")
+          else None
+        }
+      }
+    }) {
+      (0 until 3).foreach { round =>
+        store.add(Seq((probeId, embOf(round))).toDF("id", "embedding"))
+        assert(store.delete(Seq(probeId)) == 1L)
+        store.compact(targetRowsPerFile = 64)
+      }
+    }
+    assert(store.indexDf.count() == 200 * L)
     assert(store.indexDf.where(col("id") === probeId).count() == 0)
   }
 
