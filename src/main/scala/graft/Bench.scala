@@ -71,6 +71,27 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Cumulative shuffle-write volume across all stages, for per-query
+    // deltas (queries run sequentially, so delta = that query's
+    // shuffle). Snapshots drain the async listener bus first.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      })
+    def shuffleSnapshot(): (Long, Long) = {
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      (shuffleBytes.get(), shuffleRecords.get())
+    }
+
     // Warm-up: JVM/codegen/parquet-footer caches (not timed).
     try SparkEntry.queries("v1_knn")(spark, sfDir).count()
     catch { case _: Throwable => () }
@@ -121,17 +142,32 @@ object Bench {
     val stabilized = (name: String) =>
       stabilizedSet(name) || name.startsWith("v") || name == "e1_ann_cosine_topk"
 
+    // Per query: wall seconds + the shuffle volume of one
+    // representative execution (the last timed run — volumes are
+    // plan-determined, so any run reports the same number). This is
+    // the "which query's shuffle becomes the bottleneck at 1000×"
+    // evidence, per query, as data instead of plan-reading.
+    val shuffleDetail =
+      scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
     val perQuery = selected.map { case (name, fn) =>
       def once(): Unit =
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+      def measured(): Double = {
+        val (b0, r0) = shuffleSnapshot()
+        val t = timed(once())
+        val (b1, r1) = shuffleSnapshot()
+        shuffleDetail += ((name, b1 - b0, r1 - r0))
+        t
+      }
       name -> (
         if (stabilized(name)) {
           once() // warm-up, not timed
-          Seq.fill(3)(timed(once())).sorted.apply(1)
-        } else timed(once()))
+          val first2 = Seq.fill(2)(timed(once()))
+          (first2 :+ measured()).sorted.apply(1)
+        } else measured())
     }
 
     // Layout queries time a full rewrite inside the query, which makes
@@ -378,6 +414,27 @@ object Bench {
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+
+    // Per-query shuffle volumes → sibling file: mb written + records,
+    // sorted heaviest-first so the scale-risk ranking is the file
+    // order. Zero-shuffle queries (scan→WSCG→TakeOrdered shapes) are
+    // reported too — at 100 TB "this query does not shuffle" is the
+    // headline property, worth asserting as data.
+    locally {
+      val shufflePath =
+        if (detailPath.contains("BENCH_DETAIL"))
+          detailPath.replace("BENCH_DETAIL", "SHUFFLE_DETAIL")
+        else detailPath + ".shuffle.json"
+      val entries = shuffleDetail.sortBy(e => -e._2).map { case (n, b, r) =>
+        s"""{"query":"$n","shuffle_mb":${f"${b / 1e6}%.3f"},"records":$r}"""
+      }
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(shufflePath),
+        (s"""{"sf":"$sfDir","queries":[""" + entries.mkString(",\n") + "]}\n")
+          .getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shuffle detail write failed: ${e.getMessage}") }
+    }
 
     // Compact headline line for the driver: the BASELINE.md kNN
     // protocol verbatim + per-group totals + a few flagship queries.
