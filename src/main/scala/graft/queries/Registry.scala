@@ -26,7 +26,8 @@ object Registry {
       Round9Queries.all ++
       Round10Queries.all ++
       Round11Queries.all ++
-      Round12Queries.all
+      Round12Queries.all ++
+      Round13Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "d25_bm25",           // 1-row N/avgdl corpus-stats broadcast
     "r81_kmv_distinct",   // 1-row sketch × 1-row exact-count combine
     "v20_rrf_fusion",     // inherits d25's 1-row corpus-stats broadcast
-    "e18_ivf_recall_audit" // 10 broadcast panel queries × corpus scan
+    "e18_ivf_recall_audit", // 10 broadcast panel queries × corpus scan
+    "d27_nb_langid"       // 5-row class table + 1-row vocab-size broadcasts
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {
