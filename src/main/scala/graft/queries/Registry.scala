@@ -27,7 +27,8 @@ object Registry {
       Round10Queries.all ++
       Round11Queries.all ++
       Round12Queries.all ++
-      Round13Queries.all
+      Round13Queries.all ++
+      Round14Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

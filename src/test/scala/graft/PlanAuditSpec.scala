@@ -48,7 +48,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "r81_kmv_distinct",   // 1-row sketch × 1-row exact-count combine
     "v20_rrf_fusion",     // inherits d25's 1-row corpus-stats broadcast
     "e18_ivf_recall_audit", // 10 broadcast panel queries × corpus scan
-    "d27_nb_langid"       // 5-row class table + 1-row vocab-size broadcasts
+    "d27_nb_langid",      // 5-row class table + 1-row vocab-size broadcasts
+    "e22_hard_negatives"  // 1-in-25 anchor-panel broadcast; swaps to e17's
+                          // salted candidate join at scale (see scaladoc)
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {
