@@ -191,6 +191,26 @@ object Bench {
           graft.queries.Round6bQueries.zorderRead(spark, _))
         phases("x22", graft.queries.Round6cQueries.x22Write(spark, sfDir, _),
           graft.queries.Round6cQueries.x22Read(spark, _))
+        // x28: one clustered write + manifest, then BOTH read paths on
+        // the same directory — the pruned/full pair is the file-skip
+        // payoff as a number (same rows, fewer files and tasks). 128
+        // files, not the query's 16: the feature targets the
+        // many-files regime where listing/footers/task floors dominate
+        // a selective scan; at 16 files both reads sit on the same
+        // job floor and the pair demonstrates nothing.
+        locally {
+          val dir = graft.util.TempDirs.create("graft_bench_x28").toString
+          buf += "x28_write" -> timed(
+            graft.queries.Round14Queries.x28Write(spark, sfDir, dir, 128))
+          def readP() = graft.queries.Round14Queries.x28ReadPruned(spark, dir)
+          def readF() = graft.queries.Round14Queries.x28ReadFull(spark, dir)
+          readP().count() // warm-up, not timed
+          buf += "x28_read_pruned" ->
+            Seq.fill(3)(timed(readP().count())).sorted.apply(1)
+          readF().count() // warm-up, not timed
+          buf += "x28_read_full" ->
+            Seq.fill(3)(timed(readF().count())).sorted.apply(1)
+        }
         buf.toSeq
       } catch { case e: Throwable =>
         System.err.println(s"[bench] layout phases failed: ${e.getMessage}")

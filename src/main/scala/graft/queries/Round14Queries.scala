@@ -58,6 +58,43 @@ object Round14Queries {
        |              ELSE CAST(-1 AS DOUBLE) END))),
        |    (acc, v) -> acc + v))""".stripMargin
 
+  /** x28's clustered write + manifest build (exposed so Bench can time
+    * the build cost separately from the read-side payoff).
+    */
+  private[graft] def x28Write(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String, nFiles: Int = 16): Unit = {
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("ts div 3600000000000").as("hour_bucket"), col("value"))
+      .repartitionByRange(nFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(dir)
+    ManifestScan.buildManifest(s, dir, Seq("user_id", "hour_bucket"))
+    ()
+  }
+
+  private val x28Ranges =
+    Map("user_id" -> (100L, 199L), "hour_bucket" -> (473592L, 473712L))
+
+  private def x28Agg(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)).as("n_events"),
+      sum(col("value").cast(DecimalType(18, 6))).cast("double")
+        .as("sum_value"))
+
+  /** Manifest-pruned read over an x28 directory. */
+  private[graft] def x28ReadPruned(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    x28Agg(ManifestScan.readPruned(s, dir, x28Ranges)._1)
+
+  /** The same rectangle over the FULL directory listing (Spark's own
+    * row-group pruning only) — the baseline the manifest improves on.
+    */
+  private[graft] def x28ReadFull(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    x28Agg(s.read.parquet(dir)
+      .where(col("user_id").between(100L, 199L) &&
+        col("hour_bucket").between(473592L, 473712L)))
+
   val all: Seq[Q] = Seq(
 
     // X28 — manifest-based FILE skipping: write events range-clustered
@@ -75,18 +112,9 @@ object Round14Queries {
     Q("x28_manifest_skipping",
       (s, d) => {
         val dir = graft.util.TempDirs.create("graft_x28_m").toString
-        Tables.events(s, d)
-          .select(col("user_id"),
-            expr("ts div 3600000000000").as("hour_bucket"), col("value"))
-          .repartitionByRange(16, col("user_id"))
-          .sortWithinPartitions("user_id")
-          .write.mode("overwrite").parquet(dir)
-        ManifestScan.buildManifest(s, dir, Seq("user_id", "hour_bucket"))
-        val (df, kept, total) = ManifestScan.readPruned(s, dir,
-          Map("user_id" -> (100L, 199L), "hour_bucket" -> (473592L, 473712L)))
-        df.agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(DecimalType(18, 6))).cast("double")
-              .as("sum_value"))
+        x28Write(s, d, dir)
+        val (df, kept, total) = ManifestScan.readPruned(s, dir, x28Ranges)
+        x28Agg(df)
           .select(col("n_events"), round(col("sum_value"), 6).as("sum_value"),
             lit(if (kept > 0 && kept < total) 1 else 0).cast("int")
               .as("pruned"))

@@ -70,6 +70,40 @@ class Round14Spec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("x28 kept files follow SELECTIVITY, not corpus size (4x corpus, flat kept)") {
+    // 1x: events range-clustered into 16 files. 4x: four key-shifted
+    // copies (disjoint user_id spans) into 64 files — file size and
+    // zone width stay constant, the corpus quadruples. A query whose
+    // selected VOLUME is constant (it only matches the first copy)
+    // must keep a ~constant number of files while total files 4x —
+    // the planning-time analogue of "task count follows selectivity".
+    val base = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hour_bucket"),
+        col("value"))
+    val dir1 = graft.util.TempDirs.create("graft_r14_scale1").toString
+    base.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id").write.mode("overwrite").parquet(dir1)
+    ManifestScan.buildManifest(spark, dir1, Seq("user_id"))
+    val dir4 = graft.util.TempDirs.create("graft_r14_scale4").toString
+    (0 until 4).map(k => base.withColumn("user_id",
+        col("user_id") + lit(k.toLong * 1000000L)))
+      .reduce(_ unionAll _)
+      .repartitionByRange(64, col("user_id"))
+      .sortWithinPartitions("user_id").write.mode("overwrite").parquet(dir4)
+    ManifestScan.buildManifest(spark, dir4, Seq("user_id"))
+
+    val (lo, hi) = ManifestScan.loadManifest(dir1)
+      .flatMap(_.zones.get("user_id")).sortBy(_._1).head
+    val (df1, kept1, total1) = ManifestScan.readPruned(spark, dir1,
+      Map("user_id" -> (lo, hi)))
+    val (df4, kept4, total4) = ManifestScan.readPruned(spark, dir4,
+      Map("user_id" -> (lo, hi)))
+    assert(total4 >= 3 * total1, s"corpus files: $total1 -> $total4")
+    assert(df4.count() == df1.count()) // same selected volume
+    assert(kept4 <= kept1 + 2,
+      s"kept files grew with corpus size: $kept1 of $total1 -> $kept4 of $total4")
+  }
+
   test("e22 mines one positive and 3 ordered cross-lang negatives per anchor") {
     val out = q("e22_hard_negatives").collect()
     val docs = Tables.documents(spark, TestSpark.sf)
