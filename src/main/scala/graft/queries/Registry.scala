@@ -28,7 +28,8 @@ object Registry {
       Round11Queries.all ++
       Round12Queries.all ++
       Round13Queries.all ++
-      Round14Queries.all
+      Round14Queries.all ++
+      Round15Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -60,19 +60,38 @@ object ManifestScan {
     * writer collects the same stats at write time without any read.
     */
   def buildManifest(spark: SparkSession, dir: String, cols: Seq[String]): Int = {
+    if (FsIo.exists(manifestPath(dir))) FsIo.delete(manifestPath(dir))
+    refreshManifest(spark, dir, cols)
+  }
+
+  /** Incremental manifest maintenance for APPEND-style writers
+    * (streaming ingest, micro-batch sinks): footer-read only the data
+    * files NOT yet in the manifest, merge, and atomically rewrite.
+    * Returns the number of newly indexed files. Cost is proportional
+    * to the APPENDED files, never the table — the property that keeps
+    * a streaming sink's per-batch overhead flat as the table grows.
+    * (Concurrent writers would need a log, not a sidecar — single
+    *-writer appenders only, the Structured Streaming sink model.)
+    */
+  def refreshManifest(spark: SparkSession, dir: String,
+      cols: Seq[String]): Int = {
+    val known: Set[String] =
+      if (FsIo.exists(manifestPath(dir))) loadManifest(dir).map(_.path).toSet
+      else Set.empty
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
-    val files = fs.listStatus(new Path(dir)).map(_.getPath)
+    val fresh = fs.listStatus(new Path(dir)).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .filter(p => !known.contains(p.toString))
       .sortBy(_.getName)
-    val entries = files.map { p =>
+    if (fresh.isEmpty) return 0
+    val newEntries = fresh.map { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
-        val blocks = reader.getFooter.getBlocks
         var rows = 0L
         val lo = scala.collection.mutable.Map.empty[String, Long]
         val hi = scala.collection.mutable.Map.empty[String, Long]
-        blocks.forEach { b =>
+        reader.getFooter.getBlocks.forEach { b =>
           rows += b.getRowCount
           b.getColumns.forEach { c =>
             val name = c.getPath.toDotString
@@ -80,21 +99,26 @@ object ManifestScan {
               case s: LongStatistics if s.hasNonNullValue =>
                 lo.update(name, math.min(lo.getOrElse(name, Long.MaxValue), s.getMin))
                 hi.update(name, math.max(hi.getOrElse(name, Long.MinValue), s.getMax))
-              case _ => () // no usable stats → column stays unpruned for this file
+              case _ => ()
             }
           }
         }
-        FileZones(p.toString, rows,
-          lo.keys.map(k => k -> (lo(k), hi(k))).toMap)
+        FileZones(p.toString, rows, lo.keys.map(k => k -> (lo(k), hi(k))).toMap)
       } finally reader.close()
     }
+    val merged = (if (known.isEmpty) Seq.empty else loadManifest(dir)) ++
+      newEntries
+    writeManifest(dir, merged)
+    fresh.length
+  }
+
+  private def writeManifest(dir: String, entries: Seq[FileZones]): Unit = {
     val json = Json.write(entries.map(e => Map(
       "path" -> e.path,
       "rows" -> e.rows.toDouble,
       "zones" -> e.zones.map { case (k, (l, h)) =>
         k -> Vector(l.toDouble, h.toDouble) })).toVector)
     FsIo.writeStringAtomic(manifestPath(dir), json)
-    files.length
   }
 
   /** Parse `_manifest.json` back into file entries. */

@@ -49,8 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "v20_rrf_fusion",     // inherits d25's 1-row corpus-stats broadcast
     "e18_ivf_recall_audit", // 10 broadcast panel queries × corpus scan
     "d27_nb_langid",      // 5-row class table + 1-row vocab-size broadcasts
-    "e22_hard_negatives"  // 1-in-25 anchor-panel broadcast; swaps to e17's
+    "e22_hard_negatives", // 1-in-25 anchor-panel broadcast; swaps to e17's
                           // salted candidate join at scale (see scaladoc)
+    "r83_heavy_hitters"   // 1-row error-bound broadcast (r81's shape)
   )
 
   test("no batch query plans a CartesianProduct; BNLJ only where bounded") {

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.HeavyHittersAgg
+import graft.sources.ManifestScan
+
+/** Round-15 internals: the Misra-Gries guarantee under adversarial
+  * partitioning (the DuckDB gate only sees the exact twin + flag) and
+  * the streaming manifest's maintenance contract.
+  */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def q(name: String) =
+    queries.Registry.all.find(_.name == name).get.run(spark, TestSpark.sf)
+
+  /** Synthetic skewed stream with EXACT known counts: key k appears
+    * 2^(10-k) times for k=0..9 (1024..2) plus 500 singleton keys.
+    */
+  private def skewed(parts: Int) = {
+    import spark.implicits._
+    val items = (0 to 9).flatMap(k => Seq.fill(1 << (10 - k))(k.toLong)) ++
+      (1000L until 1500L)
+    items.toDF("k").repartition(parts)
+  }
+
+  test("MG sketch: lower bounds + n/(m+1) undercount under any partitioning") {
+    val trueCounts = ((0 to 9).map(k => k.toLong -> (1L << (10 - k))) ++
+      (1000L until 1500L).map(_ -> 1L)).toMap
+    val n = trueCounts.values.sum
+    for (parts <- Seq(1, 2, 7)) {
+      val m = 10
+      val sk = skewed(parts).agg(HeavyHittersAgg(col("k"), m))
+        .head.getMap[Long, Long](0)
+      assert(sk.size <= m)
+      val bound = n / (m + 1)
+      // every estimate is a lower bound within the theorem's slack
+      for ((k, est) <- sk) {
+        assert(est <= trueCounts(k), s"parts=$parts: overcount on $k")
+        assert(trueCounts(k) - est <= bound,
+          s"parts=$parts: undercount ${trueCounts(k) - est} > $bound on $k")
+      }
+      // every key with true count > n/(m+1) survives every merge tree
+      for ((k, c) <- trueCounts if c > bound)
+        assert(sk.contains(k), s"parts=$parts: lost heavy hitter $k ($c > $bound)")
+    }
+  }
+
+  test("r83 output is the exact top-10, flags all 1, rerun-identical") {
+    val out = q("r83_heavy_hitters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 10)
+    assert(out.forall(_._3 == 1))
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    val again = q("r83_heavy_hitters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("s26 stream maintains the manifest: complete, incremental, pruning") {
+    // run the query end-to-end; it returns the pruned-read aggregate
+    val out = q("s26_stream_manifest_ingest").collect()
+    assert(out.length == 1)
+    // replicate the ingest to inspect the sidecar contract directly
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hour_bucket"),
+        col("value"))
+    val dir = graft.util.TempDirs.create("graft_r15_s26").toString
+    ev.where(col("user_id") % 2 === 0)
+      .repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(dir)
+    val first = ManifestScan.refreshManifest(spark, dir,
+      Seq("user_id", "hour_bucket"))
+    assert(first >= 1)
+    // idempotent: nothing new → zero footer reads, manifest unchanged
+    assert(ManifestScan.refreshManifest(spark, dir,
+      Seq("user_id", "hour_bucket")) == 0)
+    val before = ManifestScan.loadManifest(dir).map(_.path).toSet
+    ev.where(col("user_id") % 2 === 1)
+      .repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(dir)
+    val second = ManifestScan.refreshManifest(spark, dir,
+      Seq("user_id", "hour_bucket"))
+    assert(second >= 1)
+    val after = ManifestScan.loadManifest(dir)
+    // old entries preserved verbatim, new files all indexed
+    assert(before.subsetOf(after.map(_.path).toSet))
+    def norm(p: String) = new java.net.URI(p).getPath
+    val listed = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    assert(after.map(e => norm(e.path)).toSet == listed,
+      s"manifest ${after.size} entries vs ${listed.size} files")
+    // the appended table still answers pruned reads exactly
+    val zones = after.flatMap(_.zones.get("user_id")).sortBy(_._1)
+    val (lo, hi) = zones.head
+    val (df, kept, total) = ManifestScan.readPruned(spark, dir,
+      Map("user_id" -> (lo, hi)))
+    assert(kept > 0 && kept <= total)
+    val full = spark.read.parquet(dir).where(col("user_id").between(lo, hi))
+    assert(df.count() == full.count())
+  }
+}
