@@ -211,6 +211,34 @@ object VecEval {
     new GenericArrayData(out)
   }
 
+  /** Seeded ±1 Johnson-Lindenstrauss projection to `outDims`
+    * dimensions (e23): out(j) = Σᵢ xᵢ · sign(i, j), sign = bit 10 of
+    * the Knuth multiplicative hash of the cell index i·outDims+j+1 —
+    * the SAME arithmetic, fold order (j outer, i ascending) and 0.0
+    * init as the HOF column form and the DuckDB twin, so swapping the
+    * interpreted lambda for this kernel is plan-invisible: identical
+    * doubles, ~zero per-element allocation.
+    */
+  def jlProject(a: ArrayData, isFloat: Boolean, outDims: Int): GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val key = (i.toLong * outDims + j + 1) * 2654435761L
+        val s = if ((key % 1048576L) / 1024L % 2L == 0L) 1.0 else -1.0
+        acc += x * s
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Truncate SQ8 codes (0–255 ints) to their top nibble and pack 16
     * per long — the INT4 storage layout ([[VecNibblePack]]).
     */
@@ -270,6 +298,28 @@ case class VecL2Normalize(child: Expression)
   override protected def withNewChildInternal(c: Expression): VecL2Normalize =
     copy(child = c)
   override def prettyName: String = "vec_l2normalize"
+}
+
+/** Seeded ±1 JL projection to `outDims` dims ([[VecEval.jlProject]]):
+  * the e23 coarse-pass transform as a compiled kernel instead of a
+  * transform/aggregate lambda chain — same doubles, no per-element
+  * interpretation or allocation.
+  */
+case class VecJlProject(child: Expression, outDims: Int)
+    extends UnaryExpression with VecExprHelpers {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecEval.jlProject(v.asInstanceOf[ArrayData], isFloat(child.dataType), outDims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VecEval.jlProject($a, ${isFloat(child.dataType)}, $outDims)")
+
+  override protected def withNewChildInternal(c: Expression): VecJlProject =
+    copy(child = c)
+  override def prettyName: String = "vec_jl_project"
 }
 
 /** 1-bit binary quantization: pack the per-dimension sign bits

@@ -51,6 +51,10 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (safeNorm(a) * safeNorm(b))
 
+  /** Seeded ±1 JL projection to `outDims` dims (compiled kernel). */
+  def jlProject(a: Column, outDims: Int): Column =
+    toCol(graft.expressions.VecJlProject(ex(a), outDims))
+
   /** 1-bit sign quantization: pack (xᵢ > 0) bits into array<long>. */
   def signPack(a: Column): Column = toCol(VecSignPack(ex(a)))
 

@@ -40,8 +40,19 @@ object Round14Queries {
       acc
     }
 
-  /** Column form of the 64→32 JL projection over `embedding`. */
-  private[graft] val jlProjectCol =
+  /** Column form of the 64→32 JL projection over `embedding` — the
+    * compiled [[graft.expressions.VecJlProject]] kernel. The HOF
+    * lambda it replaced (kept below for the equivalence spec) costs
+    * ~1.8 s over 5k rows purely in per-element interpretation.
+    */
+  private[graft] val jlProjectCol = VF.jlProject(col("embedding"), 32)
+
+  /** The transform/aggregate lambda form of the same projection:
+    * value-identical by construction (same fold order, init and
+    * integer sign arithmetic) — Round14Spec pins kernel ≡ lambda, so
+    * the kernel swap is provably plan-invisible.
+    */
+  private[graft] val jlProjectHofCol =
     expr("""transform(sequence(0, 31), j -> aggregate(sequence(0, 63),
       |  CAST(0 AS DOUBLE), (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
       |    (CASE WHEN ((CAST(i AS BIGINT) * 32 + j + 1) * 2654435761) % 1048576

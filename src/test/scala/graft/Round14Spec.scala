@@ -144,13 +144,19 @@ class Round14Spec extends AnyFunSuite {
     assert(overlap >= 3, s"JL funnel recall@10 too low: $overlap/10")
   }
 
-  test("e23 driver-side projection mirrors the column expression exactly") {
-    val fromPlan = Tables.embeddings(spark, TestSpark.sf)
-      .where(col("vec_id") === 7L)
-      .select(queries.Round14Queries.jlProjectCol)
-      .head.getSeq[Double](0)
+  test("e23 kernel, HOF lambda and driver mirror agree bit-for-bit") {
+    val both = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        queries.Round14Queries.jlProjectCol.as("kernel"),
+        queries.Round14Queries.jlProjectHofCol.as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both)
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"kernel != lambda on vec ${r.getLong(0)}")
     val x = queries.VectorQueries.qvec(spark, TestSpark.sf, 7L)
     val mirror = queries.Round14Queries.jlProjectS(x)
+    val fromPlan = both.find(_.getLong(0) == 7L).get.getSeq[Double](1)
     assert(fromPlan.toArray.toSeq == mirror.toSeq)
   }
 
