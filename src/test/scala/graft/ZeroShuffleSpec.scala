@@ -23,7 +23,10 @@ class ZeroShuffleSpec extends AnyFunSuite {
   private val ZeroShuffle = Seq(
     "v1_knn", "v2_knn_clamp", "v3_knn_empty", "v4_cosine_knn",
     "v8_pruned_knn", "v11_filtered_knn", "v16_ip_knn", "v17_hybrid_search",
-    "e1_ann_cosine_topk", "e12_bitq_hamming")
+    "e1_ann_cosine_topk", "e12_bitq_hamming",
+    // the round-14 funnels: coarse rank + exact re-rank are BOTH
+    // TakeOrderedAndProject — adaptive retrieval must stay shuffle-free
+    "e21_matryoshka_prefix", "e23_jl_funnel")
 
   private def shuffleNodes(p: SparkPlan): Seq[SparkPlan] = {
     val unwrapped = p match {
