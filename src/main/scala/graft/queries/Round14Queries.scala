@@ -84,10 +84,10 @@ object Round14Queries {
     ()
   }
 
-  private val x28Ranges =
+  private[queries] val x28Ranges =
     Map("user_id" -> (100L, 199L), "hour_bucket" -> (473592L, 473712L))
 
-  private def x28Agg(df: org.apache.spark.sql.DataFrame) =
+  private[queries] def x28Agg(df: org.apache.spark.sql.DataFrame) =
     df.agg(count(lit(1)).as("n_events"),
       sum(col("value").cast(DecimalType(18, 6))).cast("double")
         .as("sum_value"))

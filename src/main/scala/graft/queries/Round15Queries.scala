@@ -110,6 +110,87 @@ object Round15Queries {
           |WHERE user_id BETWEEN 100 AND 199
           |  AND epoch_ns(ts) // 3600000000000 BETWEEN 473592 AND 473712"""
           .stripMargin),
-      streaming = true)
+      streaming = true),
+
+    // X29 — manifest COMPACTION: pay down the small-files debt an
+    // appending sink (s26) accrues. The current 16-file layout rewrites
+    // into 4 range-clustered files, the new manifest version references
+    // only them, and the rectangle answer is identical — the
+    // maintenance pass a log-structured table needs so selective reads
+    // keep opening O(selectivity) footers after a million micro-batch
+    // appends, with old versions still readable until vacuum.
+    Q("x29_manifest_compact",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x29_m").toString
+        Round14Queries.x28Write(s, d, dir)
+        val (before, after) = ManifestScan.compact(s, dir, "user_id", 4,
+          Seq("user_id", "hour_bucket"))
+        val (df, kept, total) =
+          ManifestScan.readPruned(s, dir, Round14Queries.x28Ranges)
+        Round14Queries.x28Agg(df)
+          .select(col("n_events"), round(col("sum_value"), 6).as("sum_value"),
+            lit(if (after < before) 1 else 0).cast("int").as("compacted"),
+            lit(if (kept <= total) 1 else 0).cast("int").as("consistent"))
+      },
+      Some("""SELECT count(*) AS n_events,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS sum_value,
+          |  CAST(1 AS INT) AS compacted, CAST(1 AS INT) AS consistent
+          |FROM events
+          |WHERE user_id BETWEEN 100 AND 199
+          |  AND epoch_ns(ts) // 3600000000000 BETWEEN 473592 AND 473712"""
+          .stripMargin)),
+
+    // X30 — manifest TIME TRAVEL: every manifest commit snapshots an
+    // immutable version, so a pinned version re-reads its exact file
+    // set after later appends AND a compaction rewrote the current
+    // layout — training-run reproducibility (the file set of epoch N
+    // stays re-readable) as a query. v1 = the even-user half; then the
+    // odd half appends (v2) and a compaction rewrites everything (v3);
+    // the as-of-v1 read must still answer the rectangle over ONLY the
+    // even half, while `current` answers over all rows.
+    Q("x30_manifest_time_travel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("ts div 3600000000000").as("hour_bucket"), col("value"))
+        val dir = graft.util.TempDirs.create("graft_x30_m").toString
+        val cols = Seq("user_id", "hour_bucket")
+        ev.where(col("user_id") % 2 === 0)
+          .repartitionByRange(4, col("user_id"))
+          .sortWithinPartitions("user_id")
+          .write.mode("append").parquet(dir)
+        ManifestScan.refreshManifest(s, dir, cols) // v1: even half
+        ev.where(col("user_id") % 2 === 1)
+          .repartitionByRange(4, col("user_id"))
+          .sortWithinPartitions("user_id")
+          .write.mode("append").parquet(dir)
+        ManifestScan.refreshManifest(s, dir, cols) // v2: + odd half
+        ManifestScan.compact(s, dir, "user_id", 4, cols) // v3: rewritten
+        val v1 = ManifestScan.versions(s, dir).head
+        val asOf = Round14Queries.x28Agg(
+          ManifestScan.readPrunedAsOf(s, dir, v1, Round14Queries.x28Ranges)._1)
+          .select(lit("v1").as("snap"), col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"))
+        val cur = Round14Queries.x28Agg(
+          ManifestScan.readPruned(s, dir, Round14Queries.x28Ranges)._1)
+          .select(lit("current").as("snap"), col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"))
+        cur.unionAll(asOf).orderBy("snap")
+      },
+      Some("""WITH rect AS (
+          |  SELECT user_id, value FROM events
+          |  WHERE user_id BETWEEN 100 AND 199
+          |    AND epoch_ns(ts) // 3600000000000 BETWEEN 473592 AND 473712)
+          |SELECT 'current' AS snap, count(*) AS n_events,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS sum_value
+          |FROM rect
+          |UNION ALL
+          |SELECT 'v1' AS snap, count(*) AS n_events,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+          |    AS sum_value
+          |FROM rect WHERE user_id % 2 = 0
+          |ORDER BY snap""".stripMargin))
   )
 }

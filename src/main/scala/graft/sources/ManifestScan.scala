@@ -51,6 +51,23 @@ object ManifestScan {
 
   def manifestPath(dir: String): String = s"$dir/_manifest.json"
 
+  private def versionPath(dir: String, v: Int): String =
+    s"$dir/_manifest.v$v.json"
+
+  /** Retained manifest versions, ascending. Every manifest write also
+    * snapshots itself as `_manifest.v{N}.json`, so any retained
+    * version's exact FILE SET is re-readable forever — a pinned
+    * training run re-reads the bytes it trained on even after later
+    * appends and compactions rewrote the current layout (the
+    * Delta/Iceberg time-travel contract, at sidecar scale).
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val re = """_manifest\.v(\d+)\.json""".r
+    val st = fs.listStatus(new Path(dir))
+    st.map(_.getPath.getName).collect { case re(n) => n.toInt }.sorted.toSeq
+  }
+
   /** Build `_manifest.json` for every parquet file under `dir`,
     * collecting INT64 min/max zones for `cols` from file footers
     * (metadata-only I/O). Returns the number of files indexed.
@@ -85,7 +102,20 @@ object ManifestScan {
       .filter(p => !known.contains(p.toString))
       .sortBy(_.getName)
     if (fresh.isEmpty) return 0
-    val newEntries = fresh.map { p =>
+    val merged = (if (known.isEmpty) Seq.empty else loadManifest(dir)) ++
+      statsOf(spark, fresh.toSeq, cols)
+    writeManifest(spark, dir, merged)
+    fresh.length
+  }
+
+  /** Footer-only stats collection for a batch of parquet files:
+    * row counts + INT64 min/max zones for `cols`. Metadata I/O only —
+    * no data pages are read.
+    */
+  private def statsOf(spark: SparkSession, paths: Seq[Path],
+      cols: Seq[String]): Seq[FileZones] = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         var rows = 0L
@@ -106,24 +136,36 @@ object ManifestScan {
         FileZones(p.toString, rows, lo.keys.map(k => k -> (lo(k), hi(k))).toMap)
       } finally reader.close()
     }
-    val merged = (if (known.isEmpty) Seq.empty else loadManifest(dir)) ++
-      newEntries
-    writeManifest(dir, merged)
-    fresh.length
   }
 
-  private def writeManifest(dir: String, entries: Seq[FileZones]): Unit = {
+  /** Commit a new manifest: snapshot it as the next `_manifest.v{N}`
+    * (immutable history), then atomically swap `_manifest.json` (the
+    * current pointer readers use). Crash between the two writes leaves
+    * an orphan version file and an unchanged current — never a torn
+    * table.
+    */
+  private def writeManifest(spark: SparkSession, dir: String,
+      entries: Seq[FileZones]): Unit = {
     val json = Json.write(entries.map(e => Map(
       "path" -> e.path,
       "rows" -> e.rows.toDouble,
       "zones" -> e.zones.map { case (k, (l, h)) =>
         k -> Vector(l.toDouble, h.toDouble) })).toVector)
+    val next = versions(spark, dir).lastOption.getOrElse(0) + 1
+    FsIo.writeStringAtomic(versionPath(dir, next), json)
     FsIo.writeStringAtomic(manifestPath(dir), json)
   }
 
+  /** Parse a historical `_manifest.v{N}.json` back into file entries. */
+  def loadManifestVersion(dir: String, v: Int): Seq[FileZones] =
+    parseManifest(FsIo.readString(versionPath(dir, v)))
+
   /** Parse `_manifest.json` back into file entries. */
   def loadManifest(dir: String): Seq[FileZones] =
-    Json.parse(FsIo.readString(manifestPath(dir))) match {
+    parseManifest(FsIo.readString(manifestPath(dir)))
+
+  private def parseManifest(text: String): Seq[FileZones] =
+    Json.parse(text) match {
       case v: Vector[_] => v.map { e =>
         val m = e.asInstanceOf[Map[String, Any]]
         FileZones(
@@ -144,8 +186,21 @@ object ManifestScan {
     * (dataframe, filesKept, filesTotal).
     */
   def readPruned(spark: SparkSession, dir: String,
+      ranges: Map[String, (Long, Long)]): (DataFrame, Int, Int) =
+    readEntries(spark, dir, loadManifest(dir), ranges)
+
+  /** Time-travel read: the same pruned scan against a RETAINED
+    * historical version's file set — after later appends and
+    * compactions, version `v` still reads exactly the rows it
+    * described when it was committed (until [[vacuum]] drops it).
+    */
+  def readPrunedAsOf(spark: SparkSession, dir: String, v: Int,
+      ranges: Map[String, (Long, Long)]): (DataFrame, Int, Int) =
+    readEntries(spark, dir, loadManifestVersion(dir, v), ranges)
+
+  private def readEntries(spark: SparkSession, dir: String,
+      entries: Seq[FileZones],
       ranges: Map[String, (Long, Long)]): (DataFrame, Int, Int) = {
-    val entries = loadManifest(dir)
     val kept = entries.filter { e =>
       ranges.forall { case (c, (qlo, qhi)) =>
         e.zones.get(c).forall { case (flo, fhi) => qhi >= flo && qlo <= fhi }
@@ -159,5 +214,60 @@ object ManifestScan {
       df.where(col(c).between(qlo, qhi))
     }
     (filtered, kept.size, entries.size)
+  }
+
+  /** Compact the CURRENT file set into ~`targetFiles` range-clustered
+    * files and commit a new manifest version referencing only them —
+    * the maintenance pass that pays down an appending sink's
+    * small-files debt (s26 writes a few files per micro-batch; a
+    * million micro-batches later a selective read would open a
+    * million footers without this). Old files stay on disk so retained
+    * versions keep reading their exact snapshot; [[vacuum]] reclaims
+    * them. After the first compaction the manifest IS the table —
+    * a plain directory listing sees old+new generations, exactly the
+    * log-structured-table contract (same as Delta/Iceberg dirs).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String, clusterCol: String,
+      targetFiles: Int, cols: Seq[String]): (Int, Int) = {
+    val cur = loadManifest(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    def dataFiles(): Set[String] = fs.listStatus(new Path(dir))
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .map(_.toString).toSet
+    val before = dataFiles()
+    spark.read.parquet(cur.map(_.path): _*)
+      .repartitionByRange(targetFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("append").parquet(dir)
+    val fresh = (dataFiles() -- before).toSeq.sorted
+    writeManifest(spark, dir, statsOf(spark, fresh.map(new Path(_)), cols))
+    (cur.size, fresh.size)
+  }
+
+  /** Drop history: retain the newest `retainLast` manifest versions
+    * (the current pointer always survives), delete older version
+    * files, then delete every data file no retained version
+    * references. Referenced-file safety is set arithmetic, not
+    * timestamps — a file is deleted only when provably unreachable
+    * from every surviving manifest. Returns the number of data files
+    * deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String, retainLast: Int): Int = {
+    require(retainLast >= 1, "must retain at least the current version")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
+    val referenced = (keep.flatMap(v => loadManifestVersion(dir, v)) ++
+      loadManifest(dir)).map(_.path).toSet
+    drop.foreach(v => FsIo.delete(versionPath(dir, v)))
+    val orphans = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .filter(p => !referenced.contains(p.toString))
+    orphans.foreach(p => fs.delete(p, false))
+    orphans.length
   }
 }

@@ -99,4 +99,69 @@ class Round15Spec extends AnyFunSuite {
     val full = spark.read.parquet(dir).where(col("user_id").between(lo, hi))
     assert(df.count() == full.count())
   }
+
+  private def evCols = Seq("user_id", "hour_bucket")
+
+  private def writeHalves(dir: String): Unit = {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hour_bucket"),
+        col("value"))
+    ev.where(col("user_id") % 2 === 0)
+      .repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(dir)
+    ManifestScan.refreshManifest(spark, dir, evCols) // v1
+    ev.where(col("user_id") % 2 === 1)
+      .repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(dir)
+    ManifestScan.refreshManifest(spark, dir, evCols) // v2
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("x29 compact: same rows, fewer files, old versions keep their snapshot") {
+    val dir = graft.util.TempDirs.create("graft_r15_x29").toString
+    writeHalves(dir)
+    val all = Map("user_id" -> (Long.MinValue, Long.MaxValue))
+    val preRows = rowsOf(ManifestScan.readPruned(spark, dir, all)._1)
+    val preV = ManifestScan.versions(spark, dir)
+    val (before, after) = ManifestScan.compact(spark, dir, "user_id", 2, evCols)
+    assert(after < before, s"compacted $before -> $after files")
+    assert(rowsOf(ManifestScan.readPruned(spark, dir, all)._1) == preRows)
+    // every retained pre-compact version still reads its exact snapshot
+    val v1Rows = rowsOf(ManifestScan.readPrunedAsOf(spark, dir, preV.head, all)._1)
+    assert(v1Rows.forall(_._1 % 2 == 0) && v1Rows.nonEmpty)
+    assert(rowsOf(ManifestScan.readPrunedAsOf(spark, dir, preV.last, all)._1)
+      == preRows)
+    assert(ManifestScan.versions(spark, dir).size == preV.size + 1)
+  }
+
+  test("x30 vacuum: drops history, never a referenced file, current stays exact") {
+    val dir = graft.util.TempDirs.create("graft_r15_vac").toString
+    writeHalves(dir)
+    ManifestScan.compact(spark, dir, "user_id", 2, evCols) // v3
+    val all = Map("user_id" -> (Long.MinValue, Long.MaxValue))
+    val preRows = rowsOf(ManifestScan.readPruned(spark, dir, all)._1)
+    val deleted = ManifestScan.vacuum(spark, dir, retainLast = 1)
+    assert(deleted >= 1, "vacuum reclaimed nothing after a compaction")
+    assert(ManifestScan.versions(spark, dir).size == 1)
+    // current reads are untouched...
+    assert(rowsOf(ManifestScan.readPruned(spark, dir, all)._1) == preRows)
+    // ...and the directory holds EXACTLY the referenced files now
+    def norm(p: String) = new java.net.URI(p).getPath
+    val onDisk = spark.read.parquet(
+      ManifestScan.loadManifest(dir).map(_.path): _*).inputFiles.map(norm).toSet
+    val listed = {
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith("_"))
+        .map(p => norm(p.toString)).toSet
+    }
+    assert(listed == onDisk, "orphan data files survived vacuum")
+    // idempotent
+    assert(ManifestScan.vacuum(spark, dir, retainLast = 1) == 0)
+  }
 }
