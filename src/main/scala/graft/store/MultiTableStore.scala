@@ -26,7 +26,28 @@ final class MultiTableStore(
     val path: String,
     val model: LshModel) {
 
-  def indexDf: DataFrame = spark.read.parquet(path)
+  /** The live ×L index, read through the [[FileLog]] — same
+    * snapshot-isolation contract as [[VectorStore.indexDf]]: readers
+    * resolve a committed file list, never a directory listing that a
+    * concurrent rewrite can tear.
+    */
+  def indexDf: DataFrame =
+    if (!FileLog.exists(path)) spark.read.parquet(path)
+    else {
+      val st = FileLog.read(path)
+      if (st.files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
+      else spark.read.option("basePath", path).parquet(st.files: _*)
+    }
+
+  private def liveFiles(): Seq[String] =
+    if (FileLog.exists(path)) FileLog.read(path).files else Seq.empty
+
+  private def partOfFile(f: String): Option[(Int, Int)] =
+    MultiTableStore.PartRe.findFirstMatchIn(f)
+      .map(m => (m.group(1).toInt, m.group(2).toInt))
 
   /** Predicate selecting the probed (table, bucket) partitions —
     * OR-of-ANDs over the two partition columns, so the scan prunes to
@@ -54,8 +75,11 @@ final class MultiTableStore(
     */
   def add(df: DataFrame, idCol: String = "id",
           embCol: String = "embedding"): Unit = {
-    MultiTableStore.encode(df, model, idCol, embCol)
-      .write.mode("append").partitionBy("table", "bucket").parquet(path)
+    val out = MultiTableStore.encode(df, model, idCol, embCol)
+    val physBefore = FileLog.listDataFiles(spark, path).toSet
+    out.write.mode("append").partitionBy("table", "bucket").parquet(path)
+    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
+    FileLog.commit(spark, path, liveFiles() ++ created, out.schema.toDDL)
     invalidateRecallCurve()
   }
 
@@ -174,26 +198,26 @@ final class MultiTableStore(
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     val idSet = ids.map(Long.box)
-    val affected = indexDf.where(col("id").isin(idSet: _*))
+    val cur = indexDf
+    val affected = cur.where(col("id").isin(idSet: _*))
       .select(col("table").cast("int"), col("bucket").cast("int"))
-      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     if (affected.isEmpty) return 0L
     val hit = affected.map { case (t, b) =>
       col("table") === t && col("bucket") === b
     }.reduce(_ || _)
-    val inParts = indexDf.where(hit)
+    val inParts = cur.where(hit)
     val before = inParts.count()
     val remaining = inParts.where(!col("id").isin(idSet: _*))
-      .localCheckpoint(true)
-    val kept = remaining.select(col("table").cast("int"),
-        col("bucket").cast("int")).distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    remaining.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("table", "bucket").parquet(path)
-    // dynamic overwrite leaves fully-emptied partitions' stale files
-    MultiTableStore.dropPartitionDirs(spark, path,
-      affected.filterNot(kept).toSeq)
+    // replacement files append; one atomic log commit retires the
+    // affected partitions' old files (fully-emptied partitions simply
+    // publish nothing) — readers see pre- or post-state, never torn
+    val physBefore = FileLog.listDataFiles(spark, path).toSet
+    remaining.write.mode("append").partitionBy("table", "bucket").parquet(path)
+    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
+    val log = FileLog.read(path)
+    val keptOld = log.files.filterNot(f => partOfFile(f).exists(affected))
+    FileLog.commit(spark, path, keptOld ++ created, log.schemaDdl)
     invalidateRecallCurve()
     (before - remaining.count()) / cfgTables
   }
@@ -205,8 +229,9 @@ final class MultiTableStore(
     * over the two-level layout.
     */
   def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
-    val before = VectorStore.countDataFiles(spark, path)
-    val df = spark.read.parquet(path).localCheckpoint(true)
+    val log = FileLog.read(path)
+    val before = log.files.size.toLong
+    val df = indexDf
     val maxRow = df.groupBy("table", "bucket").count().agg(max("count")).head
     if (maxRow.isNullAt(0)) return (before, before)
     val filesPerPart = math.max(1L,
@@ -214,13 +239,15 @@ final class MultiTableStore(
     val numParts = math.min(
       model.cfg.numHashTables.toLong * model.bucketsPerTable * filesPerPart,
       Int.MaxValue.toLong)
+    val physBefore = FileLog.listDataFiles(spark, path).toSet
     df.repartition(numParts.toInt, col("table"), col("bucket"),
         pmod(hash(col("id")), lit(filesPerPart)))
       .sortWithinPartitions("table", "bucket", "id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("table", "bucket").parquet(path)
-    (before, VectorStore.countDataFiles(spark, path))
+      .write.mode("append").partitionBy("table", "bucket").parquet(path)
+    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
+    FileLog.commit(spark, path, created, log.schemaDdl)
+    FileLog.vacuum(spark, path, retainLast = 1)
+    (before, created.size.toLong)
   }
 }
 
@@ -237,16 +264,7 @@ object MultiTableStore {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
-  private[store] def dropPartitionDirs(spark: SparkSession, path: String,
-                                       parts: Seq[(Int, Int)]): Unit = {
-    if (parts.isEmpty) return
-    val conf = spark.sparkContext.hadoopConfiguration
-    parts.foreach { case (t, b) =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/table=$t/bucket=$b")
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-  }
+  private[store] val PartRe = """/table=(\d+)/bucket=(-?\d+)/""".r
 
   /** Build: per-table bucket codes (one fused-kernel pass per table),
     * one stored row per (table, row), partitioned write. The
@@ -258,10 +276,12 @@ object MultiTableStore {
             embCol: String = "embedding"): MultiTableStore = {
     require(cfg.multiTable, "MultiTableStore requires LshConfig(multiTable = true)")
     val model = LshModel(cfg)
-    encode(df, model, idCol, embCol)
-      .repartition(cfg.numHashTables * model.bucketsPerTable,
+    val out = encode(df, model, idCol, embCol)
+    out.repartition(cfg.numHashTables * model.bucketsPerTable,
         col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    FileLog.commit(spark, path,
+      FileLog.listDataFiles(spark, path), out.schema.toDDL)
     model.save(s"$path/_lsh_model.json")
     new MultiTableStore(spark, path, model)
   }

@@ -40,8 +40,30 @@ final class QuantIndex(
 
   @transient private var resident: Option[DataFrame] = None
 
-  def indexDf: DataFrame =
-    resident.getOrElse(spark.read.parquet(dataDir))
+  /** The snapshot's live files, resolved through its [[FileLog]]: a
+    * committed file list per scan, so concurrent in-snapshot rewrites
+    * (delete/upsert/compact) flip readers pre->post atomically — the
+    * same torn-listing fix as [[VectorStore.indexDf]]. Pre-log
+    * snapshots (none in practice) fall back to the directory scan.
+    */
+  private def logDf: DataFrame =
+    if (!FileLog.exists(dataDir)) spark.read.parquet(dataDir)
+    else {
+      val st = FileLog.read(dataDir)
+      if (st.files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
+      else spark.read.option("basePath", dataDir).parquet(st.files: _*)
+    }
+
+  private def liveFiles(): Seq[String] =
+    if (FileLog.exists(dataDir)) FileLog.read(dataDir).files else Seq.empty
+
+  private def cellOfFile(f: String): Option[Int] =
+    QuantIndex.CellRe.findFirstMatchIn(f).map(_.group(1).toInt)
+
+  def indexDf: DataFrame = resident.getOrElse(logDf)
 
   /** Pin the index in executor memory for interactive serving (the
     * analogue of the reference's always-resident FAISS index): all
@@ -50,7 +72,7 @@ final class QuantIndex(
     * search plans a fresh parquet scan (the right default for batch).
     */
   def cacheIndex(): this.type = {
-    val df = spark.read.parquet(dataDir).cache()
+    val df = logDf.cache()
     df.count()
     resident = Some(df)
     this
@@ -229,8 +251,11 @@ final class QuantIndex(
     */
   def add(df: DataFrame, idCol: String = "id",
           embCol: String = "embedding"): Unit = {
-    QuantIndex.encode(df, model, idCol, embCol)
-      .write.mode("append").partitionBy("cell").parquet(dataDir)
+    val out = QuantIndex.encode(df, model, idCol, embCol)
+    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
+    out.write.mode("append").partitionBy("cell").parquet(dataDir)
+    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
+    FileLog.commit(spark, dataDir, liveFiles() ++ created, out.schema.toDDL)
     invalidateRecallCurve()
     invalidateResident()
   }
@@ -246,19 +271,18 @@ final class QuantIndex(
       .select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0))
     if (affected.isEmpty) return 0L
+    val afSet = affected.toSet
     val inCells = indexDf.where(col("cell").isin(affected.map(Int.box).toSeq: _*))
     val before = inCells.count()
-    // localCheckpoint severs the file-source lineage so the dynamic
-    // overwrite of the same path is legal
+    // replacement files APPEND; one atomic log commit retires the
+    // affected cells' old files (readers see pre- or post-state)
     val remaining = inCells.where(!col("id").isin(idSet: _*))
-      .localCheckpoint(true)
-    val kept = remaining.select("cell").distinct()
-      .collect().map(_.getAs[Number](0).intValue()).toSet
-    remaining.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(dataDir)
-    VectorStore.dropPartitionDirs(spark, dataDir, "cell",
-      affected.filterNot(kept).toSeq)
+    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
+    remaining.write.mode("append").partitionBy("cell").parquet(dataDir)
+    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
+    val log = FileLog.read(dataDir)
+    val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
+    FileLog.commit(spark, dataDir, keptOld ++ created, log.schemaDdl)
     invalidateRecallCurve()
     invalidateResident()
     before - remaining.count()
@@ -287,14 +311,14 @@ final class QuantIndex(
       .map(r => Int.box(r.getAs[Number](0).intValue())).toSeq
     val existing = indexDf.where(col("cell").isin(af: _*))
       .join(incoming.select("id"), Seq("id"), "left_anti")
-    val merged = existing.unionByName(incoming).localCheckpoint(true)
-    val kept = merged.select("cell").distinct()
-      .collect().map(_.getAs[Number](0).intValue()).toSet
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(dataDir)
-    VectorStore.dropPartitionDirs(spark, dataDir, "cell",
-      af.map(_.intValue()).filterNot(kept))
+    val merged = existing.unionByName(incoming)
+    val afSet = af.map(_.intValue()).toSet
+    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
+    merged.write.mode("append").partitionBy("cell").parquet(dataDir)
+    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
+    val log = FileLog.read(dataDir)
+    val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
+    FileLog.commit(spark, dataDir, keptOld ++ created, log.schemaDdl)
     invalidateRecallCurve()
     invalidateResident()
   }
@@ -306,8 +330,9 @@ final class QuantIndex(
     * filesAfter).
     */
   def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
-    val before = VectorStore.countDataFiles(spark, dataDir)
-    val df = spark.read.parquet(dataDir).localCheckpoint(true)
+    val log = FileLog.read(dataDir)
+    val before = log.files.size.toLong
+    val df = logDf
     // max over zero groups is NULL — nothing to compact
     val maxRow = df.groupBy("cell").count().agg(max("count")).head
     if (maxRow.isNullAt(0)) return (before, before)
@@ -316,14 +341,17 @@ final class QuantIndex(
       math.max(1L, (maxCellRows + targetRowsPerFile - 1) / targetRowsPerFile)
     val numParts = // bounded Long math: Int overflow would go negative
       math.min(model.cfg.ivfCells.toLong * filesPerCell, Int.MaxValue.toLong)
+    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
     df.repartition(numParts.toInt,
         col("cell"), pmod(hash(col("id")), lit(filesPerCell)))
       .sortWithinPartitions("cell", "id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+      .write.mode("append")
       .partitionBy("cell").parquet(dataDir)
+    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
+    FileLog.commit(spark, dataDir, created, log.schemaDdl)
+    FileLog.vacuum(spark, dataDir, retainLast = 1)
     invalidateResident()
-    (before, VectorStore.countDataFiles(spark, dataDir))
+    (before, created.size.toLong)
   }
 
   /** Re-train every quantizer on the CURRENT corpus and re-encode —
@@ -357,12 +385,17 @@ final class QuantIndex(
     */
   def retrain(): QuantIndex = {
     val next = s"$path/_versions/v${QuantIndex.nextVersion(spark, path)}"
-    val data = spark.read.parquet(dataDir).select(col("id"), col("embedding"))
+    // through the log, NOT the raw directory: the dir may hold files
+    // retired by delete/upsert and not yet vacuumed — a listing read
+    // would bake those phantom rows into the new snapshot forever
+    val data = logDf.select(col("id"), col("embedding"))
     val newModel = QuantModel.train(data, model.cfg)
-    QuantIndex.encode(data, newModel, "id", "embedding")
-      .repartition(newModel.cfg.ivfCells, col("cell"))
+    val encoded = QuantIndex.encode(data, newModel, "id", "embedding")
+    encoded.repartition(newModel.cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(next)
+    FileLog.commit(spark, next,
+      FileLog.listDataFiles(spark, next), encoded.schema.toDDL)
     newModel.save(s"$next/_quant_model.json") // atomic commit point
     // post-commit cleanup of the superseded snapshot (flat layout:
     // drop its cell dirs + model file; versioned: drop the directory)
@@ -497,6 +530,8 @@ final class QuantIndex(
 
 object QuantIndex {
 
+  private[store] val CellRe = """/cell=(\d+)/""".r
+
   /** (id, embedding, sq8, i4, pq, sig, pqr, cell) from raw
     * (id, embedding) rows. `sig` is the 1-bit sign signature (binary
     * quantization, 32× smaller than float32) — parameterless, so it
@@ -524,10 +559,12 @@ object QuantIndex {
             cfg: QuantConfig = QuantConfig(),
             idCol: String = "id", embCol: String = "embedding"): QuantIndex = {
     val model = QuantModel.train(df, cfg, idCol, embCol)
-    encode(df, model, idCol, embCol)
-      .repartition(cfg.ivfCells, col("cell"))
+    val out = encode(df, model, idCol, embCol)
+    out.repartition(cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    FileLog.commit(spark, path,
+      FileLog.listDataFiles(spark, path), out.schema.toDDL)
     model.save(s"$path/_quant_model.json")
     new QuantIndex(spark, path, model)
   }

@@ -30,12 +30,43 @@ final class VectorStore(
     val path: String,
     val model: LshModel) {
 
-  def indexDf: DataFrame = spark.read.parquet(path)
+  /** The live index, read through the [[FileLog]]: the file list is
+    * resolved from `_files.json` once per call, so every scan sees a
+    * COMMITTED snapshot — a concurrent mutation flips readers from the
+    * pre-state to the post-state atomically, never a half-replaced
+    * bucket (the torn-read gap the round-12 battery documented on
+    * directory-listing reads). An empty index reads back as an empty
+    * frame with its recorded schema. Stores created with
+    * `new VectorStore` on a bare path (streaming sinks before their
+    * first batch) have no log yet and fall back to the directory scan.
+    */
+  def indexDf: DataFrame =
+    if (!FileLog.exists(path)) spark.read.parquet(path)
+    else {
+      val st = FileLog.read(path)
+      if (st.files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
+      else spark.read.option("basePath", path).parquet(st.files: _*)
+    }
 
-  /** Append vectors (id, embedding) into the bucketed index table. */
+  private def liveFiles(): Seq[String] =
+    if (FileLog.exists(path)) FileLog.read(path).files else Seq.empty
+
+  private def bucketOfFile(f: String): Option[Int] =
+    VectorStore.BucketRe.findFirstMatchIn(f).map(_.group(1).toInt)
+
+  /** Append vectors (id, embedding) into the bucketed index table:
+    * new data files land first, then one atomic log commit publishes
+    * them — readers see none or all of the batch.
+    */
   def add(df: DataFrame, idCol: String = "id", embCol: String = "embedding"): Unit = {
-    VectorStore.bucketize(df, model, idCol, embCol)
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    val out = VectorStore.bucketize(df, model, idCol, embCol)
+    val physBefore = FileLog.listDataFiles(spark, path).toSet
+    out.write.mode("append").partitionBy("bucket").parquet(path)
+    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
+    FileLog.commit(spark, path, liveFiles() ++ created, out.schema.toDDL)
     invalidateRecallCurve()
   }
 
@@ -155,35 +186,34 @@ final class VectorStore(
     search(q, k, probesForRecall(minRecall), filter)
 
   /** Delete vectors by id, rewriting ONLY the buckets that contain
-    * them (dynamic partition overwrite — at scale this touches a few
-    * partition directories, never the whole table). Returns the number
-    * of rows removed. Vector delete is declared future work in the
-    * reference (`generate_report.py:298`).
+    * them — at scale this touches a few partitions, never the whole
+    * table. The rewrite APPENDS replacement files and retires the
+    * affected buckets' old files in one atomic log commit: readers
+    * see the pre- or post-delete index, never a bucket mid-replacement
+    * (old files stay on disk for in-flight readers until [[compact]]'s
+    * vacuum). Returns the number of rows removed. Vector delete is
+    * declared future work in the reference (`generate_report.py:298`).
     */
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     val idSet = ids.map(Long.box)
-    val affected = indexDf.where(col("id").isin(idSet: _*))
+    val cur = indexDf
+    val affected = cur.where(col("id").isin(idSet: _*))
       .select(col("bucket").cast("int")).distinct()
-      .collect().map(_.getInt(0))
+      .collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return 0L
     val af = affected.map(Int.box).toSeq
-    val inBuckets = indexDf.where(col("bucket").isin(af: _*))
+    val inBuckets = cur.where(col("bucket").isin(af: _*))
     val before = inBuckets.count()
-    // localCheckpoint severs the file-source lineage so the dynamic
-    // overwrite of the same path is legal
     val remaining = inBuckets.where(!col("id").isin(idSet: _*))
-      .localCheckpoint(true)
-    val keptPerBucket = remaining.groupBy("bucket").count()
-      .collect().map(r => r.getAs[Number]("bucket").intValue()).toSet
-    remaining.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
-    // dynamic overwrite only rewrites partitions present in the output;
-    // a fully-emptied bucket keeps its stale files — drop its directory
-    VectorStore.dropBucketDirs(spark, path,
-      affected.filterNot(keptPerBucket).toSeq)
+    val physBefore = FileLog.listDataFiles(spark, path).toSet
+    remaining.write.mode("append").partitionBy("bucket").parquet(path)
+    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
+    val log = FileLog.read(path)
+    val keptOld = log.files.filterNot(f => bucketOfFile(f).exists(affected))
+    FileLog.commit(spark, path, keptOld ++ created, log.schemaDdl)
     invalidateRecallCurve()
+    // `remaining` still reads the retired (not yet vacuumed) files
     before - remaining.count()
   }
 
@@ -211,26 +241,26 @@ final class VectorStore(
       .where(col("__rn") === 1).drop("__rn", "__seq")
     val incoming = VectorStore.bucketize(dedupedIn, model, idCol, embCol)
       .localCheckpoint(true)
-    val priorBuckets = indexDf.select(col("id"), col("bucket"))
+    val cur = indexDf
+    val priorBuckets = cur.select(col("id"), col("bucket"))
       .join(incoming.select("id"), Seq("id"), "left_semi")
       .select(col("bucket"))
     val af = incoming.select(col("bucket")).union(priorBuckets)
       .distinct().collect()
       .map(r => Int.box(r.getAs[Number](0).intValue())).toSeq
-    val existing = indexDf.where(col("bucket").isin(af: _*))
+    val afSet = af.map(_.intValue()).toSet
+    val existing = cur.where(col("bucket").isin(af: _*))
       .join(incoming.select("id"), Seq("id"), "left_anti")
-    // localCheckpoint severs the file-source lineage so the dynamic
-    // overwrite of the same path is legal
-    val merged = existing.unionByName(incoming).localCheckpoint(true)
-    val kept = merged.select("bucket").distinct()
-      .collect().map(_.getAs[Number](0).intValue()).toSet
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
-    // a bucket fully emptied by moved-away ids gets no output rows and
-    // would keep its stale files — drop its directory
-    VectorStore.dropBucketDirs(spark, path,
-      af.map(_.intValue()).filterNot(kept))
+    // replacement files APPEND next to the old ones; the log commit
+    // retires the affected buckets' old files atomically (a bucket
+    // fully emptied by moved-away ids simply publishes no files)
+    val merged = existing.unionByName(incoming)
+    val physBefore = FileLog.listDataFiles(spark, path).toSet
+    merged.write.mode("append").partitionBy("bucket").parquet(path)
+    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
+    val log = FileLog.read(path)
+    val keptOld = log.files.filterNot(f => bucketOfFile(f).exists(afSet))
+    FileLog.commit(spark, path, keptOld ++ created, log.schemaDdl)
     invalidateRecallCurve()
   }
 
@@ -245,10 +275,9 @@ final class VectorStore(
     * returns (dataFilesBefore, dataFilesAfter).
     */
   def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
-    val before = VectorStore.countDataFiles(spark, path)
-    // localCheckpoint severs the file-source lineage so overwriting
-    // the same path is legal
-    val df = indexDf.localCheckpoint(true)
+    val log = FileLog.read(path)
+    val before = log.files.size.toLong
+    val df = indexDf
     // max over zero groups is NULL — an empty index has nothing to
     // compact, and writing would replace it with an empty layout
     val maxRow = df.groupBy("bucket").count().agg(max("count")).head
@@ -258,12 +287,17 @@ final class VectorStore(
       math.max(1L, (maxBucketRows + targetRowsPerFile - 1) / targetRowsPerFile)
     val numParts = // bounded Long math: Int overflow would go negative
       math.min(model.numBuckets.toLong * filesPerBucket, Int.MaxValue.toLong)
+    val physBefore = FileLog.listDataFiles(spark, path).toSet
     df.repartition(numParts.toInt,
         col("bucket"), pmod(hash(col("id")), lit(filesPerBucket)))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
-    (before, VectorStore.countDataFiles(spark, path))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
+    FileLog.commit(spark, path, created, log.schemaDdl)
+    // compaction is the maintenance point: reclaim every retired file.
+    // An in-flight reader holding a pre-compact list loses the race as
+    // a retryable FileNotFound, never as silent row loss.
+    FileLog.vacuum(spark, path, retainLast = 1)
+    (before, created.size.toLong)
   }
 
   /** Reshard into a NEW bucket layout at `newPath` (e.g. more hash
@@ -279,10 +313,24 @@ final class VectorStore(
 
 object VectorStore {
 
-  /** Remove partition directories for buckets emptied by a delete. */
-  private[store] def dropBucketDirs(spark: SparkSession, path: String,
-                                    buckets: Seq[Int]): Unit =
-    dropPartitionDirs(spark, path, "bucket", buckets)
+  private[store] val BucketRe = """/bucket=(-?\d+)/""".r
+
+  /** Remove `<path>/<column>=<v>` partition directories (dynamic
+    * overwrite only rewrites partitions present in the output, so a
+    * fully-emptied partition keeps stale files unless dropped). Still
+    * used by [[QuantIndex]]'s in-snapshot rewrites; the LSH store
+    * layouts replaced this pattern with [[FileLog]] commits.
+    */
+  private[store] def dropPartitionDirs(spark: SparkSession, path: String,
+                                       column: String, values: Seq[Int]): Unit = {
+    if (values.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    values.foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$column=$v")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
 
   /** Count parquet data files under the index path (compaction metric). */
   private[graft] def countDataFiles(spark: SparkSession, path: String): Long = {
@@ -295,21 +343,6 @@ object VectorStore {
       if (it.next().getPath.getName.endsWith(".parquet")) n += 1
     }
     n
-  }
-
-  /** Remove `<path>/<column>=<v>` partition directories (dynamic
-    * overwrite only rewrites partitions present in the output, so a
-    * fully-emptied partition keeps stale files unless dropped).
-    */
-  private[store] def dropPartitionDirs(spark: SparkSession, path: String,
-                                       column: String, values: Seq[Int]): Unit = {
-    if (values.isEmpty) return
-    val conf = spark.sparkContext.hadoopConfiguration
-    values.foreach { v =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$column=$v")
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
   }
 
   /** Assign the LSH bucket column. Narrow, shuffle-free. Columns other
@@ -349,9 +382,14 @@ object VectorStore {
     // where one writer per bucket is a bottleneck, add a salt column to
     // spread each bucket over N writers — the partitionBy layout is
     // unchanged by that.)
-    bucketize(df, model, idCol, embCol)
-      .repartition(cfg.numHashTables, col("bucket"))
+    val out = bucketize(df, model, idCol, embCol)
+    out.repartition(cfg.numHashTables, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // overwrite cleared the directory, so the physical listing IS the
+    // new live set; v1 of the file log publishes it (and the schema,
+    // which is what lets an EMPTY build read back correctly)
+    FileLog.commit(spark, path,
+      FileLog.listDataFiles(spark, path), out.schema.toDDL)
     model.save(s"$path/_lsh_model.json")
     new VectorStore(spark, path, model)
   }

@@ -164,7 +164,13 @@ class Round12Spec extends AnyFunSuite {
                   msgs.contains("does not exist") ||
                   msgs.contains("REFRESH TABLE") ||
                   msgs.contains("PATH_NOT_FOUND") ||
-                  msgs.contains("underlying files"))
+                  msgs.contains("underlying files") ||
+                  // losing the race to retrain's post-commit deletion
+                  // of the SUPERSEDED snapshot surfaces as failed
+                  // schema inference on the vanishing directory — the
+                  // documented reopen/GC grace-period caveat, same
+                  // class as the FileNotFound listing race
+                  msgs.contains("UNABLE_TO_INFER_SCHEMA"))
                 retries.incrementAndGet()
               else errors.add(s"unexpected reader failure: $msgs")
           }

@@ -125,7 +125,7 @@ class MutationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(store.delete(victims) == 0L)
   }
 
-  test("delete that empties a bucket drops its partition directory") {
+  test("delete that empties a bucket retires it from the log; compact reclaims") {
     val store = freshStore()
     val bucketIds = store.indexDf
       .where(col("bucket") === 0).select("id")
@@ -133,8 +133,28 @@ class MutationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bucketIds.nonEmpty)
     store.delete(bucketIds)
     assert(store.indexDf.where(col("bucket") === 0).count() == 0)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"${store.path}/bucket=0")))
+    // the log commit retires every bucket=0 file immediately (readers
+    // never see the emptied bucket) ...
+    assert(!graft.store.FileLog.read(store.path).files
+      .exists(_.contains("/bucket=0/")))
+    // ... and compaction's vacuum reclaims the retired files physically
+    store.compact(targetRowsPerFile = 1024)
+    val dir = java.nio.file.Paths.get(s"${store.path}/bucket=0")
+    val leftover =
+      if (!java.nio.file.Files.exists(dir)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try {
+          val it = s.iterator()
+          val buf = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.endsWith(".parquet")) buf += n
+          }
+          buf.result()
+        } finally s.close()
+      }
+    assert(leftover.isEmpty, s"unreclaimed files in emptied bucket: $leftover")
   }
 
   test("upsert replaces an existing vector and inserts a new one") {
