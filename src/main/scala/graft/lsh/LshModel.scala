@@ -263,16 +263,35 @@ final class LshModel(val cfg: LshConfig, val matrix: Array[Array[Double]]) {
 
   /** Persist as a tiny JSON file next to the index (SURVEY §7.5: the
     * reference never persists its projections; we do).
+    *
+    * `version` is the bucket-assignment FORMAT version ([[LshModel
+    * .FormatVersion]]): v2 = floorMod bucket arithmetic. Version 1
+    * files (written before the signed-overflow fix) assign DIFFERENT
+    * buckets for configs with ≥64 projection bits, so [[LshModel
+    * .load]] refuses them rather than silently probing the wrong
+    * partitions of a v1-written index.
     */
   def save(path: String): Unit = {
     val rows = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val json =
-      s"""{"numHashFunctions":${cfg.numHashFunctions},"numHashTables":${cfg.numHashTables},"dim":${cfg.dim},"seed":${cfg.seed},"multiTable":${cfg.multiTable},"matrix":$rows}"""
+      s"""{"version":${LshModel.FormatVersion},"numHashFunctions":${cfg.numHashFunctions},"numHashTables":${cfg.numHashTables},"dim":${cfg.dim},"seed":${cfg.seed},"multiTable":${cfg.multiTable},"matrix":$rows}"""
     graft.util.FsIo.writeString(path, json)
   }
 }
 
 object LshModel {
+
+  /** Bucket-arithmetic format version stamped into persisted model
+    * JSON. History: 1 (implicit — no version field) = signed `%`
+    * bucket fold, which emits NEGATIVE bucket ids when totalBits ≥ 64
+    * (bit 63 wraps the Long sum); 2 = `floorMod` on both engines.
+    * The assignments coincide exactly when totalBits < 64, so v1
+    * models below that width load fine; at ≥64 bits a v1-written
+    * index's PARTITION LAYOUT no longer matches the fixed arithmetic
+    * and querying it would silently miss rows — load fails loudly
+    * with a reindex instruction instead (r10 ADVICE fix).
+    */
+  val FormatVersion = 2
   /** Deterministic model: N(0,1) entries from `java.util.Random(seed)`
     * in row-major (table-major, then hash-function, then dim) order.
     */
@@ -294,6 +313,15 @@ object LshModel {
       // absent in pre-multi-table model files → false
       multiTable = s.contains("\"multiTable\":") &&
         num("multiTable").trim.toBoolean)
+    val version = // absent = 1, the pre-floorMod signed-% arithmetic
+      if (s.contains("\"version\":")) num("version").trim.toInt else 1
+    if (version < FormatVersion && cfg.totalBits >= 64)
+      throw new IllegalStateException(
+        s"$path: LSH model format v$version with ${cfg.totalBits} " +
+          "projection bits — the index was partitioned with pre-floorMod " +
+          "bucket arithmetic, which differs at >=64 bits; querying it with " +
+          "this library would silently probe the wrong buckets. Rebuild " +
+          "the index (VectorStore.build / reshard) to migrate.")
     val body = s.substring(s.indexOf("\"matrix\":") + 9).trim.stripSuffix("}")
     val rows = body.stripPrefix("[").stripSuffix("]")
       .split("\\],\\[").map(_.replaceAll("[\\[\\]]", ""))

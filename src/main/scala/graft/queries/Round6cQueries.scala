@@ -456,8 +456,11 @@ object Round6cQueries {
           .parquet(s"$srcDir/files")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-              org.apache.spark.sql.Row], _: Long) =>
-            idx.add(batch)
+              org.apache.spark.sql.Row], bid: Long) =>
+            // batchId makes the add idempotent: a replayed micro-batch
+            // (crash between add and checkpoint commit) is a no-op —
+            // the index sink is exactly-once, not at-least-once
+            idx.add(batch, batchId = Some(bid))
           }
           .option("checkpointLocation", ckpt)
           .start()

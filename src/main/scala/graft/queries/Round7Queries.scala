@@ -146,8 +146,9 @@ object Round7Queries {
           .parquet(s"$srcDir/files")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-              org.apache.spark.sql.Row], _: Long) =>
-            st.add(batch)
+              org.apache.spark.sql.Row], bid: Long) =>
+            // exactly-once: replayed micro-batches no-op on the batch id
+            st.add(batch, batchId = Some(bid))
           }
           .option("checkpointLocation", ckpt)
           .start()

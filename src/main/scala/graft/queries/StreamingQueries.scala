@@ -600,8 +600,9 @@ object StreamingQueries {
           .select(col("vec_id").as("id"), col("embedding"))
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-              org.apache.spark.sql.Row], _: Long) =>
-            store.add(batch)
+              org.apache.spark.sql.Row], bid: Long) =>
+            // exactly-once: replayed micro-batches no-op on the batch id
+            store.add(batch, batchId = Some(bid))
           }
           .option("checkpointLocation", ckpt)
           .start()

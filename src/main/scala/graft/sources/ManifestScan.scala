@@ -119,21 +119,33 @@ object ManifestScan {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         var rows = 0L
+        var blocks = 0L
         val lo = scala.collection.mutable.Map.empty[String, Long]
         val hi = scala.collection.mutable.Map.empty[String, Long]
+        val covered = scala.collection.mutable.Map.empty[String, Long]
         reader.getFooter.getBlocks.forEach { b =>
           rows += b.getRowCount
+          blocks += 1
           b.getColumns.forEach { c =>
             val name = c.getPath.toDotString
             if (cols.contains(name)) c.getStatistics match {
               case s: LongStatistics if s.hasNonNullValue =>
                 lo.update(name, math.min(lo.getOrElse(name, Long.MaxValue), s.getMin))
                 hi.update(name, math.max(hi.getOrElse(name, Long.MinValue), s.getMax))
+                covered.update(name, covered.getOrElse(name, 0L) + 1)
               case _ => ()
             }
           }
         }
-        FileZones(p.toString, rows, lo.keys.map(k => k -> (lo(k), hi(k))).toMap)
+        // A zone is recorded only when EVERY block carries usable stats
+        // for the column: parquet can't distinguish "stats not written"
+        // from "all null", so a zone built from a subset of blocks
+        // would exclude the uncovered blocks' rows and let readPruned
+        // skip a file that actually matches — silent row loss (r10
+        // ADVICE fix). Unzoned columns keep the file unconditionally.
+        FileZones(p.toString, rows,
+          lo.keys.filter(k => covered(k) == blocks)
+            .map(k => k -> (lo(k), hi(k))).toMap)
       } finally reader.close()
     }
   }

@@ -6,6 +6,23 @@ import org.apache.spark.sql.SparkSession
 import graft.server.Json
 import graft.util.FsIo
 
+/** A second writer lost the commit race and its base snapshot is no
+  * longer current. Mutations that REWRITE files (delete/upsert/
+  * compact) cannot merge with a concurrent commit, so they surface
+  * this instead of silently dropping the other writer's rows; pure
+  * APPENDS retry internally and never see it.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
+/** A reader's pinned snapshot version was vacuumed while it was
+  * running. The typed form of the FileNotFound race the r10 mutation
+  * battery retried blindly: the snapshot is GONE (not torn) — re-read
+  * the current version.
+  */
+final class SnapshotVacuumedException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
+
 /** Versioned file log for the vector-store layouts — the commit layer
   * that makes raw-parquet index reads SNAPSHOT-ISOLATED.
   *
@@ -16,101 +33,348 @@ import graft.util.FsIo
   * caught intermittently by the battery — succeeds against a
   * half-replaced partition and silently under-counts. A table format
   * closes that gap, and this is its minimal core, the same shape as
-  * [[graft.sources.ManifestScan]]'s versioned sidecar: the index's
-  * live file SET lives in `_files.json`, every commit also snapshots
-  * an immutable `_files.v{N}.json`, and mutations only ever APPEND
-  * data files and swap the log atomically (tmp+rename). Readers
-  * resolve the log once per scan and read an immutable file list —
-  * they see the pre-commit or post-commit table, never a torn one;
-  * replaced files stay on disk until [[vacuum]], so an in-flight
-  * reader's list stays valid (a reader can only lose the race to
-  * vacuum itself, which surfaces as the retryable FileNotFound, never
-  * as silent row loss).
+  * [[graft.sources.ManifestScan]]'s versioned sidecar: every commit
+  * writes an IMMUTABLE `_files.v{N}.json` holding the live file SET
+  * (plus schema DDL, the streaming batch watermark, and optional
+  * per-file zone maps), and `_files.json` is a convenience pointer to
+  * the newest one. Readers resolve the newest version file once per
+  * scan and read an immutable list — they see the pre-commit or
+  * post-commit table, never a torn one; replaced files stay on disk
+  * until [[vacuum]], so an in-flight reader's list stays valid (a
+  * reader can only lose the race to vacuum itself, which surfaces as
+  * [[SnapshotVacuumedException]], never as silent row loss).
   *
   * The log also records the index schema (DDL), so an EMPTY index —
   * a store created by a streaming sink before its first batch, or
   * fully deleted — reads back with its real schema instead of failing
   * parquet inference on a fileless directory.
   *
-  * Single-writer, like the reference's ingest path and Structured
-  * Streaming's sink model; concurrent WRITERS would need a lock or a
-  * compare-and-swap log append (the full table-format problem).
+  * Concurrency contract (upgraded from r10's single-writer caveat):
+  * the version file is created with a compare-and-swap
+  * ([[FsIo.writeStringExclusive]] — POSIX hard-link on `file://`,
+  * namenode-atomic create-no-overwrite on HDFS), so two commits can
+  * never both claim version N. Appends ([[transact]]) re-read and
+  * merge on a lost race; rewrites ([[commitAt]]) fail loudly with
+  * [[ConcurrentCommitException]] — never silent row loss either way.
+  * The `_files.json` pointer is only a cache: [[read]] always prefers
+  * the newest immutable version file, so a stale or mid-swap pointer
+  * (two winners swapping it out of order) is harmless.
   */
 object FileLog {
 
-  final case class State(files: Seq[String], schemaDdl: String)
+  /** Default vacuum grace: retired files and superseded version logs
+    * younger than this survive reclamation, so in-flight readers of a
+    * recently replaced snapshot finish cleanly (a reader that outlives
+    * the grace gets [[SnapshotVacuumedException]]). Tests that assert
+    * physical reclamation pass 0 explicitly.
+    */
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
+  /** A committed snapshot.
+    *
+    * @param files     live data files (the table IS this list)
+    * @param schemaDdl schema as DDL, for empty-table reads
+    * @param version   the `_files.v{N}` this state was committed as
+    *                  (0 = legacy pre-version log)
+    * @param batchId   highest streaming batch id folded into this
+    *                  state (−1 = none): the exactly-once watermark —
+    *                  a foreachBatch replay of batch ≤ batchId is a
+    *                  no-op instead of a duplicate append
+    * @param zones     optional per-file min/max zone maps over INT64
+    *                  columns (file → column → (lo, hi)), collected
+    *                  from parquet footers at commit time; lets scans
+    *                  skip files at PLANNING time (the ManifestScan
+    *                  idea unified into the index log)
+    */
+  final case class State(files: Seq[String], schemaDdl: String,
+      version: Int = 0, batchId: Long = -1L,
+      zones: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   def currentPath(dir: String): String = s"$dir/_files.json"
   private def versionPath(dir: String, v: Int): String = s"$dir/_files.v$v.json"
 
-  def exists(dir: String): Boolean = FsIo.exists(currentPath(dir))
+  def exists(dir: String): Boolean =
+    FsIo.exists(currentPath(dir)) || versions(dir).nonEmpty
 
-  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+  private def hadoopConf() =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  def versions(spark: SparkSession, dir: String): Seq[Int] = versions(dir)
+
+  private def versions(dir: String): Seq[Int] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p)) return Seq.empty
     val re = """_files\.v(\d+)\.json""".r
     fs.listStatus(p).map(_.getPath.getName)
       .collect { case re(n) => n.toInt }.sorted.toSeq
   }
 
-  def read(dir: String): State = parse(FsIo.readString(currentPath(dir)))
+  /** Current state = the newest immutable version file (the pointer is
+    * only consulted when no version files exist — a log written by the
+    * pre-version code, or one whose history was fully vacuumed while
+    * we listed; in the latter case the pointer is always current).
+    */
+  def read(dir: String): State = versions(dir).lastOption match {
+    case Some(v) =>
+      try readVersion(dir, v)
+      catch {
+        // lost the race to a concurrent vacuum dropping v: the pointer
+        // is rewritten by every commit and always parseable
+        case _: java.io.FileNotFoundException =>
+          parse(FsIo.readString(currentPath(dir)))
+      }
+    case None => parse(FsIo.readString(currentPath(dir)))
+  }
 
   def readVersion(dir: String, v: Int): State =
-    parse(FsIo.readString(versionPath(dir, v)))
+    parse(FsIo.readString(versionPath(dir, v))).copy(version = v)
 
   private def parse(text: String): State = {
     val m = Json.parse(text).asInstanceOf[Map[String, Any]]
+    def longOf(k: String, dflt: Long): Long =
+      m.get(k).map(_.asInstanceOf[Double].toLong).getOrElse(dflt)
+    val zones = m.get("zones").map(_.asInstanceOf[Map[String, Any]].map {
+      case (f, zs) => f -> zs.asInstanceOf[Map[String, Any]].map {
+        case (c, z) =>
+          val zz = z.asInstanceOf[Vector[Any]]
+          c -> (zz(0).asInstanceOf[Double].toLong,
+            zz(1).asInstanceOf[Double].toLong)
+      }
+    }).getOrElse(Map.empty[String, Map[String, (Long, Long)]])
     State(m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
-      m("schema").asInstanceOf[String])
+      m("schema").asInstanceOf[String],
+      version = longOf("version", 0L).toInt,
+      batchId = longOf("batch_id", -1L),
+      zones = zones)
   }
 
-  /** Commit a new live file set: snapshot as the next version, then
-    * atomically swap the current pointer. Returns the version number.
+  private def render(files: Seq[String], schemaDdl: String, version: Int,
+      batchId: Long,
+      zones: Map[String, Map[String, (Long, Long)]]): String = {
+    val base = scala.collection.immutable.ListMap(
+      "version" -> version.toLong,
+      "schema" -> schemaDdl,
+      "files" -> files.distinct.sorted.toVector)
+    val withBatch =
+      if (batchId >= 0) base + ("batch_id" -> batchId) else base
+    val withZones =
+      if (zones.isEmpty) withBatch
+      else withBatch + ("zones" -> zones.map { case (f, zs) =>
+        f -> zs.map { case (c, (l, h)) => c -> Vector(l, h) } })
+    Json.write(withZones)
+  }
+
+  /** Commit a new live file set, unconditionally (retries a lost CAS
+    * with the same content — correct ONLY for writers whose content
+    * does not depend on the state they read: initial builds and
+    * full rewrites that own the directory). Mutation paths use
+    * [[transact]] (append-merge) or [[commitAt]] (fail-on-conflict).
+    * Returns the version number.
     */
   def commit(spark: SparkSession, dir: String, files: Seq[String],
-             schemaDdl: String): Int = {
-    val json = Json.write(Map(
-      "schema" -> schemaDdl, "files" -> files.sorted.toVector))
-    val next = versions(spark, dir).lastOption.getOrElse(0) + 1
-    FsIo.writeStringAtomic(versionPath(dir, next), json)
+             schemaDdl: String, batchId: Long = -1L,
+             zones: Map[String, Map[String, (Long, Long)]] = Map.empty): Int = {
+    var attempts = 0
+    while (true) {
+      val next = versions(dir).lastOption.getOrElse(0) + 1
+      val json = render(files, schemaDdl, next, batchId, zones)
+      if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
+        FsIo.writeStringAtomic(currentPath(dir), json)
+        return next
+      }
+      attempts += 1
+      if (attempts > 1000) throw new ConcurrentCommitException(
+        s"gave up claiming a log version under $dir after $attempts attempts")
+    }
+    -1 // unreachable
+  }
+
+  /** Read-compute-CAS loop for APPEND-shaped writers: `f` receives the
+    * current state (None = unlogged directory) and returns the next
+    * (files, schemaDdl, batchId, zones); a lost race re-reads and
+    * recomputes, so two concurrent appends both land — neither can
+    * erase the other's files. Returns the committed version, or −1 if
+    * `f` declined to commit (returned None — the idempotent-replay
+    * no-op).
+    */
+  def transact(spark: SparkSession, dir: String)(
+      f: Option[State] => Option[(Seq[String], String, Long,
+        Map[String, Map[String, (Long, Long)]])]): Int = {
+    var attempts = 0
+    while (true) {
+      val cur = if (exists(dir)) Some(read(dir)) else None
+      f(cur) match {
+        case None => return -1
+        case Some((files, ddl, batchId, zones)) =>
+          val next = cur.map(_.version).getOrElse(0).max(
+            versions(dir).lastOption.getOrElse(0)) + 1
+          val json = render(files, ddl, next, batchId, zones)
+          if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
+            FsIo.writeStringAtomic(currentPath(dir), json)
+            return next
+          }
+      }
+      attempts += 1
+      if (attempts > 1000) throw new ConcurrentCommitException(
+        s"gave up committing under $dir after $attempts lost races")
+    }
+    -1 // unreachable
+  }
+
+  /** CAS commit pinned to a base snapshot: succeeds only as version
+    * `base + 1`. REWRITE-shaped mutations (delete/upsert/compact) use
+    * this — their output is derived from the files of version `base`,
+    * so if any other commit landed since, merging would silently drop
+    * that writer's rows; failing loudly is the only safe answer.
+    */
+  def commitAt(spark: SparkSession, dir: String, base: Int,
+      files: Seq[String], schemaDdl: String, batchId: Long = -1L,
+      zones: Map[String, Map[String, (Long, Long)]] = Map.empty): Int = {
+    val next = base + 1
+    val json = render(files, schemaDdl, next, batchId, zones)
+    if (!FsIo.writeStringExclusive(versionPath(dir, next), json))
+      throw new ConcurrentCommitException(
+        s"version $next under $dir was claimed by a concurrent writer; " +
+          s"this rewrite was derived from version $base and cannot merge — " +
+          "re-read and retry the operation")
     FsIo.writeStringAtomic(currentPath(dir), json)
     next
   }
 
   /** Every parquet data file physically under `dir` (recursive —
     * partitioned layouts nest bucket/table directories), whether or
-    * not the log references it.
+    * not the log references it. Files under underscore-prefixed
+    * directories (`_staging`, `_versions` handled by their owners) are
+    * NOT data files of this table: a crashed [[stagedWrite]] must not
+    * be adopted as live data.
     */
   def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Seq.empty
+    val base = p.toUri.getPath
     val out = Seq.newBuilder[String]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next().getPath
-      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      val rel = f.toUri.getPath.stripPrefix(base)
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !rel.split('/').exists(_.startsWith("_")))
         out += f.toString
     }
     out.result().sorted
   }
 
-  /** Drop history: retain the newest `retainLast` version logs, delete
-    * older ones, then delete every data file no surviving log (or the
-    * current pointer) references — set arithmetic, never timestamps.
-    * Returns the number of data files deleted.
+  /** Write `df` into `dir`'s partition tree through a writer-unique
+    * staging directory and return EXACTLY the created file paths.
+    *
+    * Two jobs appending straight into one directory share the
+    * FileOutputCommitter scratch dir (`dir/_temporary/0`) — the first
+    * commit deletes it under the second writer (the failure the
+    * Round16 two-writer battery reproduced). Staging gives every
+    * writer its own scratch AND its own output listing, so `created`
+    * is known without the list-diff the r10 code did — per-mutation
+    * cost becomes O(batch files), not O(table files), which is the
+    * difference between a cheap and an impossible append on a table
+    * with millions of files. Files are MOVED (same-filesystem rename,
+    * a metadata op) into the live partition tree; Spark part-file
+    * names carry a job-unique UUID, so names can't collide. A crash
+    * mid-move leaves unreferenced files that [[vacuum]] reclaims (plus
+    * the staging dir itself, swept by age).
     */
-  def vacuum(spark: SparkSession, dir: String, retainLast: Int): Int = {
+  def stagedWrite(spark: SparkSession, dir: String,
+      write: String => Unit): Seq[String] = {
+    val stage = s"$dir/_staging/${java.util.UUID.randomUUID()}"
+    write(stage)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val stagePath = new Path(stage)
+    val created = Seq.newBuilder[String]
+    if (fs.exists(stagePath)) {
+      val it = fs.listFiles(stagePath, true)
+      val stageBase = stagePath.toUri.getPath
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")) {
+          val rel = f.toUri.getPath.stripPrefix(stageBase)
+          // makeQualified: the logged path must be scheme-identical to
+          // listDataFiles output, or vacuum's referenced-set arithmetic
+          // would treat the just-committed files as orphans
+          val dest = fs.makeQualified(new Path(dir + rel))
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f, dest))
+            throw new java.io.IOException(s"staging move $f -> $dest failed")
+          created += dest.toString
+        }
+      }
+      fs.delete(stagePath, true)
+    }
+    created.result().sorted
+  }
+
+  /** Rethrow helper for scans over a pinned snapshot: if a task failed
+    * because a referenced file disappeared AND the log has moved past
+    * the snapshot the scan pinned, the snapshot was vacuumed — surface
+    * the typed error instead of the raw FileNotFound.
+    */
+  def classifyReadFailure(dir: String, snapshotVersion: Int,
+      e: Throwable): Throwable = {
+    val fnf = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists { c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(_.contains("FileNotFoundException"))
+      }
+    val moved = versions(dir).lastOption.exists(_ > snapshotVersion)
+    if (fnf && moved)
+      new SnapshotVacuumedException(
+        s"snapshot v$snapshotVersion of $dir was vacuumed while a scan " +
+          "was reading it (retention too aggressive for the reader's " +
+          "runtime); re-read the current version", e)
+    else e
+  }
+
+  /** Drop history: retain the newest `retainLast` version logs AND any
+    * version younger than `graceMs` (so an in-flight reader holding a
+    * recent snapshot keeps its files — the vacuum-grace contract the
+    * r10 battery's retried FileNotFound races asked for), delete older
+    * ones, then delete every data file no surviving log (or the
+    * current pointer) references — set arithmetic, never timestamps,
+    * except the grace clock on the version FILES themselves. Returns
+    * the number of data files deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String, retainLast: Int,
+      graceMs: Long = 0L): Int = {
     require(retainLast >= 1, "must retain at least the current version")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val vs = versions(spark, dir)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
-    val referenced = (keep.flatMap(v => readVersion(dir, v).files) ++
+    val vs = versions(dir)
+    val now = System.currentTimeMillis()
+    val (dropByCount, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
+    val (drop, keptByAge) = dropByCount.partition { v =>
+      graceMs <= 0L ||
+        now - fs.getFileStatus(new Path(versionPath(dir, v)))
+          .getModificationTime > graceMs
+    }
+    val survivors = keptByAge ++ keep
+    val referenced = (survivors.flatMap(v => readVersion(dir, v).files) ++
       read(dir).files).toSet
     drop.foreach(v => FsIo.delete(versionPath(dir, v)))
     val orphans = listDataFiles(spark, dir).filterNot(referenced.contains)
+      .filter { f =>
+        graceMs <= 0L || // young unreferenced files may be a commit in flight
+          now - fs.getFileStatus(new Path(f)).getModificationTime > graceMs
+      }
     orphans.foreach(f => fs.delete(new Path(f), false))
+    // sweep staging leftovers from crashed writers (never referenced by
+    // any log version; age-guarded so an in-flight stagedWrite survives)
+    val staging = new Path(s"$dir/_staging")
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).foreach { st =>
+        if (graceMs <= 0L || now - st.getModificationTime > graceMs)
+          fs.delete(st.getPath, true)
+      }
+    }
     orphans.length
   }
 }

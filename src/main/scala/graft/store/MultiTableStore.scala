@@ -33,17 +33,27 @@ final class MultiTableStore(
     */
   def indexDf: DataFrame =
     if (!FileLog.exists(path)) spark.read.parquet(path)
-    else {
-      val st = FileLog.read(path)
-      if (st.files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
-      else spark.read.option("basePath", path).parquet(st.files: _*)
-    }
+    else dfOf(FileLog.read(path))
 
-  private def liveFiles(): Seq[String] =
-    if (FileLog.exists(path)) FileLog.read(path).files else Seq.empty
+  private def dfOf(st: FileLog.State): DataFrame =
+    if (st.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
+    else spark.read.option("basePath", path).parquet(st.files: _*)
+
+  /** Pinned snapshot + frame for read-modify-write mutations; adopts
+    * unlogged directories (see [[VectorStore]]'s twin).
+    */
+  private def pinned(): (FileLog.State, DataFrame) =
+    if (FileLog.exists(path)) {
+      val st = FileLog.read(path)
+      (st, dfOf(st))
+    } else {
+      val phys = FileLog.listDataFiles(spark, path)
+      val df = spark.read.option("basePath", path).parquet(path)
+      (FileLog.State(phys, df.schema.toDDL, version = 0), df)
+    }
 
   private def partOfFile(f: String): Option[(Int, Int)] =
     MultiTableStore.PartRe.findFirstMatchIn(f)
@@ -74,12 +84,26 @@ final class MultiTableStore(
     * multi-table layout keeps the same ingest surface.
     */
   def add(df: DataFrame, idCol: String = "id",
-          embCol: String = "embedding"): Unit = {
+          embCol: String = "embedding",
+          batchId: Option[Long] = None): Unit = {
+    val bid = batchId.getOrElse(-1L)
+    if (bid >= 0 && FileLog.exists(path) && FileLog.read(path).batchId >= bid)
+      return // replayed streaming batch: already committed (exactly-once)
     val out = MultiTableStore.encode(df, model, idCol, embCol)
-    val physBefore = FileLog.listDataFiles(spark, path).toSet
-    out.write.mode("append").partitionBy("table", "bucket").parquet(path)
-    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
-    FileLog.commit(spark, path, liveFiles() ++ created, out.schema.toDDL)
+    // staged write + read-merge-CAS append: concurrent adds can't share
+    // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE)
+    val created = FileLog.stagedWrite(spark, path, stage =>
+      out.write.mode("overwrite").partitionBy("table", "bucket").parquet(stage))
+    FileLog.transact(spark, path) { cur =>
+      val curBid = cur.map(_.batchId).getOrElse(-1L)
+      if (bid >= 0 && curBid >= bid) None
+      else Some((
+        cur.map(_.files).getOrElse(
+          FileLog.listDataFiles(spark, path).filterNot(created.toSet))
+          ++ created,
+        out.schema.toDDL, math.max(bid, curBid),
+        cur.map(_.zones).getOrElse(Map.empty)))
+    }
     invalidateRecallCurve()
   }
 
@@ -198,7 +222,7 @@ final class MultiTableStore(
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     val idSet = ids.map(Long.box)
-    val cur = indexDf
+    val (log, cur) = pinned()
     val affected = cur.where(col("id").isin(idSet: _*))
       .select(col("table").cast("int"), col("bucket").cast("int"))
       .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
@@ -212,12 +236,14 @@ final class MultiTableStore(
     // replacement files append; one atomic log commit retires the
     // affected partitions' old files (fully-emptied partitions simply
     // publish nothing) — readers see pre- or post-state, never torn
-    val physBefore = FileLog.listDataFiles(spark, path).toSet
-    remaining.write.mode("append").partitionBy("table", "bucket").parquet(path)
-    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
-    val log = FileLog.read(path)
+    val created = FileLog.stagedWrite(spark, path, stage =>
+      remaining.write.mode("overwrite")
+        .partitionBy("table", "bucket").parquet(stage))
     val keptOld = log.files.filterNot(f => partOfFile(f).exists(affected))
-    FileLog.commit(spark, path, keptOld ++ created, log.schemaDdl)
+    // rewrite pinned to its base snapshot: a concurrent commit cannot
+    // be merged (its rows may live in retired files) — fail loudly
+    FileLog.commitAt(spark, path, log.version, keptOld ++ created,
+      log.schemaDdl, log.batchId)
     invalidateRecallCurve()
     (before - remaining.count()) / cfgTables
   }
@@ -228,10 +254,10 @@ final class MultiTableStore(
     * appends ≥1 file per touched partition) — [[VectorStore.compact]]
     * over the two-level layout.
     */
-  def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
-    val log = FileLog.read(path)
+  def compact(targetRowsPerFile: Long = 1 << 20,
+              vacuumGraceMs: Long = FileLog.DefaultVacuumGraceMs): (Long, Long) = {
+    val (log, df) = pinned()
     val before = log.files.size.toLong
-    val df = indexDf
     val maxRow = df.groupBy("table", "bucket").count().agg(max("count")).head
     if (maxRow.isNullAt(0)) return (before, before)
     val filesPerPart = math.max(1L,
@@ -239,14 +265,14 @@ final class MultiTableStore(
     val numParts = math.min(
       model.cfg.numHashTables.toLong * model.bucketsPerTable * filesPerPart,
       Int.MaxValue.toLong)
-    val physBefore = FileLog.listDataFiles(spark, path).toSet
-    df.repartition(numParts.toInt, col("table"), col("bucket"),
-        pmod(hash(col("id")), lit(filesPerPart)))
-      .sortWithinPartitions("table", "bucket", "id")
-      .write.mode("append").partitionBy("table", "bucket").parquet(path)
-    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
-    FileLog.commit(spark, path, created, log.schemaDdl)
-    FileLog.vacuum(spark, path, retainLast = 1)
+    val created = FileLog.stagedWrite(spark, path, stage =>
+      df.repartition(numParts.toInt, col("table"), col("bucket"),
+          pmod(hash(col("id")), lit(filesPerPart)))
+        .sortWithinPartitions("table", "bucket", "id")
+        .write.mode("overwrite").partitionBy("table", "bucket").parquet(stage))
+    FileLog.commitAt(spark, path, log.version, created, log.schemaDdl,
+      log.batchId)
+    FileLog.vacuum(spark, path, retainLast = 1, graceMs = vacuumGraceMs)
     (before, created.size.toLong)
   }
 }

@@ -48,17 +48,27 @@ final class QuantIndex(
     */
   private def logDf: DataFrame =
     if (!FileLog.exists(dataDir)) spark.read.parquet(dataDir)
-    else {
-      val st = FileLog.read(dataDir)
-      if (st.files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
-      else spark.read.option("basePath", dataDir).parquet(st.files: _*)
-    }
+    else dfOf(FileLog.read(dataDir))
 
-  private def liveFiles(): Seq[String] =
-    if (FileLog.exists(dataDir)) FileLog.read(dataDir).files else Seq.empty
+  private def dfOf(st: FileLog.State): DataFrame =
+    if (st.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
+    else spark.read.option("basePath", dataDir).parquet(st.files: _*)
+
+  /** Pinned snapshot + frame for read-modify-write mutations; adopts
+    * unlogged directories (see [[VectorStore]]'s twin).
+    */
+  private def pinned(): (FileLog.State, DataFrame) =
+    if (FileLog.exists(dataDir)) {
+      val st = FileLog.read(dataDir)
+      (st, dfOf(st))
+    } else {
+      val phys = FileLog.listDataFiles(spark, dataDir)
+      val df = spark.read.option("basePath", dataDir).parquet(dataDir)
+      (FileLog.State(phys, df.schema.toDDL, version = 0), df)
+    }
 
   private def cellOfFile(f: String): Option[Int] =
     QuantIndex.CellRe.findFirstMatchIn(f).map(_.group(1).toInt)
@@ -250,12 +260,27 @@ final class QuantIndex(
     * the operator's standard trade-off; rebuild to retrain.
     */
   def add(df: DataFrame, idCol: String = "id",
-          embCol: String = "embedding"): Unit = {
+          embCol: String = "embedding",
+          batchId: Option[Long] = None): Unit = {
+    val bid = batchId.getOrElse(-1L)
+    if (bid >= 0 && FileLog.exists(dataDir) &&
+        FileLog.read(dataDir).batchId >= bid)
+      return // replayed streaming batch: already committed (exactly-once)
     val out = QuantIndex.encode(df, model, idCol, embCol)
-    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
-    out.write.mode("append").partitionBy("cell").parquet(dataDir)
-    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
-    FileLog.commit(spark, dataDir, liveFiles() ++ created, out.schema.toDDL)
+    // staged write + read-merge-CAS append: concurrent adds can't share
+    // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE)
+    val created = FileLog.stagedWrite(spark, dataDir, stage =>
+      out.write.mode("overwrite").partitionBy("cell").parquet(stage))
+    FileLog.transact(spark, dataDir) { cur =>
+      val curBid = cur.map(_.batchId).getOrElse(-1L)
+      if (bid >= 0 && curBid >= bid) None
+      else Some((
+        cur.map(_.files).getOrElse(
+          FileLog.listDataFiles(spark, dataDir).filterNot(created.toSet))
+          ++ created,
+        out.schema.toDDL, math.max(bid, curBid),
+        cur.map(_.zones).getOrElse(Map.empty)))
+    }
     invalidateRecallCurve()
     invalidateResident()
   }
@@ -267,22 +292,23 @@ final class QuantIndex(
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     val idSet = ids.map(Long.box)
-    val affected = indexDf.where(col("id").isin(idSet: _*))
+    val (log, cur) = pinned()
+    val affected = cur.where(col("id").isin(idSet: _*))
       .select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0))
     if (affected.isEmpty) return 0L
     val afSet = affected.toSet
-    val inCells = indexDf.where(col("cell").isin(affected.map(Int.box).toSeq: _*))
+    val inCells = cur.where(col("cell").isin(affected.map(Int.box).toSeq: _*))
     val before = inCells.count()
     // replacement files APPEND; one atomic log commit retires the
     // affected cells' old files (readers see pre- or post-state)
     val remaining = inCells.where(!col("id").isin(idSet: _*))
-    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
-    remaining.write.mode("append").partitionBy("cell").parquet(dataDir)
-    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
-    val log = FileLog.read(dataDir)
+    val created = FileLog.stagedWrite(spark, dataDir, stage =>
+      remaining.write.mode("overwrite").partitionBy("cell").parquet(stage))
     val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
-    FileLog.commit(spark, dataDir, keptOld ++ created, log.schemaDdl)
+    // rewrite pinned to its base snapshot (see VectorStore.delete)
+    FileLog.commitAt(spark, dataDir, log.version, keptOld ++ created,
+      log.schemaDdl, log.batchId)
     invalidateRecallCurve()
     invalidateResident()
     before - remaining.count()
@@ -303,22 +329,23 @@ final class QuantIndex(
       .where(col("__rn") === 1).drop("__rn", "__seq")
     val incoming = QuantIndex.encode(dedupedIn, model, idCol, embCol)
       .localCheckpoint(true)
-    val priorCells = indexDf.select(col("id"), col("cell"))
+    val (log, cur) = pinned()
+    val priorCells = cur.select(col("id"), col("cell"))
       .join(incoming.select("id"), Seq("id"), "left_semi")
       .select(col("cell"))
     val af = incoming.select(col("cell")).union(priorCells)
       .distinct().collect()
       .map(r => Int.box(r.getAs[Number](0).intValue())).toSeq
-    val existing = indexDf.where(col("cell").isin(af: _*))
+    val existing = cur.where(col("cell").isin(af: _*))
       .join(incoming.select("id"), Seq("id"), "left_anti")
     val merged = existing.unionByName(incoming)
     val afSet = af.map(_.intValue()).toSet
-    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
-    merged.write.mode("append").partitionBy("cell").parquet(dataDir)
-    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
-    val log = FileLog.read(dataDir)
+    val created = FileLog.stagedWrite(spark, dataDir, stage =>
+      merged.write.mode("overwrite").partitionBy("cell").parquet(stage))
     val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
-    FileLog.commit(spark, dataDir, keptOld ++ created, log.schemaDdl)
+    // rewrite pinned to its base snapshot (see VectorStore.upsert)
+    FileLog.commitAt(spark, dataDir, log.version, keptOld ++ created,
+      log.schemaDdl, log.batchId)
     invalidateRecallCurve()
     invalidateResident()
   }
@@ -329,10 +356,10 @@ final class QuantIndex(
     * pushdown keeps row-group-skipping. Returns (filesBefore,
     * filesAfter).
     */
-  def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
-    val log = FileLog.read(dataDir)
+  def compact(targetRowsPerFile: Long = 1 << 20,
+              vacuumGraceMs: Long = FileLog.DefaultVacuumGraceMs): (Long, Long) = {
+    val (log, df) = pinned()
     val before = log.files.size.toLong
-    val df = logDf
     // max over zero groups is NULL — nothing to compact
     val maxRow = df.groupBy("cell").count().agg(max("count")).head
     if (maxRow.isNullAt(0)) return (before, before)
@@ -341,15 +368,15 @@ final class QuantIndex(
       math.max(1L, (maxCellRows + targetRowsPerFile - 1) / targetRowsPerFile)
     val numParts = // bounded Long math: Int overflow would go negative
       math.min(model.cfg.ivfCells.toLong * filesPerCell, Int.MaxValue.toLong)
-    val physBefore = FileLog.listDataFiles(spark, dataDir).toSet
-    df.repartition(numParts.toInt,
-        col("cell"), pmod(hash(col("id")), lit(filesPerCell)))
-      .sortWithinPartitions("cell", "id")
-      .write.mode("append")
-      .partitionBy("cell").parquet(dataDir)
-    val created = FileLog.listDataFiles(spark, dataDir).filterNot(physBefore)
-    FileLog.commit(spark, dataDir, created, log.schemaDdl)
-    FileLog.vacuum(spark, dataDir, retainLast = 1)
+    val created = FileLog.stagedWrite(spark, dataDir, stage =>
+      df.repartition(numParts.toInt,
+          col("cell"), pmod(hash(col("id")), lit(filesPerCell)))
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite")
+        .partitionBy("cell").parquet(stage))
+    FileLog.commitAt(spark, dataDir, log.version, created, log.schemaDdl,
+      log.batchId)
+    FileLog.vacuum(spark, dataDir, retainLast = 1, graceMs = vacuumGraceMs)
     invalidateResident()
     (before, created.size.toLong)
   }
@@ -378,12 +405,14 @@ final class QuantIndex(
     * the commit — [[QuantIndex.currentDataDir]] only selects versions
     * that have it, so a crash at ANY instant leaves `path` with a
     * complete readable index (the old one until commit, the new one
-    * after). The superseded snapshot is deleted only after commit; at
-    * cluster scale you would garbage-collect it on a grace period
-    * instead, so long-running readers holding the old snapshot finish
-    * before the files vanish.
+    * after). Superseded snapshots are garbage-collected on a GRACE
+    * period (default [[FileLog.DefaultVacuumGraceMs]]): a long-running
+    * reader holding the old snapshot finishes before the files vanish
+    * — the next retrain (or an explicit `vacuumGraceMs = 0`) reclaims
+    * snapshots older than the grace. Zero grace deletes the superseded
+    * snapshot immediately (tests, storage-pressure maintenance).
     */
-  def retrain(): QuantIndex = {
+  def retrain(vacuumGraceMs: Long = FileLog.DefaultVacuumGraceMs): QuantIndex = {
     val next = s"$path/_versions/v${QuantIndex.nextVersion(spark, path)}"
     // through the log, NOT the raw directory: the dir may hold files
     // retired by delete/upsert and not yet vacuumed — a listing read
@@ -397,17 +426,10 @@ final class QuantIndex(
     FileLog.commit(spark, next,
       FileLog.listDataFiles(spark, next), encoded.schema.toDDL)
     newModel.save(s"$next/_quant_model.json") // atomic commit point
-    // post-commit cleanup of the superseded snapshot (flat layout:
-    // drop its cell dirs + model file; versioned: drop the directory)
-    if (dataDir == path) {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
-          fs.delete(st.getPath, true)
-      }
-      graft.util.FsIo.delete(s"$path/_quant_model.json")
-    } else graft.util.FsIo.delete(dataDir)
+    // post-commit, grace-guarded cleanup of superseded snapshots: the
+    // just-replaced one is younger than the grace and survives for
+    // in-flight readers; older leftovers (prior retrains) get reclaimed
+    QuantIndex.sweepSupersededSnapshots(spark, path, next, vacuumGraceMs)
     invalidateResident()
     new QuantIndex(spark, path, newModel)
   }
@@ -606,4 +628,50 @@ object QuantIndex {
       .map(_.getPath.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt)
     if (vs.isEmpty) 1 else vs.max + 1
   }
+
+  /** Reclaim snapshots superseded by `current`, keeping any younger
+    * than `graceMs` (an in-flight reader of a just-replaced snapshot
+    * finishes cleanly; a reader that outlives the grace loses the race
+    * as [[SnapshotVacuumedException]]-classifiable FileNotFound, never
+    * as silent row loss). Covers both the flat pre-versioning layout
+    * (cell dirs + model JSON in the root) and older `_versions/vN`
+    * directories. `graceMs <= 0` reclaims immediately.
+    */
+  private[store] def sweepSupersededSnapshots(spark: SparkSession,
+      path: String, current: String, graceMs: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    def expired(p: org.apache.hadoop.fs.Path): Boolean =
+      graceMs <= 0L || now - fs.getFileStatus(p).getModificationTime > graceMs
+    // flat layout superseded by a versioned snapshot
+    if (current != path) {
+      val flatModel = new org.apache.hadoop.fs.Path(s"$path/_quant_model.json")
+      if (fs.exists(flatModel) && expired(flatModel)) {
+        fs.listStatus(root).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("cell="))
+            fs.delete(st.getPath, true)
+        }
+        fs.delete(flatModel, false)
+        graft.util.FsIo.delete(s"$path/_files.json")
+        versions(spark, path) // drop the flat layout's log history too
+          .foreach(v => graft.util.FsIo.delete(s"$path/_files.v$v.json"))
+      }
+    }
+    // older versioned snapshots
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    if (fs.exists(vroot)) {
+      fs.listStatus(vroot).foreach { st =>
+        val p = st.getPath
+        if (st.isDirectory && p.getName.matches("v\\d+") &&
+            p.toUri.getPath != new org.apache.hadoop.fs.Path(current)
+              .toUri.getPath &&
+            expired(p))
+          fs.delete(p, true)
+      }
+    }
+  }
+
+  private def versions(spark: SparkSession, path: String): Seq[Int] =
+    FileLog.versions(spark, path)
 }

@@ -42,17 +42,31 @@ final class VectorStore(
     */
   def indexDf: DataFrame =
     if (!FileLog.exists(path)) spark.read.parquet(path)
-    else {
-      val st = FileLog.read(path)
-      if (st.files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
-      else spark.read.option("basePath", path).parquet(st.files: _*)
-    }
+    else dfOf(FileLog.read(path))
 
-  private def liveFiles(): Seq[String] =
-    if (FileLog.exists(path)) FileLog.read(path).files else Seq.empty
+  private def dfOf(st: FileLog.State): DataFrame =
+    if (st.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
+    else spark.read.option("basePath", path).parquet(st.files: _*)
+
+  /** Pinned snapshot for a read-modify-write mutation: (state, frame
+    * over exactly that state's files). A directory with data but no
+    * log (built by pre-FileLog code) is ADOPTED — its physical listing
+    * becomes the base file set at version 0, so the mutation's commit
+    * carries the pre-existing rows forward instead of silently
+    * dropping them (the r10 ADVICE unlogged-`add` bug).
+    */
+  private def pinned(): (FileLog.State, DataFrame) =
+    if (FileLog.exists(path)) {
+      val st = FileLog.read(path)
+      (st, dfOf(st))
+    } else {
+      val phys = FileLog.listDataFiles(spark, path)
+      val df = spark.read.option("basePath", path).parquet(path)
+      (FileLog.State(phys, df.schema.toDDL, version = 0), df)
+    }
 
   private def bucketOfFile(f: String): Option[Int] =
     VectorStore.BucketRe.findFirstMatchIn(f).map(_.group(1).toInt)
@@ -60,13 +74,48 @@ final class VectorStore(
   /** Append vectors (id, embedding) into the bucketed index table:
     * new data files land first, then one atomic log commit publishes
     * them — readers see none or all of the batch.
+    *
+    * `batchId` is the exactly-once handle for streaming sinks: pass
+    * the foreachBatch batch id and a REPLAYED batch (crash between
+    * `add` and the stream's checkpoint commit) is a no-op instead of a
+    * duplicate append — the committed log carries the highest folded
+    * batch id, and `add` declines any batch at or below it. A crash
+    * between the data write and the log commit leaves orphan files
+    * outside the log (never read, reclaimed by vacuum); the replay's
+    * own files commit cleanly because `created` is diffed against the
+    * physical listing, which already contains the orphans.
+    *
+    * Concurrent `add`s are safe: the commit is a read-merge-CAS loop
+    * ([[FileLog.transact]]), so two appends both land — the loser of
+    * the version race re-reads and merges, never erases the winner.
+    *
+    * A directory with data but no log (pre-FileLog index) is adopted:
+    * the first `add` seeds the log with the physical listing, so
+    * pre-existing rows stay live (r10 ADVICE fix).
     */
-  def add(df: DataFrame, idCol: String = "id", embCol: String = "embedding"): Unit = {
+  def add(df: DataFrame, idCol: String = "id", embCol: String = "embedding",
+          batchId: Option[Long] = None): Unit = {
+    val bid = batchId.getOrElse(-1L)
+    if (bid >= 0 && FileLog.exists(path) && FileLog.read(path).batchId >= bid)
+      return // replayed batch: already committed
     val out = VectorStore.bucketize(df, model, idCol, embCol)
-    val physBefore = FileLog.listDataFiles(spark, path).toSet
-    out.write.mode("append").partitionBy("bucket").parquet(path)
-    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
-    FileLog.commit(spark, path, liveFiles() ++ created, out.schema.toDDL)
+    // staged write: writer-private scratch (concurrent adds can't share
+    // a _temporary dir) and an exact `created` list — O(batch), never
+    // an O(table) directory diff
+    val created = FileLog.stagedWrite(spark, path, stage =>
+      out.write.mode("overwrite").partitionBy("bucket").parquet(stage))
+    FileLog.transact(spark, path) { cur =>
+      val curBid = cur.map(_.batchId).getOrElse(-1L)
+      if (bid >= 0 && curBid >= bid) None // replay raced in: decline
+      else Some((
+        // unlogged non-empty dir: adopt its physical listing (the
+        // staged files are outside it by construction)
+        cur.map(_.files).getOrElse(
+          FileLog.listDataFiles(spark, path).filterNot(created.toSet))
+          ++ created,
+        out.schema.toDDL, math.max(bid, curBid),
+        cur.map(_.zones).getOrElse(Map.empty)))
+    }
     invalidateRecallCurve()
   }
 
@@ -197,7 +246,7 @@ final class VectorStore(
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     val idSet = ids.map(Long.box)
-    val cur = indexDf
+    val (log, cur) = pinned()
     val affected = cur.where(col("id").isin(idSet: _*))
       .select(col("bucket").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -206,12 +255,14 @@ final class VectorStore(
     val inBuckets = cur.where(col("bucket").isin(af: _*))
     val before = inBuckets.count()
     val remaining = inBuckets.where(!col("id").isin(idSet: _*))
-    val physBefore = FileLog.listDataFiles(spark, path).toSet
-    remaining.write.mode("append").partitionBy("bucket").parquet(path)
-    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
-    val log = FileLog.read(path)
+    val created = FileLog.stagedWrite(spark, path, stage =>
+      remaining.write.mode("overwrite").partitionBy("bucket").parquet(stage))
     val keptOld = log.files.filterNot(f => bucketOfFile(f).exists(affected))
-    FileLog.commit(spark, path, keptOld ++ created, log.schemaDdl)
+    // rewrite derived from `log.version`: a concurrent commit since
+    // then cannot be merged (its rows may live in the files this
+    // rewrite retires) — commitAt fails loudly instead of losing them
+    FileLog.commitAt(spark, path, log.version, keptOld ++ created,
+      log.schemaDdl, log.batchId)
     invalidateRecallCurve()
     // `remaining` still reads the retired (not yet vacuumed) files
     before - remaining.count()
@@ -241,7 +292,7 @@ final class VectorStore(
       .where(col("__rn") === 1).drop("__rn", "__seq")
     val incoming = VectorStore.bucketize(dedupedIn, model, idCol, embCol)
       .localCheckpoint(true)
-    val cur = indexDf
+    val (log, cur) = pinned()
     val priorBuckets = cur.select(col("id"), col("bucket"))
       .join(incoming.select("id"), Seq("id"), "left_semi")
       .select(col("bucket"))
@@ -255,12 +306,12 @@ final class VectorStore(
     // retires the affected buckets' old files atomically (a bucket
     // fully emptied by moved-away ids simply publishes no files)
     val merged = existing.unionByName(incoming)
-    val physBefore = FileLog.listDataFiles(spark, path).toSet
-    merged.write.mode("append").partitionBy("bucket").parquet(path)
-    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
-    val log = FileLog.read(path)
+    val created = FileLog.stagedWrite(spark, path, stage =>
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(stage))
     val keptOld = log.files.filterNot(f => bucketOfFile(f).exists(afSet))
-    FileLog.commit(spark, path, keptOld ++ created, log.schemaDdl)
+    // rewrite pinned to the snapshot it was derived from (see delete)
+    FileLog.commitAt(spark, path, log.version, keptOld ++ created,
+      log.schemaDdl, log.batchId)
     invalidateRecallCurve()
   }
 
@@ -274,10 +325,10 @@ final class VectorStore(
     * while small ones collapse to one file. Results are unchanged;
     * returns (dataFilesBefore, dataFilesAfter).
     */
-  def compact(targetRowsPerFile: Long = 1 << 20): (Long, Long) = {
-    val log = FileLog.read(path)
+  def compact(targetRowsPerFile: Long = 1 << 20,
+              vacuumGraceMs: Long = FileLog.DefaultVacuumGraceMs): (Long, Long) = {
+    val (log, df) = pinned()
     val before = log.files.size.toLong
-    val df = indexDf
     // max over zero groups is NULL — an empty index has nothing to
     // compact, and writing would replace it with an empty layout
     val maxRow = df.groupBy("bucket").count().agg(max("count")).head
@@ -287,16 +338,19 @@ final class VectorStore(
       math.max(1L, (maxBucketRows + targetRowsPerFile - 1) / targetRowsPerFile)
     val numParts = // bounded Long math: Int overflow would go negative
       math.min(model.numBuckets.toLong * filesPerBucket, Int.MaxValue.toLong)
-    val physBefore = FileLog.listDataFiles(spark, path).toSet
-    df.repartition(numParts.toInt,
-        col("bucket"), pmod(hash(col("id")), lit(filesPerBucket)))
-      .write.mode("append").partitionBy("bucket").parquet(path)
-    val created = FileLog.listDataFiles(spark, path).filterNot(physBefore)
-    FileLog.commit(spark, path, created, log.schemaDdl)
-    // compaction is the maintenance point: reclaim every retired file.
-    // An in-flight reader holding a pre-compact list loses the race as
-    // a retryable FileNotFound, never as silent row loss.
-    FileLog.vacuum(spark, path, retainLast = 1)
+    val created = FileLog.stagedWrite(spark, path, stage =>
+      df.repartition(numParts.toInt,
+          col("bucket"), pmod(hash(col("id")), lit(filesPerBucket)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage))
+    FileLog.commitAt(spark, path, log.version, created, log.schemaDdl,
+      log.batchId)
+    // compaction is the maintenance point: reclaim retired files — but
+    // only past the grace window, so an in-flight reader holding a
+    // recent snapshot finishes cleanly (default 10 min; pass 0 to
+    // reclaim immediately, e.g. in tests). A reader older than the
+    // grace loses the race as a typed SnapshotVacuumedException, never
+    // as silent row loss.
+    FileLog.vacuum(spark, path, retainLast = 1, graceMs = vacuumGraceMs)
     (before, created.size.toLong)
   }
 

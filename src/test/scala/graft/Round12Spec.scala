@@ -49,8 +49,10 @@ class Round12Spec extends AnyFunSuite {
 
     // A subsequent retrain skips the orphan's version number (never
     // half-overwrites a directory a reader might be probing) and
-    // commits v2; the flat layout is cleaned up after commit.
-    val retrained = reopened.retrain()
+    // commits v2; the flat layout is cleaned up after commit
+    // (vacuumGraceMs = 0 opts out of the in-flight-reader grace so the
+    // immediate-reclamation contract stays pinned).
+    val retrained = reopened.retrain(vacuumGraceMs = 0L)
     assert(retrained.dataDir == s"$dir/_versions/v2", retrained.dataDir)
     assert(retrained.indexDf.count() == rows)
     assert(new java.io.File(s"$dir/_versions/v2/_quant_model.json").exists())
@@ -65,7 +67,7 @@ class Round12Spec extends AnyFunSuite {
 
     // retrain-of-a-retrain: versions keep monotonically increasing and
     // the superseded snapshot directory is removed post-commit
-    val third = again.retrain()
+    val third = again.retrain(vacuumGraceMs = 0L)
     assert(third.dataDir == s"$dir/_versions/v3")
     assert(third.indexDf.count() == rows)
     assert(!new java.io.File(s"$dir/_versions/v2").exists())

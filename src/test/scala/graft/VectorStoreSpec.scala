@@ -138,7 +138,8 @@ class MutationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!graft.store.FileLog.read(store.path).files
       .exists(_.contains("/bucket=0/")))
     // ... and compaction's vacuum reclaims the retired files physically
-    store.compact(targetRowsPerFile = 1024)
+    // (graceMs = 0 opts out of the default in-flight-reader grace)
+    store.compact(targetRowsPerFile = 1024, vacuumGraceMs = 0L)
     val dir = java.nio.file.Paths.get(s"${store.path}/bucket=0")
     val leftover =
       if (!java.nio.file.Files.exists(dir)) Seq.empty
