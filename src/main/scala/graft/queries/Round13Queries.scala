@@ -30,6 +30,58 @@ object Round13Queries {
   private val HashMod = 1L << 20
   private val MixHashSql = s"((doc_id % ${HashMod}) * 2654435761) % ${HashMod}"
 
+  /** The e20 pipeline with a caller-chosen blocking model — shared by
+    * the registered query (VectorQueries.model) and the scale smoke,
+    * which scales numHashTables with the corpus to pin pair-volume /
+    * shuffle linearity. `docs` needs (doc_id, lang); `embs`
+    * (vec_id, embedding). See the e20 entry below for semantics.
+    */
+  def bitextMargin(docs: org.apache.spark.sql.DataFrame,
+      embs: org.apache.spark.sql.DataFrame,
+      model: graft.lsh.LshModel): org.apache.spark.sql.DataFrame = {
+    val de = docs
+      .join(embs, col("doc_id") === col("vec_id"))
+      .withColumn("bucket", model.bucketCol(col("embedding")))
+    val src = de.where(col("lang") === "en")
+      .select(col("doc_id").as("x"), col("bucket").as("xbucket"),
+        col("embedding").as("ex"))
+      .withColumn("xsalt", explode(sequence(lit(0), lit(3))))
+    val tgt = de.where(col("lang") === "fr")
+      .select(col("doc_id").as("y"), col("bucket").as("ybucket"),
+        col("embedding").as("ey"))
+      .withColumn("ysalt", pmod(col("y"), lit(4)).cast("int"))
+    // bucket equi-join, salted x4 (e17's shape): never a cartesian,
+    // never materialized — fwd and bwd each recompute the join
+    val pairs = tgt.join(src.hint("shuffle_hash"),
+        col("xbucket") === col("ybucket") && col("xsalt") === col("ysalt"))
+      .select(col("x"), col("y"),
+        VF.cosine(col("ex"), col("ey")).as("cos"))
+    val fwd = pairs.groupBy("x")
+      .agg(TopKAgg(col("y"), negate(col("cos")), 4).as("topk"))
+      .select(col("x"), col("topk"),
+        (expr("aggregate(topk, 0D, (acc, e) -> acc + (-e._2))") /
+          size(col("topk")).cast("double")).as("nn_x"))
+    val bwd = pairs.groupBy("y")
+      .agg(TopKAgg(col("x"), negate(col("cos")), 4).as("topk"))
+      .select(col("y"),
+        (expr("aggregate(topk, 0D, (acc, e) -> acc + (-e._2))") /
+          size(col("topk")).cast("double")).as("nn_y"))
+    val cand = fwd
+      .select(col("x"), col("nn_x"), explode(col("topk")).as("e"))
+      .select(col("x"), col("nn_x"),
+        col("e._1").as("y"), negate(col("e._2")).as("cos"))
+    val marg = cand.join(bwd, "y")
+      .withColumn("margin",
+        round(col("cos") / ((col("nn_x") + col("nn_y")) / 2), 6))
+    val best = Window.partitionBy("x")
+      .orderBy(col("margin").desc, col("y"))
+    marg.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("x").as("doc_en"), col("y").as("doc_fr"),
+        col("margin"))
+      .orderBy("doc_en")
+  }
+
   val all: Seq[Q] = Seq(
 
     // D27 — trained Naive-Bayes-family language classifier: the
@@ -193,63 +245,44 @@ object Round13Queries {
     // criterion): for each English doc, the best French doc by
     // RATIO margin — cos(x,y) over the mean of the two 4-NN
     // neighborhood similarities — which suppresses "hub" vectors that
-    // plain cosine ranks everywhere. Forward (en→fr) and backward
-    // (fr→en) neighborhoods come from ONE pair pass via TopKAgg (k
-    // smallest of -cos: map-side partial top-k, no sort shuffle);
-    // neighborhood means fold left-to-right over the identically
+    // plain cosine ranks everywhere. The candidate pass is INDEX-
+    // ROUTED (the r10 verdict's one remaining all-pairs plan, fixed):
+    // pairs are generated by an LSH-bucket EQUI-join (e17's salted
+    // kNN-join shape — the en side replicates over 4 salts, the fr
+    // side salts by pmod(doc_id, 4), so the low-cardinality bucket
+    // key gets 4x the join parallelism), never a crossJoin, and the
+    // pair matrix is NEVER materialized: forward (en→fr) and backward
+    // (fr→en) 4-NN neighborhoods are two TopKAgg passes over the
+    // recomputed join (map-side partial top-k, no sort shuffle, no
+    // O(pairs) checkpoint — recompute beats quadratic storage at any
+    // scale). This is exactly how production CCMatrix mines: FAISS-
+    // bucketed candidates, margins over the retrieved neighborhoods —
+    // the neighborhoods are DEFINED by the index's candidate set, so
+    // the oracle replays the same bucket formula (model.bucketSql,
+    // the v5/e17 convention) and the result is engine-exact, not
+    // approximately-recalled. An x (or y) with no counterpart in its
+    // bucket has no neighborhood and drops out, as in any blocked
+    // miner. Neighborhood means fold left-to-right over identically
     // sorted top-k arrays on both engines, so the margin doubles are
     // bit-identical, and the per-x winner is chosen on the ROUNDED
-    // margin with id tiebreaks. At sf scale the pair pass broadcasts
-    // the smaller side; at 100 TB the candidate pass swaps in the
-    // bucketed/IVF candidate generation (e17's salted kNN join) with
-    // the same margin arithmetic on top — mining quality degrades
-    // only as far as the ANN recall the curve audits measure.
+    // margin with id tiebreaks. At 100 TB: bucket count scales with
+    // the corpus (numHashTables is the knob), pair volume is
+    // sum_b |en_b|x|fr_b| ~ n^2/B held linear by B ~ n, and the join
+    // is shuffle-partitioned on (bucket, salt) — the
+    // PlanAuditSpec-pinned no-cartesian shape.
     Q("e20_bitext_margin",
-      (s, d) => {
-        val de = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"))
-          .join(Tables.embeddings(s, d),
-            col("doc_id") === col("vec_id"))
-        val src = de.where(col("lang") === "en")
-          .select(col("doc_id").as("x"), col("embedding").as("ex"))
-        val tgt = de.where(col("lang") === "fr")
-          .select(col("doc_id").as("y"), col("embedding").as("ey"))
-        val pairs = src.crossJoin(broadcast(tgt))
-          .select(col("x"), col("y"),
-            VF.cosine(col("ex"), col("ey")).as("cos"))
-          .localCheckpoint(true)
-        val fwd = pairs.groupBy("x")
-          .agg(TopKAgg(col("y"), negate(col("cos")), 4).as("topk"))
-          .select(col("x"), col("topk"),
-            (expr("aggregate(topk, 0D, (acc, e) -> acc + (-e._2))") /
-              size(col("topk")).cast("double")).as("nn_x"))
-        val bwd = pairs.groupBy("y")
-          .agg(TopKAgg(col("x"), negate(col("cos")), 4).as("topk"))
-          .select(col("y"),
-            (expr("aggregate(topk, 0D, (acc, e) -> acc + (-e._2))") /
-              size(col("topk")).cast("double")).as("nn_y"))
-        val cand = fwd
-          .select(col("x"), col("nn_x"), explode(col("topk")).as("e"))
-          .select(col("x"), col("nn_x"),
-            col("e._1").as("y"), negate(col("e._2")).as("cos"))
-        val marg = cand.join(bwd, "y")
-          .withColumn("margin",
-            round(col("cos") / ((col("nn_x") + col("nn_y")) / 2), 6))
-        val best = Window.partitionBy("x")
-          .orderBy(col("margin").desc, col("y"))
-        marg.withColumn("rn", row_number().over(best))
-          .where(col("rn") === 1)
-          .select(col("x").as("doc_en"), col("y").as("doc_fr"),
-            col("margin"))
-          .orderBy("doc_en")
-      },
+      (s, d) => bitextMargin(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Tables.embeddings(s, d), VectorQueries.model),
       Some(s"""WITH de AS (
-           |  SELECT doc_id, lang, embedding FROM documents d
+           |  SELECT doc_id, lang, embedding,
+           |    ${VectorQueries.model.bucketSql("embedding")} AS bucket
+           |  FROM documents d
            |  JOIN embeddings e ON d.doc_id = e.vec_id),
            |pairs AS (
            |  SELECT s.doc_id AS x, t.doc_id AS y,
            |    ${DuckSql.cosine("s.embedding", "t.embedding")} AS cos
-           |  FROM de s CROSS JOIN de t
+           |  FROM de s JOIN de t ON s.bucket = t.bucket
            |  WHERE s.lang = 'en' AND t.lang = 'fr'),
            |frk AS (SELECT x, y, cos, row_number() OVER (PARTITION BY x
            |          ORDER BY cos DESC, y) AS rk FROM pairs),
