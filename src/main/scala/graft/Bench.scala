@@ -51,6 +51,12 @@ object Bench {
     size(new java.io.File(path)) / 1e6
   }
 
+  /** 1-minute load average sampled when the bench JVM starts — the
+    * "was the machine already busy" half of the provenance stamp.
+    */
+  private val loadAtStart: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -425,12 +431,24 @@ object Bench {
 
     // Full per-query detail → file (the driver captures only a ~2 KB
     // stdout tail; an 82-entry JSON line overflows it and parses as
-    // null — round-1 lesson).
+    // null — round-1 lesson). The provenance stamp records the
+    // machine's 1-minute load average (relative to its core count) at
+    // start and end of the run: r9/r10 both had committed detail rows
+    // silently taken under co-load (s21 16.1 s vs 3.5 s quiet) that
+    // polluted round-over-round comparisons — now every detail file
+    // carries the evidence to accept or discount itself.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadEnd = osBean.getSystemLoadAverage
+    val cores = Runtime.getRuntime.availableProcessors
+    val quiet = math.max(Bench.loadAtStart, loadEnd) < cores * 0.5
+    val provenance =
+      f""""provenance":{"load_avg_start":${Bench.loadAtStart}%.2f,""" +
+        f""""load_avg_end":$loadEnd%.2f,"cores":$cores,"quiet":$quiet}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
       new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json").getPath)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n")
+      (f"""{"metric":"total","value":$total%.3f,"unit":"sec",$provenance,"queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
@@ -450,7 +468,8 @@ object Bench {
       }
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(shufflePath),
-        (s"""{"sf":"$sfDir","queries":[""" + entries.mkString(",\n") + "]}\n")
+        (s"""{"sf":"$sfDir",$provenance,"queries":[""" +
+          entries.mkString(",\n") + "]}\n")
           .getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] shuffle detail write failed: ${e.getMessage}") }

@@ -48,6 +48,14 @@ import graft.functions.{VectorFunctions => VF}
   * count); probed fraction per (table,bucket) probe is
   * 2^-numHashFunctions, directly comparable to one bucket of a
   * 2^k-bucket single-table layout.
+  *
+  * Default guidance: measured at dim=64 on the bench corpora (post
+  * bucket-fix), multi-table's per-probe recall edge is percent-level
+  * while its storage is ×L — recall per stored byte favors
+  * `multiTable = false` with a bigger probe budget at every measured
+  * operating point (see [[graft.store.MultiTableStore]]'s scaladoc and
+  * MultiTableLshSpec's economics pin). Audit the curve on your own
+  * corpus before paying the ×L.
   */
 final case class LshConfig(
     numHashFunctions: Int = 4,

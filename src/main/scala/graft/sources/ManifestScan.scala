@@ -110,9 +110,10 @@ object ManifestScan {
 
   /** Footer-only stats collection for a batch of parquet files:
     * row counts + INT64 min/max zones for `cols`. Metadata I/O only —
-    * no data pages are read.
+    * no data pages are read. `private[graft]`: [[graft.store.FileLog]]
+    * reuses it to record zones in index commits.
     */
-  private def statsOf(spark: SparkSession, paths: Seq[Path],
+  private[graft] def statsOf(spark: SparkSession, paths: Seq[Path],
       cols: Seq[String]): Seq[FileZones] = {
     val conf = spark.sessionState.newHadoopConf()
     paths.map { p =>

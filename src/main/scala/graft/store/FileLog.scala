@@ -268,6 +268,20 @@ object FileLog {
     out.result().sorted
   }
 
+  /** Per-file INT64 min/max zones for `cols`, collected from parquet
+    * FOOTERS (metadata-only I/O — no data pages), for recording in a
+    * commit: readers can then skip files at PLANNING time when a
+    * bounded-id scan (the quant re-rank) provably misses them. Reuses
+    * [[graft.sources.ManifestScan]]'s collector, including its
+    * all-blocks rule (a column partially covered by block stats stays
+    * unzoned — pruning must never lose rows).
+    */
+  def collectZones(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, (Long, Long)]] =
+    graft.sources.ManifestScan
+      .statsOf(spark, files.map(new Path(_)), cols)
+      .map(z => z.path -> z.zones).toMap
+
   /** Write `df` into `dir`'s partition tree through a writer-unique
     * staging directory and return EXACTLY the created file paths.
     *

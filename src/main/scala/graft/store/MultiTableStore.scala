@@ -13,6 +13,20 @@ import graft.lsh.{LshConfig, LshModel}
   * own 2^k-bucket code and a query unions candidates across tables,
   * which is what buys recall in every published LSH system.
   *
+  * '''When to choose this layout''' (measured guidance, post-bucket-fix
+  * — REPORT.md storage-vs-recall table, pinned in MultiTableLshSpec):
+  * at 64 dimensions on this corpus family the 4×16 multi-table layout
+  * edges out a fixed mod-16 single-table layout by only ~1–5 recall
+  * points at equal probed fraction, while storing '''×L copies''' of
+  * every row — recall per stored byte favors mod-N + a larger probe
+  * budget at EVERY operating point measured. Prefer the default
+  * single-table [[VectorStore]] (more probes are free at query time;
+  * storage is not) unless (a) probe latency dominates and storage is
+  * cheap, or (b) the recall curve audit on YOUR corpus/dim shows the
+  * OR-union gap widening (high-dim, highly clustered corpora — where
+  * multi-table theory earns its keep). [[auditRecallCurve]] +
+  * [[searchAtRecall]] make that comparison a measurement, not a guess.
+  *
   * Layout: each (id, embedding) row is written once per table under
   * `table=<t>/bucket=<b>` partitions — ×L storage, the standard
   * multi-table cost. Search probes `(table, bucket)` pairs via

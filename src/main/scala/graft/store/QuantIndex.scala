@@ -155,6 +155,63 @@ final class QuantIndex(
       .select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
   }
 
+  /** [[exactDist]] with per-candidate cells — the re-rank's true input
+    * shape, and what makes zone pruning sharp: a file is scheduled
+    * only if one of ITS OWN cell's candidate ids falls in its id zone,
+    * so the planned file count is bounded by the CANDIDATE count
+    * (≤ |idCells|) however many files the table holds. That bound is
+    * the 100 TB property: a 100-candidate re-rank schedules ≤100
+    * tasks whether the index has 200 files or 200 thousand.
+    */
+  def exactDistPaired(idCells: Seq[(Long, Int)],
+                      q: Array[Double]): DataFrame = {
+    val ids = idCells.map(_._1)
+    val cells = idCells.map(_._2).distinct
+    val base = zonePruned(idCells).getOrElse {
+      indexDf.where(col("cell").isin(cells.map(Int.box): _*))
+    }
+    base.where(col("id").isin(ids.map(Long.box): _*))
+      .select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
+  }
+
+  /** Planning-time file pruning for a bounded-id scan (the re-rank):
+    * the snapshot's committed id zones name, per file, the id range it
+    * holds — so the scan's file list is resolved on the DRIVER from
+    * the log alone, no footer opened for a file that provably misses
+    * every candidate OF ITS CELL. On an id-range-clustered layout
+    * ([[compact]]) the kept set is ≤ one file per candidate; zoneless
+    * files and files outside the cell regex stay conservative (kept if
+    * their cell is probed). None = no pruning possible (resident cache
+    * serves the scan, unlogged dir, or a zone-less legacy log) — the
+    * caller falls back to the partition-pruned scan.
+    */
+  private def zonePruned(idCells: Seq[(Long, Int)]): Option[DataFrame] = {
+    if (resident.isDefined || idCells.isEmpty) return None
+    if (!FileLog.exists(dataDir)) return None
+    val st = FileLog.read(dataDir)
+    if (st.files.isEmpty || st.zones.isEmpty) return None
+    val byCell: Map[Int, Array[Long]] = idCells.groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(_._1).distinct.sorted.toArray }
+    def anyIdIn(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1
+      i < sorted.length && sorted(i) <= hi
+    }
+    val kept = st.files.filter { f =>
+      cellOfFile(f) match {
+        case None => true // not a cell file: conservative
+        case Some(c) => byCell.get(c) match {
+          case None => false // no candidate lives in this cell
+          case Some(sorted) =>
+            st.zones.get(f).flatMap(_.get("id"))
+              .forall { case (lo, hi) => anyIdIn(sorted, lo, hi) }
+        }
+      }
+    }
+    if (kept.isEmpty) Some(dfOf(st.copy(files = Seq.empty)))
+    else Some(spark.read.option("basePath", dataDir).parquet(kept: _*))
+  }
+
   /** Coarse ids of a candidate frame — bounded by the coarse N by
     * construction (the one acceptable driver materialization).
     */
@@ -168,8 +225,7 @@ final class QuantIndex(
     */
   private def rerank(coarse: DataFrame, q: Array[Double], k: Int): DataFrame = {
     val rows = coarse.select(col("id"), col("cell").cast("int")).collect()
-    val cells = rows.map(_.getInt(1)).distinct.toSeq
-    exactDist(rows.map(_.getLong(0)).toSeq, q, cells)
+    exactDistPaired(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq, q)
       .orderBy(col("dist"), col("id")).limit(math.max(1, k))
   }
 
@@ -271,6 +327,7 @@ final class QuantIndex(
     // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE)
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
       out.write.mode("overwrite").partitionBy("cell").parquet(stage))
+    val createdZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols)
     FileLog.transact(spark, dataDir) { cur =>
       val curBid = cur.map(_.batchId).getOrElse(-1L)
       if (bid >= 0 && curBid >= bid) None
@@ -279,7 +336,7 @@ final class QuantIndex(
           FileLog.listDataFiles(spark, dataDir).filterNot(created.toSet))
           ++ created,
         out.schema.toDDL, math.max(bid, curBid),
-        cur.map(_.zones).getOrElse(Map.empty)))
+        cur.map(_.zones).getOrElse(Map.empty) ++ createdZones))
     }
     invalidateRecallCurve()
     invalidateResident()
@@ -308,7 +365,9 @@ final class QuantIndex(
     val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
     // rewrite pinned to its base snapshot (see VectorStore.delete)
     FileLog.commitAt(spark, dataDir, log.version, keptOld ++ created,
-      log.schemaDdl, log.batchId)
+      log.schemaDdl, log.batchId,
+      zones = log.zones.view.filterKeys(keptOld.toSet).toMap ++
+        FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
     invalidateRecallCurve()
     invalidateResident()
     before - remaining.count()
@@ -345,7 +404,9 @@ final class QuantIndex(
     val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
     // rewrite pinned to its base snapshot (see VectorStore.upsert)
     FileLog.commitAt(spark, dataDir, log.version, keptOld ++ created,
-      log.schemaDdl, log.batchId)
+      log.schemaDdl, log.batchId,
+      zones = log.zones.view.filterKeys(keptOld.toSet).toMap ++
+        FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
     invalidateRecallCurve()
     invalidateResident()
   }
@@ -368,14 +429,25 @@ final class QuantIndex(
       math.max(1L, (maxCellRows + targetRowsPerFile - 1) / targetRowsPerFile)
     val numParts = // bounded Long math: Int overflow would go negative
       math.min(model.cfg.ivfCells.toLong * filesPerCell, Int.MaxValue.toLong)
+    // range split, not hash split: each output file owns a CONTIGUOUS
+    // (cell, id) range, so the commit's id zones are tight and the
+    // re-rank's bounded-id scan can skip whole files at planning time
+    // (a hash split spreads every file across the full id range and
+    // makes zones vacuous). Within-cell id order is preserved. When a
+    // single file per cell suffices, hash on the cell alone — a range
+    // partition can straddle a cell boundary and would write a second
+    // file into ~half the cells.
+    val shaped =
+      if (filesPerCell == 1L)
+        df.repartition(model.cfg.ivfCells, col("cell"))
+      else df.repartitionByRange(numParts.toInt, col("cell"), col("id"))
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
-      df.repartition(numParts.toInt,
-          col("cell"), pmod(hash(col("id")), lit(filesPerCell)))
-        .sortWithinPartitions("cell", "id")
+      shaped.sortWithinPartitions("cell", "id")
         .write.mode("overwrite")
         .partitionBy("cell").parquet(stage))
     FileLog.commitAt(spark, dataDir, log.version, created, log.schemaDdl,
-      log.batchId)
+      log.batchId,
+      zones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
     FileLog.vacuum(spark, dataDir, retainLast = 1, graceMs = vacuumGraceMs)
     invalidateResident()
     (before, created.size.toLong)
@@ -423,8 +495,9 @@ final class QuantIndex(
     encoded.repartition(newModel.cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(next)
-    FileLog.commit(spark, next,
-      FileLog.listDataFiles(spark, next), encoded.schema.toDDL)
+    val files = FileLog.listDataFiles(spark, next)
+    FileLog.commit(spark, next, files, encoded.schema.toDDL,
+      zones = FileLog.collectZones(spark, files, QuantIndex.ZoneCols))
     newModel.save(s"$next/_quant_model.json") // atomic commit point
     // post-commit, grace-guarded cleanup of superseded snapshots: the
     // just-replaced one is younger than the grace and survives for
@@ -585,11 +658,20 @@ object QuantIndex {
     out.repartition(cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    FileLog.commit(spark, path,
-      FileLog.listDataFiles(spark, path), out.schema.toDDL)
+    val files = FileLog.listDataFiles(spark, path)
+    FileLog.commit(spark, path, files, out.schema.toDDL,
+      zones = FileLog.collectZones(spark, files, ZoneCols))
     model.save(s"$path/_quant_model.json")
     new QuantIndex(spark, path, model)
   }
+
+  /** Zone-mapped columns recorded in every index commit: per-file id
+    * min/max lets [[QuantIndex.exactDist]]'s bounded-id re-rank skip
+    * files at PLANNING time (cell pruning is already structural — the
+    * partition directory). Meaningful skipping needs id-RANGE-
+    * clustered files, which [[QuantIndex.compact]] produces.
+    */
+  private[store] val ZoneCols = Seq("id")
 
   def open(spark: SparkSession, path: String): QuantIndex =
     new QuantIndex(spark, path,

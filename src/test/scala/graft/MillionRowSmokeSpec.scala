@@ -188,4 +188,75 @@ class MillionRowSmokeSpec extends AnyFunSuite {
     assert(idx.searchIvf(qa, 1, nprobe = idx.model.cfg.ivfCells)
       .head.getLong(0) == base)
   }
+
+  /** The r10-verdict "unify zone maps with the index FileLog" pin: on
+    * a compacted (id-range-clustered) 2M index, the re-rank's
+    * bounded-id scan must be PLANNED from the log's per-file id zones
+    * — the scheduled file list is exactly the zone-intersecting files,
+    * strictly fewer than the probed cells' full file list (the old
+    * schedule, where only row-group stats inside every opened footer
+    * helped), with identical results. Priced as a warm wall-clock pair.
+    */
+  test("zone-pruned re-rank plans only candidate-holding files (2M, compacted)") {
+    import graft.store.FileLog
+    val dir = graft.util.TempDirs.create("graft_1m_zones").toString
+    val idx = QuantIndex.build(spark, corpus, s"$dir/index", QuantConfig())
+    // ~500 id-ranged files (2M / 4k): the regime where the bound that
+    // matters shows — planned files ≤ CANDIDATE count (100), however
+    // many files the table holds
+    idx.compact(targetRowsPerFile = 4096, vacuumGraceMs = 0L)
+    val st = FileLog.read(s"$dir/index")
+    assert(st.zones.nonEmpty, "compact must commit id zones")
+    assert(st.files.forall(f => st.zones.get(f).exists(_.contains("id"))),
+      "every compacted file must carry an id zone")
+
+    val q = gen(777, 778).head.getSeq[Float](1).map(_.toDouble).toArray
+    val coarse = idx.coarseSq8(q, 100).select(col("id"), col("cell"))
+      .collect()
+    val idCells = coarse.map(r =>
+      (r.getLong(0), r.getAs[Number](1).intValue())).toSeq
+    val cells = idCells.map(_._2).distinct
+
+    def norm(f: String) = new java.net.URI(f).getPath
+    val pruned = idx.exactDistPaired(idCells, q)
+    val planned = pruned.inputFiles.map(norm).toSet
+    val cellRe = """/cell=(\d+)/""".r
+    def cellOf(f: String) = cellRe.findFirstMatchIn(f).map(_.group(1).toInt)
+    val probedCellFiles = st.files.filter(f => cellOf(f).exists(cells.contains))
+    val expectKept = probedCellFiles.filter { f =>
+      val (lo, hi) = st.zones(f)("id")
+      val c = cellOf(f).get
+      idCells.exists { case (id, ic) => ic == c && id >= lo && id <= hi }
+    }.map(norm).toSet
+    info(s"files: table=${st.files.size} probed-cells=${probedCellFiles.size} " +
+      s"zone-kept=${expectKept.size} planned=${planned.size}")
+    assert(planned == expectKept,
+      "planned file set must be exactly the per-cell zone-intersecting files")
+    // THE bound: one file per candidate at most, table size irrelevant
+    assert(planned.size <= idCells.size,
+      s"planned ${planned.size} files > ${idCells.size} candidates")
+    assert(planned.size * 2 < probedCellFiles.size,
+      s"zones skipped too little: ${planned.size} of ${probedCellFiles.size}")
+
+    // identical results vs the partition-pruned (zone-blind) schedule
+    def fullScan() = idx.indexDf
+      .where(col("cell").isin(cells.map(Int.box): _*))
+      .where(col("id").isin(idCells.map(p => Long.box(p._1)): _*))
+      .select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
+    val a = pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = fullScan().collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.sameElements(b), "zone pruning changed the re-rank result")
+
+    // price the pair (warm median-of-3; both sides re-plan per run, the
+    // honest comparison — planning IS where zone pruning pays)
+    def med3(body: => Unit): Double = {
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    val tZone = med3(idx.exactDistPaired(idCells, q).collect())
+    val tFull = med3(fullScan().collect())
+    info(f"re-rank wall: zone-planned=$tZone%.3fs cell-pruned-only=$tFull%.3fs")
+  }
 }

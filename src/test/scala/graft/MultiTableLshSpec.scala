@@ -76,17 +76,31 @@ class MultiTableLshSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-table recall dominates mod-bucket recall at equal probed fraction") {
+  test("multi-table vs mod-bucket: per-probe recall edge, per-BYTE deficit") {
     val ps = 1 to 4
     val cMod = ps.map(recallMod)
     val cMt = ps.map(recallMt)
     info(s"mod-16 recall@10 by probes: ${cMod.mkString(", ")}")
     info(s"mt 4x16 recall@10 by probes: ${cMt.mkString(", ")}")
+    // measured POST-bucket-fix (the r9 overflow fix changed the mod-16
+    // layout these numbers compare against): at equal probed fraction
+    // the OR-union still edges out the single-code layout per probe...
     ps.zip(cMod.zip(cMt)).foreach { case (p, (m, t)) =>
       assert(t >= m - 1e-9, s"probes=$p: mt $t < mod $m")
     }
     assert(cMt.sum > cMod.sum,
       s"curve not strictly better: mt ${cMt.sum} vs mod ${cMod.sum}")
+    // ...but the edge is thin (percent-level) while the storage is ×L:
+    // recall PER STORED BYTE favors mod-N at EVERY probe budget — the
+    // honest economics the store scaladoc steers users by (REPORT.md
+    // storage-vs-recall table). A future mt edge big enough to flip
+    // this (≥4× recall at some probe depth) should flip the advice too.
+    val l = mtStore.model.cfg.numHashTables
+    ps.zip(cMod.zip(cMt)).foreach { case (p, (m, t)) =>
+      assert(m / 1.0 > t / l.toDouble,
+        s"probes=$p: mt recall-per-copy ${t / l} beat mod $m — re-derive " +
+          "the MultiTableStore guidance")
+    }
   }
 
   test("exact search equals the single-table exact result (dedup correct)") {
