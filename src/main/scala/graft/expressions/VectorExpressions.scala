@@ -254,6 +254,101 @@ object VecEval {
     new GenericArrayData(out)
   }
 
+  /** SQ8 encode: round((xᵢ − minᵢ) · scaleᵢ) per dimension, with
+    * Spark's `round(_, 0)` HALF_UP BigDecimal semantics replicated
+    * exactly (Math.round differs on ties-adjacent doubles), so the
+    * kernel is bit-identical to the HOF `transform(round(...))` form
+    * and the DuckDB twin.
+    */
+  def sq8Encode(a: ArrayData, mins: Array[Double], scales: Array[Double],
+      isFloat: Boolean): GenericArrayData = {
+    val n = a.numElements()
+    if (n != mins.length) foldLenMismatch("vec_sq8_encode", n, mins.length)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val v = (x - mins(i)) * scales(i)
+      out(i) = java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 0-based argmin-L2 over the coarse centroids (IVF cell): ties to
+    * the LOWEST index — the `array_position(dists, array_min(dists))`
+    * first-match rule of the HOF form. Distance folds are ascending
+    * from 0.0, identical to [[VecL2Sq]] / the DuckDB list_reduce twin.
+    */
+  def ivfCell(a: ArrayData, centroids: Array[Array[Double]],
+      isFloat: Boolean): Int = {
+    val n = a.numElements()
+    var best = 0
+    var bd = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (n != cent.length) foldLenMismatch("vec_ivf_cell", n, cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val d = x - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bd) { bd = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ encode: per subspace j, the 1-BASED index of the nearest
+    * codebook centroid over dims [j·sub, (j+1)·sub) — first-match tie
+    * rule and ascending-dim distance folds, bit-identical to the HOF
+    * `array_position(transform(books, sqd(slice(e,...), _)), min)`
+    * chain. `residualOf` (nullable) subtracts the row's coarse
+    * centroid first — the IVFPQ residual path — with the subtraction
+    * widened to double exactly like the `zip_with(x - c)` form.
+    */
+  def pqEncode(a: ArrayData, books: Array[Array[Array[Double]]],
+      subDim: Int, residualOf: Array[Double],
+      isFloat: Boolean): GenericArrayData = {
+    val n = a.numElements()
+    val m = books.length
+    if (n != m * subDim) foldLenMismatch("vec_pq_encode", n, m * subDim)
+    if (residualOf != null && residualOf.length != n)
+      foldLenMismatch("vec_pq_encode.residual", n, residualOf.length)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val base = j * subDim
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          var x = if (isFloat) a.getFloat(base + i).toDouble
+                  else a.getDouble(base + i)
+          if (residualOf != null) x -= residualOf(base + i)
+          val d = x - cent(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bd) { bd = acc; best = c }
+        c += 1
+      }
+      out(j) = best + 1 // 1-based: ADC LUTs are element_at-addressed
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def lshBucket(a: ArrayData, matrix: Array[Array[Double]],
       numBuckets: Int, isFloat: Boolean): Int = {
     val n = a.numElements()
@@ -419,6 +514,115 @@ case class VecLshBucket(child: Expression, matrix: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): VecLshBucket =
     copy(child = c)
   override def prettyName: String = "vec_lsh_bucket"
+}
+
+/** SQ8 scalar-quantization encode ([[VecEval.sq8Encode]]): the
+  * per-dimension `round((x - min) * scale)` transform as one compiled
+  * loop — the quant-index build's hottest per-row op, previously an
+  * interpreted `transform` with two `element_at` lookups per element.
+  */
+case class VecSq8Encode(child: Expression, mins: Array[Double],
+    scales: Array[Double])
+    extends UnaryExpression with VecExprHelpers {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecEval.sq8Encode(v.asInstanceOf[ArrayData], mins, scales,
+      isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val sc = ctx.addReferenceObj("sq8Scales", scales, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VecEval.sq8Encode($a, $mn, $sc, ${isFloat(child.dataType)})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecSq8Encode =
+    copy(child = c)
+  override def prettyName: String = "vec_sq8_encode"
+}
+
+/** IVF coarse-cell assignment ([[VecEval.ivfCell]]): 0-based argmin-L2
+  * over the trained centroids in one fused loop (first-match ties).
+  */
+case class VecIvfCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with VecExprHelpers {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecEval.ivfCell(v.asInstanceOf[ArrayData], centroids,
+      isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VecEval.ivfCell($a, $c, ${isFloat(child.dataType)})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecIvfCell =
+    copy(child = c)
+  override def prettyName: String = "vec_ivf_cell"
+}
+
+/** Product-quantization encode ([[VecEval.pqEncode]]): all subspace
+  * argmins in one fused loop over the row — replaces a per-subspace
+  * `slice`/`zip_with`/`aggregate` HOF chain that interpreted (and
+  * allocated) per ELEMENT.
+  */
+case class VecPqEncode(child: Expression,
+    books: Array[Array[Array[Double]]], subDim: Int)
+    extends UnaryExpression with VecExprHelpers {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecEval.pqEncode(v.asInstanceOf[ArrayData], books, subDim, null,
+      isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VecEval.pqEncode($a, $bk, $subDim, null, " +
+        s"${isFloat(child.dataType)})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecPqEncode =
+    copy(child = c)
+  override def prettyName: String = "vec_pq_encode"
+}
+
+/** RESIDUAL product-quantization encode (the FAISS IVFPQ path): like
+  * [[VecPqEncode]] but the row's coarse centroid (selected by the
+  * `cell` child, a 0-based [[VecIvfCell]] assignment) is subtracted
+  * inside the distance loop — same doubles as the
+  * `zip_with(x − c)` + HOF-codes chain it replaces, zero intermediate
+  * arrays.
+  */
+case class VecPqrEncode(left: Expression, right: Expression,
+    books: Array[Array[Array[Double]]], subDim: Int,
+    ivfCentroids: Array[Array[Double]])
+    extends BinaryExpression with VecExprHelpers {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VecEval.pqEncode(v.asInstanceOf[ArrayData], books, subDim,
+      ivfCentroids(c.asInstanceOf[Int]), isFloat(left.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("pqrBooks", books, "double[][][]")
+    val cents = ctx.addReferenceObj("ivfCents", ivfCentroids, "double[][]")
+    defineCodeGen(ctx, ev, (a, c) =>
+      s"graft.expressions.VecEval.pqEncode($a, $bk, $subDim, " +
+        s"$cents[$c], ${isFloat(left.dataType)})")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecPqrEncode =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_pqr_encode"
 }
 
 /** Nibble-pack INT4 codes: input `array<int>` of SQ8 codes 0–255, each

@@ -29,7 +29,8 @@ object Registry {
       Round12Queries.all ++
       Round13Queries.all ++
       Round14Queries.all ++
-      Round15Queries.all
+      Round15Queries.all ++
+      Round16Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -43,12 +43,26 @@ final class QuantModel(
 
   // ------------------------------------------------- encode (build time)
 
+  private def expOf(c: Column) =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+
   /** SQ8 codes 0–255: round((x - min_i) * 255/(max_i - min_i)).
     * Non-negative, so Spark HALF_UP, Java Math.round and DuckDB round()
     * agree; distances over codes are integer math — bit-identical on any
-    * engine.
+    * engine. Compiled kernel ([[graft.expressions.VecSq8Encode]]) —
+    * the interpreted-HOF twin below is spec-pinned bit-identical; the
+    * kernels cut the 10M-row index build ~fourfold (it was spending
+    * its wall interpreting per-element lambdas).
     */
-  def sq8Col(emb: Column): Column = {
+  def sq8Col(emb: Column): Column =
+    colOf(graft.expressions.VecSq8Encode(expOf(emb), mins, scales))
+
+  /** Interpreted-HOF twin of [[sq8Col]] (the shipped form through
+    * round 15), kept for the kernel-equivalence pin.
+    */
+  private[graft] def sq8ColHof(emb: Column): Column = {
     val mnsL = typedlit(mins.toSeq)
     val ssL = typedlit(scales.toSeq)
     transform(emb, (x, i) =>
@@ -62,9 +76,13 @@ final class QuantModel(
       lit(0.0), (acc, x) => acc + x)
 
   /** IVF cell = argmin over the coarse centroids (0-based; ties go to
-    * the lowest cell id because `array_position` finds the first match).
+    * the lowest cell id — first-match rule). Compiled kernel.
     */
-  def ivfCellCol(emb: Column): Column = {
+  def ivfCellCol(emb: Column): Column =
+    colOf(graft.expressions.VecIvfCell(expOf(emb), ivfCentroids))
+
+  /** Interpreted-HOF twin of [[ivfCellCol]], kept for the pin. */
+  private[graft] def ivfCellColHof(emb: Column): Column = {
     val e = emb.cast("array<double>")
     val dists = transform(typedLit(ivfCentroids.map(_.toSeq).toSeq),
       c => VF.l2sq(e, c))
@@ -73,17 +91,28 @@ final class QuantModel(
 
   /** PQ codes: per subspace j, the 1-based index of the nearest codebook
     * centroid (1-based so ADC is a direct `element_at` into the LUT).
+    * Compiled kernel — all subspace argmins fused into one loop.
     */
   def pqCol(emb: Column): Column =
-    codesFor(emb.cast("array<double>"), pqBooks)
+    colOf(graft.expressions.VecPqEncode(expOf(emb), pqBooks, sub))
 
   /** RESIDUAL PQ codes (the FAISS IVFPQ convention): the vector minus
     * its assigned coarse centroid is what gets product-quantized, so
     * each codebook only has to cover a cell-sized neighborhood instead
     * of the whole corpus spread — tighter codes at identical bytes.
     * `cell` must be the [[ivfCellCol]] assignment of the same row.
+    * Compiled kernel — the residual subtraction happens inside the
+    * distance loop, no intermediate array.
     */
-  def pqrCol(emb: Column, cell: Column): Column = {
+  def pqrCol(emb: Column, cell: Column): Column =
+    colOf(graft.expressions.VecPqrEncode(expOf(emb),
+      expOf(cell.cast("int")), pqrBooks, sub, ivfCentroids))
+
+  /** Interpreted-HOF twins of [[pqCol]]/[[pqrCol]], kept for the pin. */
+  private[graft] def pqColHof(emb: Column): Column =
+    codesFor(emb.cast("array<double>"), pqBooks)
+
+  private[graft] def pqrColHof(emb: Column, cell: Column): Column = {
     val cents = typedLit(ivfCentroids.map(_.toSeq).toSeq)
     val r = zip_with(emb.cast("array<double>"),
       element_at(cents, cell.cast("int") + 1), (x, c) => x - c)

@@ -289,6 +289,40 @@ class Round16Spec extends AnyFunSuite {
     assert(df.count() == 11) // c = 100, 110, ..., 200
   }
 
+  // ------------------------------------ compiled quant-encode kernels
+
+  test("compiled sq8/ivf/pq/pqr encode kernels are bit-identical to the HOF forms") {
+    import graft.store.QuantModel
+    // train on the real embeddings (float arrays — the stored width),
+    // then encode every row through BOTH paths and demand equality:
+    // codes are ints, so "bit-identical" is exact array equality
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val m = QuantModel.train(emb, graft.store.QuantConfig())
+    val both = emb.select(col("embedding"),
+      m.sq8Col(col("embedding")).as("k_sq8"),
+      m.sq8ColHof(col("embedding")).as("h_sq8"),
+      m.ivfCellCol(col("embedding")).as("k_cell"),
+      m.ivfCellColHof(col("embedding")).as("h_cell"),
+      m.pqCol(col("embedding")).as("k_pq"),
+      m.pqColHof(col("embedding")).as("h_pq"))
+      .withColumn("k_pqr", m.pqrCol(col("embedding"), col("k_cell")))
+      .withColumn("h_pqr", m.pqrColHof(col("embedding"), col("h_cell")))
+    val bad = both.where(
+      col("k_sq8") =!= col("h_sq8") || col("k_cell") =!= col("h_cell") ||
+        col("k_pq") =!= col("h_pq") || col("k_pqr") =!= col("h_pqr")).count()
+    assert(bad == 0, s"$bad rows disagree between kernel and HOF encode")
+    assert(both.count() > 0)
+    // and on a double-typed column (the other accepted layout)
+    val embD = emb.select(col("id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val badD = embD.select(
+        m.sq8Col(col("embedding")).as("k"),
+        m.sq8ColHof(col("embedding")).as("h"))
+      .where(col("k") =!= col("h")).count()
+    assert(badD == 0, s"$badD double-typed rows disagree on sq8")
+  }
+
   // -------------------------------------------- LSH model format guard
 
   test("LSH model format version: v2 roundtrips; v1 at >=64 bits fails loudly") {
