@@ -148,6 +148,19 @@ object Bench {
     val stabilized = (name: String) =>
       stabilizedSet(name) || name.startsWith("v") || name == "e1_ann_cosine_topk"
 
+    // Heavy rows get ADAPTIVE stabilization (r11 verdict task #4: the
+    // driver's co-load burst faked a 16× regression on x28 because
+    // store-building/streaming rows had no median-of-3 protection):
+    // any single-shot ≥ this threshold re-runs twice and reports the
+    // median — a burst then costs two extra runs instead of a wrong
+    // committed number, while the (many) sub-threshold rows keep the
+    // sweep's single-shot wall budget. The reported TOTAL only counts
+    // the median once, so totals stay comparable across rounds.
+    // p15 is exempt: its repeats hit the session BPE cache and would
+    // time ~nothing — the cold number IS the honest training cost.
+    val adaptiveThresholdSec = 2.0
+    val adaptiveExempt = Set("p15_bpe_train")
+
     // Per query: wall seconds + the shuffle volume of one
     // representative execution (the last timed run — volumes are
     // plan-determined, so any run reports the same number). This is
@@ -173,7 +186,12 @@ object Bench {
           once() // warm-up, not timed
           val first2 = Seq.fill(2)(timed(once()))
           (first2 :+ measured()).sorted.apply(1)
-        } else measured())
+        } else {
+          val t1 = measured()
+          if (t1 >= adaptiveThresholdSec && !adaptiveExempt(name))
+            Seq(t1, timed(once()), timed(once())).sorted.apply(1)
+          else t1
+        })
     }
 
     // Layout queries time a full rewrite inside the query, which makes
@@ -215,6 +233,23 @@ object Bench {
             Seq.fill(3)(timed(readP().count())).sorted.apply(1)
           readF().count() // warm-up, not timed
           buf += "x28_read_full" ->
+            Seq.fill(3)(timed(readF().count())).sorted.apply(1)
+        }
+        // x31: the same pruned/full pair on a DATE clustering key
+        // (typed zones — the r11 "INT64 only" gap): same 128-file
+        // many-files regime, so the pair prices exactly what date-zone
+        // skipping buys a selective calendar-range scan.
+        locally {
+          val dir = graft.util.TempDirs.create("graft_bench_x31").toString
+          buf += "x31_write" -> timed(
+            graft.queries.Round17Queries.x31Write(spark, sfDir, dir, 128))
+          def readP() = graft.queries.Round17Queries.x31ReadPruned(spark, dir)
+          def readF() = graft.queries.Round17Queries.x31ReadFull(spark, dir)
+          readP().count() // warm-up, not timed
+          buf += "x31_read_pruned" ->
+            Seq.fill(3)(timed(readP().count())).sorted.apply(1)
+          readF().count() // warm-up, not timed
+          buf += "x31_read_full" ->
             Seq.fill(3)(timed(readF().count())).sorted.apply(1)
         }
         buf.toSeq

@@ -30,7 +30,8 @@ object Registry {
       Round13Queries.all ++
       Round14Queries.all ++
       Round15Queries.all ++
-      Round16Queries.all
+      Round16Queries.all ++
+      Round17Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -6,9 +6,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 import graft.store.VectorStore
 
-/** HTTP facade over [[VectorStore]] — the reference coordinator's REST
-  * surface (`coordinator/coordinator_server.py:20-154`) re-hosted on the
-  * JDK's built-in server (zero added dependencies):
+/** HTTP facade over the persisted index layouts — the reference
+  * coordinator's REST surface (`coordinator/coordinator_server.py:20-154`)
+  * re-hosted on the JDK's built-in server (zero added dependencies):
   *
   *  - `GET  /health`       → `{"status": "healthy"}` (`:21-24`)
   *  - `POST /add_vectors`  → body `{"vectors": [[…]], "ids": […]?}`;
@@ -22,16 +22,31 @@ import graft.store.VectorStore
   *    warning (`:110-118`); responds `{"status": "success",
   *    "distances": [[…]…], "indices": [[…]…]}` row-per-query
   *  - `GET  /stats`        → the coordinator stats record: total_nodes,
-  *    sharding_strategy, replication_factor, per-"node" stats where a
-  *    node = an LSH bucket partition (`coordinator.py:322-341`)
+  *    sharding_strategy, replication_factor, per-"node" stats
+  *    (`coordinator.py:322-341`)
+  *
+  * The facade hosts ANY of the three layouts through a
+  * [[StoreAdapter]] (r11 verdict task #7): the LSH [[VectorStore]]
+  * (a "node" = an LSH bucket), the quantized [[graft.store.QuantIndex]]
+  * (a "node" = an IVF cell; `probes` = nprobe), or the ×L
+  * [[graft.store.MultiTableStore]] (a "node" = a (table, bucket)
+  * pair). The recall/latency knob is uniform: `min_recall` picks the
+  * smallest probe depth whose MEASURED persisted curve meets the
+  * target (no curve → exact, never under-deliver); `probes` sets the
+  * depth explicitly; neither → exact search (the default the
+  * concurrency battery and the reference comparison pin).
   *
   * The facade is a thin driver-side adapter: every request plans the
-  * same DataFrames the Scala API plans — `add` appends bucket-partitioned
-  * parquet, `search` is the partition-pruned scan + top-k. Throughput
-  * shape is the reference's too: interactive single requests; bulk
-  * ingest/search should use the DataFrame API directly.
+  * same DataFrames the Scala API plans. Throughput shape is the
+  * reference's too: interactive single requests; bulk ingest/search
+  * should use the DataFrame API directly.
   */
-final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
+final class HttpFacade(spark: SparkSession, adapter: StoreAdapter,
+                       port: Int) {
+
+  /** Back-compat constructor: host an LSH [[VectorStore]]. */
+  def this(spark: SparkSession, store: VectorStore, port: Int) =
+    this(spark, new StoreAdapter.Lsh(spark, store), port)
 
   private val server: HttpServer =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -60,22 +75,18 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
       case None => (400, Map("error" -> "No vectors provided"))
       case Some(vs: Vector[_]) if vs.nonEmpty =>
         val vecs = vs.map(_.asInstanceOf[Vector[Any]]
-          .map(_.asInstanceOf[Double].toFloat))
+          .map(Json.asDouble(_).toFloat))
         val ids: Seq[Long] = body.get("ids") match {
           case Some(is: Vector[_]) =>
-            is.map(_.asInstanceOf[Double].toLong)
+            is.map(Json.asLong)
           case _ => // absent or JSON null: sequential auto-ids
-            val start = store.indexDf.agg(
-              org.apache.spark.sql.functions.coalesce(
-                org.apache.spark.sql.functions.max("id"),
-                org.apache.spark.sql.functions.lit(-1L)))
-              .head.getLong(0) + 1
+            val start = adapter.maxId() + 1
             start until (start + vecs.size)
         }
         require(ids.size == vecs.size, "ids/vectors length mismatch")
         import spark.implicits._
-        store.add(ids.zip(vecs.map(_.toArray)).toSeq.toDF("id", "embedding"))
-        val total = store.indexDf.count()
+        adapter.add(ids.zip(vecs.map(_.toArray)).toSeq.toDF("id", "embedding"))
+        val total = adapter.totalVectors()
         (200, Map(
           "status" -> "success",
           "message" -> s"Added ${vecs.size} vectors",
@@ -98,12 +109,12 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
         val n = df.count()
         if (n == 0) (400, Map("error" -> s"no vectors found at $p"))
         else {
-          store.add(df)
+          adapter.add(df)
           (200, Map(
             "status" -> "success",
             "message" -> s"Loaded $n vectors from npz",
             "loaded" -> n,
-            "total_vectors" -> store.indexDf.count()))
+            "total_vectors" -> adapter.totalVectors()))
         }
       case _ => (400, Map("error" -> "No path provided"))
     }
@@ -118,27 +129,24 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
     val queries: Vector[Array[Double]] = raw match {
       case v if v.nonEmpty && v.head.isInstanceOf[Vector[_]] =>
         v.map(_.asInstanceOf[Vector[Any]]
-          .map(_.asInstanceOf[Double]).toArray)
-      case v => Vector(v.map(_.asInstanceOf[Double]).toArray)
+          .map(Json.asDouble).toArray)
+      case v => Vector(v.map(Json.asDouble).toArray)
     }
-    val k = math.max(1, body("k").asInstanceOf[Double].toInt)
-    // Recall/latency knob (the reference Readme's claimed-but-never-
-    // built tradeoff, exposed at the API): `min_recall` picks the
-    // smallest probe depth whose MEASURED persisted curve meets the
-    // target (no curve → exact, never under-deliver); `probes` sets
-    // the depth explicitly; neither → exact search (the default the
-    // concurrency battery and the reference comparison pin).
+    val k = math.max(1, Json.asDouble(body("k")).toInt)
     val probes = body.get("min_recall") match {
-      case Some(r: Double) => store.probesForRecall(r)
+      case Some(r) if r != null => adapter.probesFor(Json.asDouble(r))
       case _ => body.get("probes") match {
-        case Some(p: Double) =>
-          math.min(store.model.numBuckets, math.max(1, p.toInt))
-        case _ => store.model.numBuckets
+        case Some(p) if p != null =>
+          math.min(adapter.maxProbes,
+            math.max(1, Json.asDouble(p).toInt))
+        case _ => adapter.maxProbes
       }
     }
     val rows = queries.map { q =>
-      store.search(q, k, probes)
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      adapter.classified {
+        adapter.search(q, k, probes)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      }
     }
     if (rows.forall(_.isEmpty))
       (200, Map(
@@ -155,21 +163,12 @@ final class HttpFacade(spark: SparkSession, store: VectorStore, port: Int = 0) {
         "probes" -> probes))
   }
 
-  private def stats(body: Map[String, Any]): (Int, Any) = {
-    val perBucket = store.stats().collect().map { r =>
-      val b = r.getAs[Number]("bucket").intValue()
-      s"bucket=$b" -> Map(
-        "vector_count" -> r.getAs[Long]("cnt"),
-        "share" -> r.getAs[Double]("pct"),
-        "memory_mb" -> r.getAs[Double]("memory_mb"),
-        "imbalance" -> r.getAs[Double]("imbalance"))
-    }
+  private def stats(body: Map[String, Any]): (Int, Any) =
     (200, Map(
-      "total_nodes" -> store.model.numBuckets,
-      "sharding_strategy" -> "lsh",
+      "total_nodes" -> adapter.totalNodes,
+      "sharding_strategy" -> adapter.strategy,
       "replication_factor" -> 1,
-      "nodes" -> perBucket.toMap))
-  }
+      "nodes" -> adapter.nodes()))
 
   // ---------------------------------------------------------- plumbing
 

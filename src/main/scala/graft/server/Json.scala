@@ -5,7 +5,15 @@ package graft.server
   * releases, and the facade's payloads are flat: vectors, ids, k).
   *
   * Parse model: object → Map[String, Any], array → Vector[Any],
-  * number → Double, string → String, true/false → Boolean, null → null.
+  * number → Long when the token is integral and fits (else Double),
+  * string → String, true/false → Boolean, null → null.
+  *
+  * Integral tokens MUST come back as Long, not Double: commit-log zone
+  * bounds and batch ids are int64, and a Double round-trip silently
+  * shifts values above 2^53 — a zone `[lo,hi]` off by a few hundred
+  * lets planning-time pruning skip a file that actually holds a
+  * candidate id (silent row loss for hash-derived/snowflake ids).
+  * Callers that accept either shape use [[asLong]]/[[asDouble]].
   */
 object Json {
 
@@ -15,6 +23,27 @@ object Json {
     p.ws()
     require(p.eof, s"trailing JSON content at ${p.pos}")
     v
+  }
+
+  /** Exact int64 view of a parsed JSON number (integral tokens arrive
+    * as Long and pass through exactly; a Double here can only come
+    * from a genuinely fractional/exponent token).
+    */
+  def asLong(v: Any): Long = v match {
+    case l: Long   => l
+    case d: Double => d.toLong
+    case i: Int    => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"not a JSON number: $other")
+  }
+
+  /** Double view of a parsed JSON number, whichever token shape it had. */
+  def asDouble(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long   => l.toDouble
+    case i: Int    => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"not a JSON number: $other")
   }
 
   private final class P(s: String) {
@@ -101,12 +130,19 @@ object Json {
       sb.toString
     }
 
-    private def num(): Double = {
+    private def num(): Any = {
       val start = pos
       if (ch == '-') pos += 1
-      while (!eof && (s.charAt(pos).isDigit || "+-.eE".contains(s.charAt(pos))))
+      var integral = true // a '.', 'e', 'E' (or exponent sign) demotes
+      while (!eof && (s.charAt(pos).isDigit || "+-.eE".contains(s.charAt(pos)))) {
+        if (!s.charAt(pos).isDigit) integral = false
         pos += 1
-      s.substring(start, pos).toDouble
+      }
+      val tok = s.substring(start, pos)
+      if (integral)
+        try java.lang.Long.parseLong(tok)   // exact int64 round-trip
+        catch { case _: NumberFormatException => tok.toDouble } // > 2^63
+      else tok.toDouble
     }
   }
 

@@ -51,13 +51,25 @@ final class SnapshotVacuumedException(msg: String, cause: Throwable)
   * fully deleted — reads back with its real schema instead of failing
   * parquet inference on a fileless directory.
   *
-  * Concurrency contract (upgraded from r10's single-writer caveat):
+  * Concurrency contract (mirrored in README "Concurrency contract"):
   * the version file is created with a compare-and-swap
   * ([[FsIo.writeStringExclusive]] — POSIX hard-link on `file://`,
-  * namenode-atomic create-no-overwrite on HDFS), so two commits can
-  * never both claim version N. Appends ([[transact]]) re-read and
-  * merge on a lost race; rewrites ([[commitAt]]) fail loudly with
-  * [[ConcurrentCommitException]] — never silent row loss either way.
+  * atomic no-overwrite rename-publish on HDFS), so two commits can
+  * never both claim version N. What is safe to run concurrently:
+  *
+  *  - concurrent APPENDS: both land ([[transact]] read-merge-retry);
+  *  - an append racing a REWRITE (delete/upsert/compact): both land —
+  *    [[commitRewrite]] merges past append-only interlopers
+  *    (Delta-style disjoint-file conflict detection); the rewrite
+  *    applies to the snapshot it read, so a concurrently appended row
+  *    with a deleted id survives (insert happened-after delete);
+  *  - two concurrent REWRITES: one wins, the other fails loudly with
+  *    [[ConcurrentCommitException]] (its read set may overlap files
+  *    the winner retired — merging could silently drop rows); re-read
+  *    and retry the whole operation;
+  *  - id uniqueness is NOT enforced across concurrent writers (two
+  *    appends of one id both land, like any log-structured table).
+  *
   * The `_files.json` pointer is only a cache: [[read]] always prefers
   * the newest immutable version file, so a stale or mid-swap pointer
   * (two winners swapping it out of order) is harmless.
@@ -82,15 +94,28 @@ object FileLog {
     *                  state (−1 = none): the exactly-once watermark —
     *                  a foreachBatch replay of batch ≤ batchId is a
     *                  no-op instead of a duplicate append
-    * @param zones     optional per-file min/max zone maps over INT64
-    *                  columns (file → column → (lo, hi)), collected
-    *                  from parquet footers at commit time; lets scans
-    *                  skip files at PLANNING time (the ManifestScan
-    *                  idea unified into the index log)
+    * @param zones     optional per-file min/max zone maps (file →
+    *                  column → typed [[Zone]]: int64/date, double,
+    *                  utf8), collected from parquet footers at commit
+    *                  time; lets scans skip files at PLANNING time
+    *                  (the ManifestScan idea unified into one log)
+    * @param rows      optional per-file row counts (footer metadata,
+    *                  collected with the zones) — lets planning-time
+    *                  consumers (compaction sizing, stats) avoid
+    *                  opening footers again
     */
   final case class State(files: Seq[String], schemaDdl: String,
       version: Int = 0, batchId: Long = -1L,
-      zones: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      zones: Map[String, Map[String, Zone]] = Map.empty,
+      rows: Map[String, Long] = Map.empty)
+
+  /** What a writer asks to commit — the payload half of [[State]]
+    * (version is assigned by the CAS loop).
+    */
+  final case class Commit(files: Seq[String], schemaDdl: String,
+      batchId: Long = -1L,
+      zones: Map[String, Map[String, Zone]] = Map.empty,
+      rows: Map[String, Long] = Map.empty)
 
   def currentPath(dir: String): String = s"$dir/_files.json"
   private def versionPath(dir: String, v: Int): String = s"$dir/_files.v$v.json"
@@ -137,36 +162,38 @@ object FileLog {
   private def parse(text: String): State = {
     val m = Json.parse(text).asInstanceOf[Map[String, Any]]
     def longOf(k: String, dflt: Long): Long =
-      m.get(k).map(_.asInstanceOf[Double].toLong).getOrElse(dflt)
+      m.get(k).map(Json.asLong).getOrElse(dflt)
     val zones = m.get("zones").map(_.asInstanceOf[Map[String, Any]].map {
       case (f, zs) => f -> zs.asInstanceOf[Map[String, Any]].map {
-        case (c, z) =>
-          val zz = z.asInstanceOf[Vector[Any]]
-          c -> (zz(0).asInstanceOf[Double].toLong,
-            zz(1).asInstanceOf[Double].toLong)
+        case (c, z) => c -> Zone.fromJson(z.asInstanceOf[Vector[Any]])
       }
-    }).getOrElse(Map.empty[String, Map[String, (Long, Long)]])
+    }).getOrElse(Map.empty[String, Map[String, Zone]])
+    val rows = m.get("rows").map(_.asInstanceOf[Map[String, Any]].map {
+      case (f, n) => f -> Json.asLong(n)
+    }).getOrElse(Map.empty[String, Long])
     State(m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
       m("schema").asInstanceOf[String],
       version = longOf("version", 0L).toInt,
       batchId = longOf("batch_id", -1L),
-      zones = zones)
+      zones = zones,
+      rows = rows)
   }
 
-  private def render(files: Seq[String], schemaDdl: String, version: Int,
-      batchId: Long,
-      zones: Map[String, Map[String, (Long, Long)]]): String = {
+  private def render(c: Commit, version: Int): String = {
     val base = scala.collection.immutable.ListMap(
       "version" -> version.toLong,
-      "schema" -> schemaDdl,
-      "files" -> files.distinct.sorted.toVector)
+      "schema" -> c.schemaDdl,
+      "files" -> c.files.distinct.sorted.toVector)
     val withBatch =
-      if (batchId >= 0) base + ("batch_id" -> batchId) else base
+      if (c.batchId >= 0) base + ("batch_id" -> c.batchId) else base
     val withZones =
-      if (zones.isEmpty) withBatch
-      else withBatch + ("zones" -> zones.map { case (f, zs) =>
-        f -> zs.map { case (c, (l, h)) => c -> Vector(l, h) } })
-    Json.write(withZones)
+      if (c.zones.isEmpty) withBatch
+      else withBatch + ("zones" -> c.zones.map { case (f, zs) =>
+        f -> zs.map { case (col, z) => col -> z.jsonParts } })
+    val withRows =
+      if (c.rows.isEmpty) withZones
+      else withZones + ("rows" -> c.rows)
+    Json.write(withRows)
   }
 
   /** Commit a new live file set, unconditionally (retries a lost CAS
@@ -178,11 +205,12 @@ object FileLog {
     */
   def commit(spark: SparkSession, dir: String, files: Seq[String],
              schemaDdl: String, batchId: Long = -1L,
-             zones: Map[String, Map[String, (Long, Long)]] = Map.empty): Int = {
+             zones: Map[String, Map[String, Zone]] = Map.empty,
+             rows: Map[String, Long] = Map.empty): Int = {
     var attempts = 0
     while (true) {
       val next = versions(dir).lastOption.getOrElse(0) + 1
-      val json = render(files, schemaDdl, next, batchId, zones)
+      val json = render(Commit(files, schemaDdl, batchId, zones, rows), next)
       if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
         FsIo.writeStringAtomic(currentPath(dir), json)
         return next
@@ -196,24 +224,27 @@ object FileLog {
 
   /** Read-compute-CAS loop for APPEND-shaped writers: `f` receives the
     * current state (None = unlogged directory) and returns the next
-    * (files, schemaDdl, batchId, zones); a lost race re-reads and
-    * recomputes, so two concurrent appends both land — neither can
-    * erase the other's files. Returns the committed version, or −1 if
-    * `f` declined to commit (returned None — the idempotent-replay
-    * no-op).
+    * [[Commit]]; a lost race re-reads and recomputes, so two
+    * concurrent appends both land — neither can erase the other's
+    * files. Returns the committed version, or −1 if `f` declined to
+    * commit (returned None — the idempotent-replay no-op).
     */
   def transact(spark: SparkSession, dir: String)(
-      f: Option[State] => Option[(Seq[String], String, Long,
-        Map[String, Map[String, (Long, Long)]])]): Int = {
+      f: Option[State] => Option[Commit]): Int = {
     var attempts = 0
     while (true) {
       val cur = if (exists(dir)) Some(read(dir)) else None
       f(cur) match {
         case None => return -1
-        case Some((files, ddl, batchId, zones)) =>
-          val next = cur.map(_.version).getOrElse(0).max(
-            versions(dir).lastOption.getOrElse(0)) + 1
-          val json = render(files, ddl, next, batchId, zones)
+        case Some(c) =>
+          // CAS at EXACTLY cur.version + 1 — never a fresh listing's
+          // newest + 1: an interloper committing between our read and
+          // our CAS would otherwise be silently overwritten by a state
+          // derived from the stale `cur` (TOCTOU caught by the
+          // Round17 racing-refresh battery). Targeting cur+1 turns
+          // that interleaving into a CAS loss → re-read and re-merge.
+          val next = cur.map(_.version).getOrElse(0) + 1
+          val json = render(c, next)
           if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
             FsIo.writeStringAtomic(currentPath(dir), json)
             return next
@@ -227,16 +258,18 @@ object FileLog {
   }
 
   /** CAS commit pinned to a base snapshot: succeeds only as version
-    * `base + 1`. REWRITE-shaped mutations (delete/upsert/compact) use
-    * this — their output is derived from the files of version `base`,
-    * so if any other commit landed since, merging would silently drop
-    * that writer's rows; failing loudly is the only safe answer.
+    * `base + 1`. The strictest rewrite form — any concurrent commit at
+    * all fails it. Mutations whose read set is the WHOLE base snapshot
+    * and that can't merge even with appends use this; most rewrites
+    * should use [[commitRewrite]], which merges past append-only
+    * interlopers.
     */
   def commitAt(spark: SparkSession, dir: String, base: Int,
       files: Seq[String], schemaDdl: String, batchId: Long = -1L,
-      zones: Map[String, Map[String, (Long, Long)]] = Map.empty): Int = {
+      zones: Map[String, Map[String, Zone]] = Map.empty,
+      rows: Map[String, Long] = Map.empty): Int = {
     val next = base + 1
-    val json = render(files, schemaDdl, next, batchId, zones)
+    val json = render(Commit(files, schemaDdl, batchId, zones, rows), next)
     if (!FsIo.writeStringExclusive(versionPath(dir, next), json))
       throw new ConcurrentCommitException(
         s"version $next under $dir was claimed by a concurrent writer; " +
@@ -244,6 +277,61 @@ object FileLog {
           "re-read and retry the operation")
     FsIo.writeStringAtomic(currentPath(dir), json)
     next
+  }
+
+  /** Optimistic REWRITE commit (Delta-style conflict detection): the
+    * writer derived `added` from snapshot `base` by rewriting exactly
+    * the files in `removed` (its read set). If other commits landed
+    * since `base`, they are examined instead of failed on:
+    *
+    *  - every file of `base` still live in the current state ⇒ all
+    *    interlopers were APPEND-ONLY (part-file names are job-unique
+    *    UUIDs, so a retired path never reappears — a subset check IS
+    *    an append-only proof). The rewrite merges: current files minus
+    *    `removed` plus `added`, keeping the interlopers' rows, zones
+    *    and exactly-once batch watermark. Both writers land — the
+    *    add()-races-compact() case that previously forced a full
+    *    compaction retry.
+    *  - some file of `base` is gone ⇒ a concurrent REWRITE retired
+    *    files this writer may have read — merging could silently drop
+    *    that writer's output, so fail loudly with
+    *    [[ConcurrentCommitException]] (re-read and redo the rewrite).
+    *
+    * Returns the committed version.
+    */
+  def commitRewrite(spark: SparkSession, dir: String, base: State,
+      removed: Set[String], added: Seq[String], schemaDdl: String,
+      addedZones: Map[String, Map[String, Zone]] = Map.empty,
+      addedRows: Map[String, Long] = Map.empty): Int = {
+    var attempts = 0
+    while (true) {
+      // unlogged dir (adopted base at version 0): the rewrite's commit
+      // seeds the log, exactly like commitAt did
+      val cur = if (exists(dir)) read(dir) else base
+      val curSet = cur.files.toSet
+      if (cur.version != base.version &&
+          !base.files.forall(curSet.contains))
+        throw new ConcurrentCommitException(
+          s"a concurrent rewrite under $dir retired files this rewrite " +
+            s"(derived from version ${base.version}) read — cannot merge; " +
+            "re-read and retry the operation")
+      val files = (curSet -- removed).toSeq ++ added
+      val zones = (cur.zones -- removed) ++ addedZones
+      val rows = (cur.rows -- removed) ++ addedRows
+      val batchId = math.max(base.batchId, cur.batchId)
+      // CAS at exactly cur.version + 1 (see transact): an interloper
+      // landing after our read makes this CAS fail → re-examine
+      val next = cur.version + 1
+      val json = render(Commit(files, schemaDdl, batchId, zones, rows), next)
+      if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
+        FsIo.writeStringAtomic(currentPath(dir), json)
+        return next
+      }
+      attempts += 1 // lost the version race: re-examine and retry
+      if (attempts > 1000) throw new ConcurrentCommitException(
+        s"gave up rewriting under $dir after $attempts lost races")
+    }
+    -1 // unreachable
   }
 
   /** Every parquet data file physically under `dir` (recursive —
@@ -270,7 +358,7 @@ object FileLog {
     out.result().sorted
   }
 
-  /** Per-file INT64 min/max zones for `cols`, collected from parquet
+  /** Per-file typed min/max zones for `cols`, collected from parquet
     * FOOTERS (metadata-only I/O — no data pages), for recording in a
     * commit: readers can then skip files at PLANNING time when a
     * bounded-id scan (the quant re-rank) provably misses them. Reuses
@@ -279,7 +367,7 @@ object FileLog {
     * unzoned — pruning must never lose rows).
     */
   def collectZones(spark: SparkSession, files: Seq[String],
-      cols: Seq[String]): Map[String, Map[String, (Long, Long)]] =
+      cols: Seq[String]): Map[String, Map[String, Zone]] =
     graft.sources.ManifestScan
       .statsOf(spark, files.map(new Path(_)), cols)
       .map(z => z.path -> z.zones).toMap
@@ -331,6 +419,16 @@ object FileLog {
     val failed = new java.util.concurrent.atomic.AtomicReference[String](null)
     moves.asJava.parallelStream().forEach { case (f, dest) =>
       if (!fs.rename(f, dest)) failed.compareAndSet(null, s"$f -> $dest")
+      else {
+        // Stamp MOVE time: rename preserves the staging-write mtime, so
+        // a write phase longer than the vacuum grace would land files
+        // already "old" — unreferenced (pre-commit) yet past the grace,
+        // i.e. deletable by a concurrent vacuum before the log commit
+        // referencing them (the ADVICE r11 orphan-grace hazard). The
+        // grace clock must start when the file enters the live tree.
+        try fs.setTimes(dest, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () } // stats-only FS: keep going
+      }
     }
     if (failed.get() != null)
       throw new java.io.IOException(s"staging move ${failed.get()} failed")
@@ -338,10 +436,30 @@ object FileLog {
     moves.map(_._2.toString).sorted
   }
 
+  /** Run an EAGER read action (a collect/count over a frame resolved
+    * from this log) with vacuum-race classification: the current
+    * version is pinned before `body` runs, and a failure whose root
+    * cause is a vanished file while the log has moved past that pin is
+    * rethrown as [[SnapshotVacuumedException]]. This is how the typed
+    * contract is actually delivered — the stores wrap their internal
+    * materialization points (coarse-candidate collects, re-rank input
+    * collects, facade searches) in it, and callers holding a raw
+    * DataFrame from a store can wrap their own actions the same way
+    * (`store.classified { df.collect() }`).
+    */
+  def classified[T](dir: String)(body: => T): T = {
+    val pin = versions(dir).lastOption.getOrElse(0)
+    try body
+    catch { case e: Throwable => throw classifyReadFailure(dir, pin, e) }
+  }
+
   /** Rethrow helper for scans over a pinned snapshot: if a task failed
     * because a referenced file disappeared AND the log has moved past
     * the snapshot the scan pinned, the snapshot was vacuumed — surface
-    * the typed error instead of the raw FileNotFound.
+    * the typed error instead of the raw FileNotFound. Wired into the
+    * stores' eager actions via [[classified]]; lazily returned
+    * DataFrames surface the raw error unless the caller wraps the
+    * action (documented on each store's `classified`).
     */
   def classifyReadFailure(dir: String, snapshotVersion: Int,
       e: Throwable): Throwable = {
@@ -391,11 +509,23 @@ object FileLog {
       }
     orphans.foreach(f => fs.delete(new Path(f), false))
     // sweep staging leftovers from crashed writers (never referenced by
-    // any log version; age-guarded so an in-flight stagedWrite survives)
+    // any log version; age-guarded so an in-flight stagedWrite
+    // survives). The age of a staging dir is the NEWEST mtime anywhere
+    // inside it, not the directory's own: a UUID dir's mtime reflects
+    // creation, so a long multi-file write would look "old" while its
+    // writer is still streaming — an active write keeps touching file
+    // mtimes, which keeps the dir young until graceMs after the last
+    // byte (ADVICE r11).
     val staging = new Path(s"$dir/_staging")
     if (fs.exists(staging)) {
+      def newestMtime(p: Path): Long = {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +:
+          fs.listStatus(p).map(c => newestMtime(c.getPath)).toSeq).max
+      }
       fs.listStatus(staging).foreach { st =>
-        if (graceMs <= 0L || now - st.getModificationTime > graceMs)
+        if (graceMs <= 0L || now - newestMtime(st.getPath) > graceMs)
           fs.delete(st.getPath, true)
       }
     }

@@ -83,6 +83,11 @@ final class MultiTableStore(
       .reduce(_ || _)
 
   /** Pruned kNN: probed partitions → id-dedup → exact top-k. */
+  /** Eager-action wrapper delivering the typed vacuum-race error
+    * ([[FileLog.classified]]) — see [[VectorStore.classified]].
+    */
+  def classified[T](body: => T): T = FileLog.classified(path)(body)
+
   def search(q: Array[Double], k: Int, probes: Int): DataFrame =
     searchIn(indexDf.where(pruneFilter(q, probes)), q, k)
 
@@ -111,12 +116,13 @@ final class MultiTableStore(
     FileLog.transact(spark, path) { cur =>
       val curBid = cur.map(_.batchId).getOrElse(-1L)
       if (bid >= 0 && curBid >= bid) None
-      else Some((
+      else Some(FileLog.Commit(
         cur.map(_.files).getOrElse(
           FileLog.listDataFiles(spark, path).filterNot(created.toSet))
           ++ created,
         out.schema.toDDL, math.max(bid, curBid),
-        cur.map(_.zones).getOrElse(Map.empty)))
+        cur.map(_.zones).getOrElse(Map.empty),
+        cur.map(_.rows).getOrElse(Map.empty)))
     }
     invalidateRecallCurve()
   }
@@ -253,11 +259,12 @@ final class MultiTableStore(
     val created = FileLog.stagedWrite(spark, path, stage =>
       remaining.write.mode("overwrite")
         .partitionBy("table", "bucket").parquet(stage))
-    val keptOld = log.files.filterNot(f => partOfFile(f).exists(affected))
-    // rewrite pinned to its base snapshot: a concurrent commit cannot
-    // be merged (its rows may live in retired files) — fail loudly
-    FileLog.commitAt(spark, path, log.version, keptOld ++ created,
-      log.schemaDdl, log.batchId)
+    val retired = log.files.filter(f => partOfFile(f).exists(affected))
+    // optimistic rewrite: append-only interlopers merge, both land
+    // (the delete applies to the snapshot it read); conflicting
+    // rewrites fail loudly (see VectorStore.delete)
+    FileLog.commitRewrite(spark, path, log, retired.toSet, created,
+      log.schemaDdl)
     invalidateRecallCurve()
     (before - remaining.count()) / cfgTables
   }
@@ -284,8 +291,10 @@ final class MultiTableStore(
           pmod(hash(col("id")), lit(filesPerPart)))
         .sortWithinPartitions("table", "bucket", "id")
         .write.mode("overwrite").partitionBy("table", "bucket").parquet(stage))
-    FileLog.commitAt(spark, path, log.version, created, log.schemaDdl,
-      log.batchId)
+    // optimistic rewrite: an add() racing this compaction merges —
+    // both land with zero row loss; only rewrite/rewrite races fail
+    FileLog.commitRewrite(spark, path, log, log.files.toSet, created,
+      log.schemaDdl)
     FileLog.vacuum(spark, path, retainLast = 1, graceMs = vacuumGraceMs)
     (before, created.size.toLong)
   }

@@ -203,8 +203,10 @@ final class QuantIndex(
         case Some(c) => byCell.get(c) match {
           case None => false // no candidate lives in this cell
           case Some(sorted) =>
-            st.zones.get(f).flatMap(_.get("id"))
-              .forall { case (lo, hi) => anyIdIn(sorted, lo, hi) }
+            st.zones.get(f).flatMap(_.get("id")).forall {
+              case Zone.I64(lo, hi) => anyIdIn(sorted, lo, hi)
+              case _ => true // non-int zone kind: conservative keep
+            }
         }
       }
     }
@@ -216,7 +218,17 @@ final class QuantIndex(
     * construction (the one acceptable driver materialization).
     */
   def candidateIds(coarse: DataFrame): Seq[Long] =
-    coarse.select("id").collect().map(_.getLong(0)).toSeq
+    classified { coarse.select("id").collect().map(_.getLong(0)).toSeq }
+
+  /** Run an eager action over this index's frames with vacuum-race
+    * classification ([[FileLog.classified]]): a FileNotFound whose
+    * snapshot was vacuumed mid-scan surfaces as the typed
+    * [[SnapshotVacuumedException]] instead of the raw error. All
+    * internal materialization points (coarse collects, re-rank inputs)
+    * run through it; wrap your own actions on returned DataFrames the
+    * same way.
+    */
+  def classified[T](body: => T): T = FileLog.classified(dataDir)(body)
 
   /** Exact re-rank of the coarse survivors, scanning ONLY the cell
     * partitions they live in (derived from the coarse result's `cell`
@@ -224,7 +236,8 @@ final class QuantIndex(
     * pushdown row-group-skippable within each touched cell file).
     */
   private def rerank(coarse: DataFrame, q: Array[Double], k: Int): DataFrame = {
-    val rows = coarse.select(col("id"), col("cell").cast("int")).collect()
+    val rows =
+      classified { coarse.select(col("id"), col("cell").cast("int")).collect() }
     exactDistPaired(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq, q)
       .orderBy(col("dist"), col("id")).limit(math.max(1, k))
   }
@@ -331,12 +344,13 @@ final class QuantIndex(
     FileLog.transact(spark, dataDir) { cur =>
       val curBid = cur.map(_.batchId).getOrElse(-1L)
       if (bid >= 0 && curBid >= bid) None
-      else Some((
+      else Some(FileLog.Commit(
         cur.map(_.files).getOrElse(
           FileLog.listDataFiles(spark, dataDir).filterNot(created.toSet))
           ++ created,
         out.schema.toDDL, math.max(bid, curBid),
-        cur.map(_.zones).getOrElse(Map.empty) ++ createdZones))
+        cur.map(_.zones).getOrElse(Map.empty) ++ createdZones,
+        cur.map(_.rows).getOrElse(Map.empty)))
     }
     invalidateRecallCurve()
     invalidateResident()
@@ -362,12 +376,11 @@ final class QuantIndex(
     val remaining = inCells.where(!col("id").isin(idSet: _*))
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
       remaining.write.mode("overwrite").partitionBy("cell").parquet(stage))
-    val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
-    // rewrite pinned to its base snapshot (see VectorStore.delete)
-    FileLog.commitAt(spark, dataDir, log.version, keptOld ++ created,
-      log.schemaDdl, log.batchId,
-      zones = log.zones.view.filterKeys(keptOld.toSet).toMap ++
-        FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
+    val retired = log.files.filter(f => cellOfFile(f).exists(afSet))
+    // optimistic rewrite (see VectorStore.delete): appends merge
+    FileLog.commitRewrite(spark, dataDir, log, retired.toSet, created,
+      log.schemaDdl,
+      addedZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
     invalidateRecallCurve()
     invalidateResident()
     before - remaining.count()
@@ -401,12 +414,11 @@ final class QuantIndex(
     val afSet = af.map(_.intValue()).toSet
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
       merged.write.mode("overwrite").partitionBy("cell").parquet(stage))
-    val keptOld = log.files.filterNot(f => cellOfFile(f).exists(afSet))
-    // rewrite pinned to its base snapshot (see VectorStore.upsert)
-    FileLog.commitAt(spark, dataDir, log.version, keptOld ++ created,
-      log.schemaDdl, log.batchId,
-      zones = log.zones.view.filterKeys(keptOld.toSet).toMap ++
-        FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
+    val retired = log.files.filter(f => cellOfFile(f).exists(afSet))
+    // optimistic rewrite (see VectorStore.upsert): appends merge
+    FileLog.commitRewrite(spark, dataDir, log, retired.toSet, created,
+      log.schemaDdl,
+      addedZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
     invalidateRecallCurve()
     invalidateResident()
   }
@@ -445,9 +457,11 @@ final class QuantIndex(
       shaped.sortWithinPartitions("cell", "id")
         .write.mode("overwrite")
         .partitionBy("cell").parquet(stage))
-    FileLog.commitAt(spark, dataDir, log.version, created, log.schemaDdl,
-      log.batchId,
-      zones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
+    // optimistic rewrite: an add() racing this compaction merges —
+    // both land with zero row loss; only rewrite/rewrite races fail
+    FileLog.commitRewrite(spark, dataDir, log, log.files.toSet, created,
+      log.schemaDdl,
+      addedZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
     FileLog.vacuum(spark, dataDir, retainLast = 1, graceMs = vacuumGraceMs)
     invalidateResident()
     (before, created.size.toLong)

@@ -107,14 +107,15 @@ final class VectorStore(
     FileLog.transact(spark, path) { cur =>
       val curBid = cur.map(_.batchId).getOrElse(-1L)
       if (bid >= 0 && curBid >= bid) None // replay raced in: decline
-      else Some((
+      else Some(FileLog.Commit(
         // unlogged non-empty dir: adopt its physical listing (the
         // staged files are outside it by construction)
         cur.map(_.files).getOrElse(
           FileLog.listDataFiles(spark, path).filterNot(created.toSet))
           ++ created,
         out.schema.toDDL, math.max(bid, curBid),
-        cur.map(_.zones).getOrElse(Map.empty)))
+        cur.map(_.zones).getOrElse(Map.empty),
+        cur.map(_.rows).getOrElse(Map.empty)))
     }
     invalidateRecallCurve()
   }
@@ -140,6 +141,14 @@ final class VectorStore(
              filter: Column = lit(true)): DataFrame =
     VectorStore.searchIn(
       indexDf.where(pruneFilter(q, probes)).where(filter), q, k)
+
+  /** Run an eager action over this store's frames with vacuum-race
+    * classification ([[FileLog.classified]]): a FileNotFound whose
+    * snapshot was vacuumed mid-scan surfaces as the typed
+    * [[SnapshotVacuumedException]] instead of the raw error — wrap
+    * collects/counts over [[search]]/[[indexDf]] results in it.
+    */
+  def classified[T](body: => T): T = FileLog.classified(path)(body)
 
   def pruneFilter(q: Array[Double], probes: Int): Column =
     if (probes >= model.numBuckets) lit(true)
@@ -257,12 +266,13 @@ final class VectorStore(
     val remaining = inBuckets.where(!col("id").isin(idSet: _*))
     val created = FileLog.stagedWrite(spark, path, stage =>
       remaining.write.mode("overwrite").partitionBy("bucket").parquet(stage))
-    val keptOld = log.files.filterNot(f => bucketOfFile(f).exists(affected))
-    // rewrite derived from `log.version`: a concurrent commit since
-    // then cannot be merged (its rows may live in the files this
-    // rewrite retires) — commitAt fails loudly instead of losing them
-    FileLog.commitAt(spark, path, log.version, keptOld ++ created,
-      log.schemaDdl, log.batchId)
+    val retired = log.files.filter(f => bucketOfFile(f).exists(affected))
+    // optimistic rewrite: an append racing this delete MERGES (both
+    // land; the delete applies to the snapshot it read, so a
+    // concurrently appended row with a deleted id survives — insert
+    // happened-after delete); a conflicting rewrite fails loudly
+    FileLog.commitRewrite(spark, path, log, retired.toSet, created,
+      log.schemaDdl)
     invalidateRecallCurve()
     // `remaining` still reads the retired (not yet vacuumed) files
     before - remaining.count()
@@ -308,10 +318,10 @@ final class VectorStore(
     val merged = existing.unionByName(incoming)
     val created = FileLog.stagedWrite(spark, path, stage =>
       merged.write.mode("overwrite").partitionBy("bucket").parquet(stage))
-    val keptOld = log.files.filterNot(f => bucketOfFile(f).exists(afSet))
-    // rewrite pinned to the snapshot it was derived from (see delete)
-    FileLog.commitAt(spark, path, log.version, keptOld ++ created,
-      log.schemaDdl, log.batchId)
+    val retired = log.files.filter(f => bucketOfFile(f).exists(afSet))
+    // optimistic rewrite (see delete): append-only interlopers merge
+    FileLog.commitRewrite(spark, path, log, retired.toSet, created,
+      log.schemaDdl)
     invalidateRecallCurve()
   }
 
@@ -342,8 +352,11 @@ final class VectorStore(
       df.repartition(numParts.toInt,
           col("bucket"), pmod(hash(col("id")), lit(filesPerBucket)))
         .write.mode("overwrite").partitionBy("bucket").parquet(stage))
-    FileLog.commitAt(spark, path, log.version, created, log.schemaDdl,
-      log.batchId)
+    // optimistic rewrite: an add() racing this compaction merges —
+    // both land with zero row loss (the r11 verdict's Delta-style
+    // conflict-detection task); only a true rewrite/rewrite race fails
+    FileLog.commitRewrite(spark, path, log, log.files.toSet, created,
+      log.schemaDdl)
     // compaction is the maintenance point: reclaim retired files — but
     // only past the grace window, so an in-flight reader holding a
     // recent snapshot finishes cleanly (default 10 min; pass 0 to

@@ -100,9 +100,15 @@ object FsIo {
     * writer-unique temp file and published with `Files.createLink`
     * (hard link), which is atomic and fails with
     * `FileAlreadyExistsException` — a concurrent reader can never
-    * observe a half-written destination. Other filesystems use
-    * `fs.create(path, overwrite = false)`, which HDFS makes atomic via
-    * the namenode (single-writer lease).
+    * observe a half-written destination. Other filesystems mirror the
+    * same shape: write a writer-unique temp file, then publish with a
+    * NO-overwrite `FileContext.rename` (namenode-atomic on HDFS, fails
+    * with FileAlreadyExistsException when the loser arrives second).
+    * The earlier `fs.create(path, overwrite=false)` form claimed the
+    * NAME atomically but streamed content afterwards — a reader
+    * resolving the newest version file could observe it empty/partial
+    * (the torn-read window ADVICE r11 flagged); rename-publish closes
+    * it because the destination only ever appears fully written.
     */
   def writeStringExclusive(path: String, s: String): Boolean =
     localOf(path) match {
@@ -121,14 +127,28 @@ object FsIo {
       case None =>
         val dst = new Path(path)
         val fs = dst.getFileSystem(conf())
+        if (fs.exists(dst)) return false // cheap fast-path, not the CAS
+        val tmp = new Path(path + ".tmp." + java.util.UUID.randomUUID())
+        val out = fs.create(tmp, true)
+        try out.write(s.getBytes(Utf8))
+        finally out.close()
         try {
-          val out = fs.create(dst, false)
-          try out.write(s.getBytes(Utf8))
-          finally out.close()
+          // Rename.NONE = fail (atomically, server-side) if dst exists
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri, conf())
+          fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
           true
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case _: java.io.FileNotFoundException => false
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // FS with no AbstractFileSystem binding: FileSystem.rename
+            // refuses an existing destination too (non-atomically on
+            // exotic schemes; documented residual, nothing supported
+            // hits this)
+            fs.rename(tmp, dst)
+        } finally {
+          if (fs.exists(tmp)) fs.delete(tmp, false)
         }
     }
 

@@ -60,8 +60,8 @@ class HttpFacadeSpec extends AnyFunSuite {
     val indices = m("indices").asInstanceOf[Vector[Vector[Any]]]
     val dists = m("distances").asInstanceOf[Vector[Vector[Any]]]
     assert(indices.size == 1 && indices.head.size == 3)
-    assert(indices.head.head.asInstanceOf[Double] == 0.0) // vec_id 0 itself
-    assert(dists.head.head.asInstanceOf[Double] == 0.0)
+    assert(Json.asLong(indices.head.head) == 0L) // vec_id 0 itself
+    assert(Json.asDouble(dists.head.head) == 0.0)
     // k <= 0 clamps to 1 (coordinator_server.py:99-103)
     val (c2, b2) = post("/search", s"""{"query_vector": $qj, "k": 0}""")
     assert(c2 == 200 &&
@@ -76,7 +76,7 @@ class HttpFacadeSpec extends AnyFunSuite {
     val (c0, b0) = post("/search",
       s"""{"query_vector": $qj, "k": 3, "min_recall": 0.5}""")
     assert(c0 == 200 &&
-      obj(b0)("probes").asInstanceOf[Double].toInt == fstore.model.numBuckets)
+      Json.asLong(obj(b0)("probes")).toInt == fstore.model.numBuckets)
     // audit the curve, then the facade's choice must equal the store's
     // and the results must equal searching at that depth directly
     val panel = (0L until 5L)
@@ -85,16 +85,16 @@ class HttpFacadeSpec extends AnyFunSuite {
     val p = fstore.probesForRecall(0.5)
     val (c1, b1) = post("/search",
       s"""{"query_vector": $qj, "k": 3, "min_recall": 0.5}""")
-    assert(c1 == 200 && obj(b1)("probes").asInstanceOf[Double].toInt == p)
+    assert(c1 == 200 && Json.asLong(obj(b1)("probes")).toInt == p)
     val got = obj(b1)("indices").asInstanceOf[Vector[Vector[Any]]]
-      .head.map(_.asInstanceOf[Double].toLong)
+      .head.map(Json.asLong)
     val want = fstore.search(q, 3, p).collect().map(_.getLong(0)).toVector
     assert(got == want)
     // explicit probes override, clamped into [1, numBuckets]
     val (c2, b2) = post("/search",
       s"""{"query_vector": $qj, "k": 3, "probes": 99}""")
     assert(c2 == 200 &&
-      obj(b2)("probes").asInstanceOf[Double].toInt == fstore.model.numBuckets)
+      Json.asLong(obj(b2)("probes")).toInt == fstore.model.numBuckets)
   }
 
   test("POST /search: missing fields give the reference's 400s") {
@@ -112,10 +112,10 @@ class HttpFacadeSpec extends AnyFunSuite {
     assert(code == 200)
     val m = obj(body)
     assert(m("status") == "success" &&
-      m("total_vectors").asInstanceOf[Double] == 501.0)
+      Json.asLong(m("total_vectors")) == 501L)
     val (_, sb) = post("/search", s"""{"query_vector": $qj, "k": 2}""")
     val ids = obj(sb)("indices").asInstanceOf[Vector[Vector[Any]]]
-      .head.map(_.asInstanceOf[Double].toLong).toSet
+      .head.map(Json.asLong).toSet
     assert(ids == Set(0L, 777000L), s"dup of vec 0 should tie at d=0: $ids")
   }
 
@@ -124,7 +124,7 @@ class HttpFacadeSpec extends AnyFunSuite {
     val qj = q.mkString("[", ",", "]")
     val (code, body) = post("/add_vectors", s"""{"vectors": [$qj, $qj]}""")
     assert(code == 200)
-    assert(obj(body)("total_vectors").asInstanceOf[Double] == 503.0)
+    assert(Json.asLong(obj(body)("total_vectors")) == 503L)
     val (c2, b2) = post("/add_vectors", """{}""")
     assert(c2 == 400 && obj(b2)("error") == "No vectors provided")
   }
@@ -134,12 +134,11 @@ class HttpFacadeSpec extends AnyFunSuite {
     assert(code == 200)
     val m = obj(body)
     assert(m("sharding_strategy") == "lsh")
-    assert(m("total_nodes").asInstanceOf[Double] == 3.0)
+    assert(Json.asLong(m("total_nodes")) == 3L)
     val nodes = obj(m("nodes"))
     assert(nodes.nonEmpty && nodes.keys.forall(_.startsWith("bucket=")))
-    val counts = nodes.values.map(n => obj(n)("vector_count")
-      .asInstanceOf[Double]).sum
-    assert(counts >= 500.0)
+    val counts = nodes.values.map(n => Json.asLong(obj(n)("vector_count"))).sum
+    assert(counts >= 500L)
   }
 
   test("concurrency: 10-thread add+search load loses no update, keeps shapes") {
@@ -200,6 +199,113 @@ class HttpFacadeSpec extends AnyFunSuite {
     } finally f2.stop()
   }
 
+  // ------------------------- all three layouts over one REST surface
+
+  private def postTo(f: HttpFacade, path: String, body: String): (Int, Any) = {
+    val r = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+  private def getFrom(f: HttpFacade, path: String): (Int, Any) = {
+    val r = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f.boundPort}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  /** The shared reference-shape battery: self at distance 0, k-clamp,
+    * add-then-find, stats totals — identical expectations per layout.
+    */
+  private def roundTrip(f: HttpFacade, strategy: String,
+      base: Long): Unit = try {
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val qj = q.mkString("[", ",", "]")
+    // exact default: self is the top hit at distance 0
+    val (c1, b1) = postTo(f, "/search", s"""{"query_vector": $qj, "k": 3}""")
+    assert(c1 == 200, s"$strategy search: $b1")
+    val idx = obj(b1)("indices").asInstanceOf[Vector[Vector[Any]]]
+    assert(idx.head.size == 3 && Json.asLong(idx.head.head) == 0L)
+    assert(Json.asDouble(obj(b1)("distances")
+      .asInstanceOf[Vector[Vector[Any]]].head.head) == 0.0)
+    // k clamp
+    val (c2, b2) = postTo(f, "/search", s"""{"query_vector": $qj, "k": -2}""")
+    assert(c2 == 200 && obj(b2)("indices")
+      .asInstanceOf[Vector[Vector[Any]]].head.size == 1)
+    // add with explicit id, then find the duplicate at distance 0
+    val (c3, b3) = postTo(f, "/add_vectors",
+      s"""{"vectors": [$qj], "ids": [888000]}""")
+    assert(c3 == 200, s"$strategy add: $b3")
+    assert(Json.asLong(obj(b3)("total_vectors")) == base + 1)
+    val (_, b4) = postTo(f, "/search", s"""{"query_vector": $qj, "k": 2}""")
+    val ids = obj(b4)("indices").asInstanceOf[Vector[Vector[Any]]]
+      .head.map(Json.asLong).toSet
+    assert(ids == Set(0L, 888000L), s"$strategy dup-of-0 tie: $ids")
+    // stats: right strategy tag, node counts sum to the stored total
+    val (c5, b5) = getFrom(f, "/stats")
+    assert(c5 == 200 && obj(b5)("sharding_strategy") == strategy)
+    val counts = obj(obj(b5)("nodes")).values
+      .map(n => Json.asLong(obj(n)("vector_count"))).sum
+    // ×L layouts store each row per table; vector_count is per node
+    assert(counts >= base + 1, s"$strategy node counts: $counts")
+  } finally f.stop()
+
+  test("the quantized IVF layout serves the same REST surface (probes = nprobe)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_q").toString
+    val idx = graft.store.QuantIndex.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index")
+    val f = new HttpFacade(spark,
+      new graft.server.StoreAdapter.Quant(spark, idx), port = 0).start()
+    roundTrip(f, "ivf", base = 500L)
+  }
+
+  test("the multi-table ×L layout serves the same REST surface (probes = pairs)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_mt").toString
+    val mt = graft.store.MultiTableStore.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index",
+      graft.lsh.LshConfig(numHashFunctions = 4, numHashTables = 4,
+        dim = 64, seed = 42L, multiTable = true))
+    val f = new HttpFacade(spark,
+      new graft.server.StoreAdapter.Multi(spark, mt), port = 0).start()
+    roundTrip(f, "lsh_multitable", base = 500L)
+  }
+
+  test("explicit probes reaches the quant nprobe knob over HTTP") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_q2").toString
+    val idx = graft.store.QuantIndex.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index")
+    val f = new HttpFacade(spark,
+      new graft.server.StoreAdapter.Quant(spark, idx), port = 0).start()
+    try {
+      val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 7)
+      val qj = q.mkString("[", ",", "]")
+      val (c1, b1) = postTo(f, "/search",
+        s"""{"query_vector": $qj, "k": 5, "probes": 2}""")
+      assert(c1 == 200 && Json.asLong(obj(b1)("probes")).toInt == 2)
+      // the HTTP result equals the Scala API at the same nprobe
+      val want = idx.searchIvf(q, 5, nprobe = 2)
+        .collect().map(_.getLong(0)).toVector
+      val got = obj(b1)("indices").asInstanceOf[Vector[Vector[Any]]]
+        .head.map(Json.asLong)
+      assert(got == want)
+      // min_recall with no persisted curve → conservative: every cell
+      val (c2, b2) = postTo(f, "/search",
+        s"""{"query_vector": $qj, "k": 5, "min_recall": 0.9}""")
+      assert(c2 == 200 &&
+        Json.asLong(obj(b2)("probes")).toInt == idx.model.cfg.ivfCells)
+    } finally f.stop()
+  }
+
   test("POST /load_npz ingests NPZ shards server-side") {
     val npzDir = java.nio.file.Files.createTempDirectory("graft_http_npz").toString
     Tables.embeddings(spark, TestSpark.sf).limit(5)
@@ -207,11 +313,11 @@ class HttpFacadeSpec extends AnyFunSuite {
       .coalesce(1)
       .write.format("npz").mode("append").save(npzDir)
     val before = obj(get("/stats")._2)("nodes").asInstanceOf[Map[String, Any]]
-      .values.map(n => obj(n)("vector_count").asInstanceOf[Double]).sum
+      .values.map(n => Json.asLong(obj(n)("vector_count"))).sum
     val (code, body) = post("/load_npz", s"""{"path": "$npzDir"}""")
     assert(code == 200, s"got $code: $body")
-    assert(obj(body)("loaded").asInstanceOf[Double] == 5.0)
-    assert(obj(body)("total_vectors").asInstanceOf[Double] == before + 5.0)
+    assert(Json.asLong(obj(body)("loaded")) == 5L)
+    assert(Json.asLong(obj(body)("total_vectors")) == before + 5L)
     val (c2, b2) = post("/load_npz", """{}""")
     assert(c2 == 400 && obj(b2)("error") == "No path provided")
   }

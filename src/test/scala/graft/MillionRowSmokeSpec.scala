@@ -224,7 +224,10 @@ class MillionRowSmokeSpec extends AnyFunSuite {
     def cellOf(f: String) = cellRe.findFirstMatchIn(f).map(_.group(1).toInt)
     val probedCellFiles = st.files.filter(f => cellOf(f).exists(cells.contains))
     val expectKept = probedCellFiles.filter { f =>
-      val (lo, hi) = st.zones(f)("id")
+      val (lo, hi) = st.zones(f)("id") match {
+        case graft.store.Zone.I64(l, h) => (l, h)
+        case z => fail(s"id zone is not I64: $z")
+      }
       val c = cellOf(f).get
       idCells.exists { case (id, ic) => ic == c && id >= lo && id <= hi }
     }.map(norm).toSet

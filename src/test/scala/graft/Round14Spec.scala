@@ -33,7 +33,8 @@ class Round14Spec extends AnyFunSuite {
     // data-driven range: the first file's own user_id zone — provably
     // present in ≥1 file and, under range clustering, not in the last
     val zones = ManifestScan.loadManifest(dir)
-      .flatMap(_.zones.get("user_id")).sortBy(_._1)
+      .flatMap(_.zones.get("user_id"))
+      .collect { case graft.store.Zone.I64(l, h) => (l, h) }.sortBy(_._1)
     val (lo, hi) = zones.head
     val (df, kept, total) = ManifestScan.readPruned(spark, dir,
       Map("user_id" -> (lo, hi)))
@@ -93,7 +94,8 @@ class Round14Spec extends AnyFunSuite {
     ManifestScan.buildManifest(spark, dir4, Seq("user_id"))
 
     val (lo, hi) = ManifestScan.loadManifest(dir1)
-      .flatMap(_.zones.get("user_id")).sortBy(_._1).head
+      .flatMap(_.zones.get("user_id"))
+      .collect { case graft.store.Zone.I64(l, h) => (l, h) }.sortBy(_._1).head
     val (df1, kept1, total1) = ManifestScan.readPruned(spark, dir1,
       Map("user_id" -> (lo, hi)))
     val (df4, kept4, total4) = ManifestScan.readPruned(spark, dir4,

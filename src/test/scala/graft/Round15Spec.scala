@@ -91,7 +91,8 @@ class Round15Spec extends AnyFunSuite {
     assert(after.map(e => norm(e.path)).toSet == listed,
       s"manifest ${after.size} entries vs ${listed.size} files")
     // the appended table still answers pruned reads exactly
-    val zones = after.flatMap(_.zones.get("user_id")).sortBy(_._1)
+    val zones = after.flatMap(_.zones.get("user_id"))
+      .collect { case graft.store.Zone.I64(l, h) => (l, h) }.sortBy(_._1)
     val (lo, hi) = zones.head
     val (df, kept, total) = ManifestScan.readPruned(spark, dir,
       Map("user_id" -> (lo, hi)))

@@ -1,0 +1,322 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestScan
+import graft.store.{ConcurrentCommitException, FileLog, Zone, ZoneRange}
+
+/** Round-17 commit-layer unification batteries — the r11 verdict's
+  * tasks made checkable:
+  *
+  *  1. ONE log-structured-table core: the relational manifest is now a
+  *     [[ManifestScan]] facade over [[FileLog]], so the two-writer and
+  *     grace guarantees the index stores had must hold on relational
+  *     manifest tables too.
+  *  2. Typed zones: planning-time file skipping on DATE, DOUBLE and
+  *     UTF8-string predicates (r11: INT64 only).
+  *  3. Optimistic concurrency: an append racing a compaction MERGES —
+  *     both land, zero row loss; genuinely conflicting rewrites still
+  *     fail loudly.
+  *  4. Exact int64 JSON: zone bounds and batch ids above 2^53
+  *     round-trip bit-exactly (ADVICE r11: Double parsing shifted
+  *     them).
+  *  5. Vacuum-grace clock starts at MOVE time, not staging-write time
+  *     (ADVICE r11: rename preserves mtime, so a slow write landed
+  *     files already "old").
+  */
+class Round17Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def embDf = Tables.embeddings(spark, TestSpark.sf)
+    .select(col("vec_id").as("id"), col("embedding"))
+
+  private def freshStore(tag: String): graft.store.VectorStore = {
+    val dir = graft.util.TempDirs.create(s"graft_r17_$tag").toString
+    graft.store.VectorStore.build(spark, embDf, s"$dir/index",
+      graft.lsh.LshConfig(dim = 64, seed = 21L))
+  }
+
+  // ---------------------------------- optimistic rewrite concurrency
+
+  test("append that landed AFTER a compaction's snapshot merges: both land") {
+    val store = freshStore("merge")
+    val base = store.indexDf.count()
+    // simulate a compaction pinned at v1: stage its output now...
+    val st0 = FileLog.read(store.path)
+    val created = FileLog.stagedWrite(spark, store.path, stage =>
+      spark.read.option("basePath", store.path).parquet(st0.files: _*)
+        .repartition(4, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage))
+    // ...an append races in and commits first...
+    val sess = spark
+    import sess.implicits._
+    store.add((900000L until 900005L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("id", "embedding"))
+    // ...then the compaction commits against its stale base: MERGE
+    val v = FileLog.commitRewrite(spark, store.path, st0,
+      removed = st0.files.toSet, added = created, schemaDdl = st0.schemaDdl)
+    assert(v > 2)
+    val after = store.indexDf
+    assert(after.count() == base + 5, "merged commit lost rows")
+    assert(after.where(col("id") >= 900000L).count() == 5,
+      "the racing append's rows must survive the merged rewrite")
+    // retired base files are gone from the live set; append files stay
+    val live = FileLog.read(store.path).files.toSet
+    assert(st0.files.forall(f => !live.contains(f)))
+  }
+
+  test("threaded add ∥ compact: both land with zero row loss") {
+    val store = freshStore("race")
+    val base = store.indexDf.count()
+    val sess = spark
+    import sess.implicits._
+    val addBatch = (910000L until 910010L)
+      .map(i => (i, Array.fill(64)(0.25f))).toDF("id", "embedding")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fAdd = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { start.await(); store.add(addBatch) }
+    })
+    val fCompact = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { start.await(); store.compact(); () }
+    })
+    start.countDown()
+    fAdd.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    fCompact.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(store.indexDf.count() == base + 10,
+      "add racing compact lost rows")
+    assert(store.indexDf.where(col("id") >= 910000L).count() == 10)
+  }
+
+  test("conflicting rewrite (delete landed since base) still fails loudly") {
+    val store = freshStore("conflict")
+    val st0 = FileLog.read(store.path)
+    val created = FileLog.stagedWrite(spark, store.path, stage =>
+      spark.read.option("basePath", store.path).parquet(st0.files: _*)
+        .repartition(2, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage))
+    // a DELETE rewrite lands after our snapshot: it retired base files
+    assert(store.delete(Seq(0L, 1L, 2L)) == 3L)
+    intercept[ConcurrentCommitException] {
+      FileLog.commitRewrite(spark, store.path, st0,
+        removed = st0.files.toSet, added = created,
+        schemaDdl = st0.schemaDdl)
+    }
+  }
+
+  // --------------------------- relational manifest: two-writer safety
+
+  test("two racing refreshManifest appenders both land (relational table)") {
+    val dir = graft.util.TempDirs.create("graft_r17_mani2w").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("value"))
+    ev.where(col("user_id") % 2 === 0).coalesce(2)
+      .write.mode("append").parquet(dir)
+    ev.where(col("user_id") % 2 === 1).coalesce(2)
+      .write.mode("append").parquet(dir)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fs = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          ManifestScan.refreshManifest(spark, dir, Seq("user_id"))
+        }
+      })
+    }
+    start.countDown()
+    val counts = fs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // between them the two refreshes must have indexed every file
+    // exactly once (transact merge — the loser re-reads and re-diffs)
+    val entries = ManifestScan.loadManifest(dir)
+    assert(entries.map(_.path).toSet ==
+      FileLog.listDataFiles(spark, dir).toSet)
+    assert(counts.sum == entries.size,
+      s"refresh counts $counts vs ${entries.size} manifest entries")
+    val (df, _, _) = ManifestScan.readPruned(spark, dir, Map.empty)
+    assert(df.count() == ev.count())
+  }
+
+  test("manifest vacuum honors the grace window (relational table)") {
+    val dir = graft.util.TempDirs.create("graft_r17_manigrace").toString
+    Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("value"))
+      .repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(dir)
+    ManifestScan.refreshManifest(spark, dir, Seq("user_id"))
+    val rows = ManifestScan.readPruned(spark, dir, Map.empty)._1.count()
+    ManifestScan.compact(spark, dir, "user_id", 2, Seq("user_id"))
+    // young retired files survive a graced vacuum: a reader holding
+    // the pre-compaction snapshot finishes cleanly
+    assert(ManifestScan.vacuum(spark, dir, retainLast = 1,
+      graceMs = 10 * 60 * 1000) == 0)
+    val v1 = ManifestScan.versions(spark, dir).head
+    assert(ManifestScan.readPrunedAsOf(spark, dir, v1, Map.empty)._1
+      .count() == rows, "graced vacuum must keep the old snapshot readable")
+    // grace 0 reclaims them; the current snapshot still reads fully
+    assert(ManifestScan.vacuum(spark, dir, retainLast = 1, graceMs = 0) > 0)
+    assert(ManifestScan.readPruned(spark, dir, Map.empty)._1.count() == rows)
+  }
+
+  // ----------------------------------- typed zones: date / double / str
+
+  test("date zones prune files at planning time (orders by o_orderdate)") {
+    val dir = graft.util.TempDirs.create("graft_r17_datezone").toString
+    Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice"))
+      .repartitionByRange(8, col("od"))
+      .sortWithinPartitions("od")
+      .write.mode("overwrite").parquet(dir)
+    ManifestScan.buildManifest(spark, dir, Seq("od", "o_totalprice"))
+    val lo = java.time.LocalDate.parse("1996-01-01")
+    val hi = java.time.LocalDate.parse("1996-12-31")
+    val (df, kept, total) = ManifestScan.readPrunedRanges(spark, dir,
+      Map("od" -> ZoneRange.DateR(lo, hi)))
+    assert(total >= 4, s"range write produced $total files")
+    assert(kept > 0 && kept < total, s"no date pruning: kept $kept of $total")
+    assert(df.inputFiles.length == kept)
+    val full = spark.read.parquet(dir).where(
+      col("od").between(java.sql.Date.valueOf(lo), java.sql.Date.valueOf(hi)))
+    assert(df.count() == full.count() && full.count() > 0)
+    assert(df.exceptAll(full).isEmpty && full.exceptAll(df).isEmpty)
+  }
+
+  test("double zones prune files at planning time (orders by o_totalprice)") {
+    val dir = graft.util.TempDirs.create("graft_r17_dblzone").toString
+    Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_totalprice"))
+      .sortWithinPartitions("o_totalprice")
+      .write.mode("overwrite").parquet(dir)
+    ManifestScan.buildManifest(spark, dir, Seq("o_totalprice"))
+    val zs = ManifestScan.loadManifest(dir)
+      .flatMap(_.zones.get("o_totalprice"))
+      .collect { case Zone.F64(l, h) => (l, h) }.sortBy(_._1)
+    assert(zs.nonEmpty, "double column got no zones")
+    val (qlo, qhi) = zs.head // the lowest file's own range
+    val (df, kept, total) = ManifestScan.readPrunedRanges(spark, dir,
+      Map("o_totalprice" -> ZoneRange.F64R(qlo, qhi)))
+    assert(kept > 0 && kept < total, s"no double pruning: kept $kept of $total")
+    val full = spark.read.parquet(dir)
+      .where(col("o_totalprice").between(qlo, qhi))
+    assert(df.count() == full.count() && full.count() > 0)
+  }
+
+  test("string zones prune files at planning time (documents by lang)") {
+    val dir = graft.util.TempDirs.create("graft_r17_strzone").toString
+    Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartitionByRange(6, col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang")
+      .write.mode("overwrite").parquet(dir)
+    ManifestScan.buildManifest(spark, dir, Seq("lang"))
+    val langs = Tables.documents(spark, TestSpark.sf)
+      .select("lang").distinct().collect().map(_.getString(0)).sorted
+    val first = langs.head
+    val (df, kept, total) = ManifestScan.readPrunedRanges(spark, dir,
+      Map("lang" -> ZoneRange.StrR(first, first)))
+    assert(total >= 4, s"range write produced $total files")
+    assert(kept > 0 && kept < total, s"no string pruning: kept $kept of $total")
+    val full = spark.read.parquet(dir).where(col("lang") === first)
+    assert(df.count() == full.count() && full.count() > 0)
+  }
+
+  test("kind-mismatched and unzoned ranges keep every file (conservative)") {
+    val dir = graft.util.TempDirs.create("graft_r17_conszone").toString
+    Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    ManifestScan.buildManifest(spark, dir, Seq("o_orderkey"))
+    // an I64 range probed against a STRING kind (no zone for the col)
+    val (_, keptA, totalA) = ManifestScan.readPrunedRanges(spark, dir,
+      Map("o_orderstatus" -> ZoneRange.StrR("A", "B")))
+    assert(keptA == totalA, "unzoned column must keep every file")
+    // an F64 range probed against an I64 zone: kind mismatch keeps the
+    // file (the residual BIGINT-vs-DOUBLE compare is coercion-valid)
+    val (dfB, keptB, totalB) = ManifestScan.readPrunedRanges(spark, dir,
+      Map("o_orderkey" -> ZoneRange.F64R(-2.0, -1.0)))
+    assert(keptB == totalB, "kind mismatch must keep every file")
+    assert(dfB.count() == 0) // the residual filter still applies
+  }
+
+  // ------------------------------------------ exact int64 JSON bounds
+
+  test("zone bounds and batch ids above 2^53 round-trip exactly") {
+    assert(graft.server.Json.parse("9007199254740993") == 9007199254740993L)
+    assert(graft.server.Json.parse("-9007199254740993") == -9007199254740993L)
+    assert(graft.server.Json.parse("1.5") == 1.5)
+    val dir = graft.util.TempDirs.create("graft_r17_bigid").toString
+    val big = (1L << 53) + 1L // not representable as a Double
+    assert(big.toDouble.toLong != big, "test premise: 2^53 overflow")
+    FileLog.commit(spark, dir, Seq(s"$dir/f1.parquet"), "id BIGINT",
+      batchId = big,
+      zones = Map(s"$dir/f1.parquet" -> Map("id" -> Zone.I64(big, big + 7))),
+      rows = Map(s"$dir/f1.parquet" -> big))
+    val st = FileLog.read(dir)
+    assert(st.batchId == big)
+    assert(st.zones(s"$dir/f1.parquet")("id") == Zone.I64(big, big + 7))
+    assert(st.rows(s"$dir/f1.parquet") == big)
+  }
+
+  // ------------------------------- grace clock starts at MOVE time
+
+  test("stagedWrite stamps move time: a slow write's files stay inside grace") {
+    val dir = graft.util.TempDirs.create("graft_r17_mtime").toString
+    val sess = spark
+    import sess.implicits._
+    // the write phase "takes 2 hours": backdate the staged file's mtime
+    // the way rename would have preserved it
+    val created = FileLog.stagedWrite(spark, dir, stage => {
+      Seq((1L, "a")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val fs = new org.apache.hadoop.fs.Path(stage)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
+      val old = System.currentTimeMillis() - 2L * 3600 * 1000
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) fs.setTimes(f, old, -1)
+      }
+    })
+    assert(created.size == 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mtime = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(created.head)).getModificationTime
+    assert(System.currentTimeMillis() - mtime < 60 * 1000,
+      "moved file must carry MOVE time, not the staging-write mtime")
+    // consequence: a graced vacuum cannot reap the pre-commit files of
+    // a slow writer (they are unreferenced — no log commit yet)
+    FileLog.commit(spark, dir, Seq.empty, "id BIGINT, v STRING") // empty log
+    assert(FileLog.vacuum(spark, dir, retainLast = 1,
+      graceMs = 30 * 60 * 1000) == 0)
+    // and with no grace they ARE orphans (sanity: the file is live-tree)
+    assert(FileLog.vacuum(spark, dir, retainLast = 1, graceMs = 0) == 1)
+  }
+
+  // ------------------------------------- typed vacuum-race delivery
+
+  test("FileLog.classified surfaces SnapshotVacuumedException on a mid-scan vacuum") {
+    val dir = graft.util.TempDirs.create("graft_r17_classified").toString
+    val sess = spark
+    import sess.implicits._
+    (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    ManifestScan.refreshManifest(spark, dir, Seq("id"))
+    intercept[graft.store.SnapshotVacuumedException] {
+      FileLog.classified(dir) {
+        val st = FileLog.read(dir) // pin v1's files
+        val df = spark.read.parquet(st.files: _*)
+        // a rewrite + ungraced vacuum land mid-scan
+        ManifestScan.compact(spark, dir, "id", 1, Seq("id"))
+        ManifestScan.vacuum(spark, dir, retainLast = 1, graceMs = 0)
+        df.count()
+      }
+    }
+  }
+}

@@ -146,6 +146,66 @@ class TextScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  /** d32 (exact-substring dedup, Lee et al. 2022): its own corpus —
+    * 30 words/doc (≥ K=15, so grams exist), planted full-text dup per
+    * 100 docs, all other words hash-uniform over a 1M vocabulary so an
+    * unrelated 15-gram match needs 15 consecutive word collisions
+    * (p ≈ 0). Closed form: each dup PAIR yields one maximal span in
+    * BOTH members — 16 overlapping gram hits (p = 1..16) merged into
+    * exactly [start_tok = 1, n_tok = 30] — so the island merge, not
+    * just the gram join, is pinned. Shuffle volume (gram groupBy +
+    * join-back + per-doc window) must scale ≤2.5× on a 2× corpus: the
+    * blocked form's cost is O(corpus·K), never all-pairs.
+    */
+  test("d32: planted-duplicate spans are exact and shuffles scale linearly") {
+    val n3 = 200000L
+    def corpus30(n: Long): DataFrame = {
+      val seed = col("id") -
+        when(pmod(col("id"), lit(100L)) === 1L, 1L).otherwise(0L)
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => pmod(hash(seed, i), lit(1000000)).cast("string"))).as("text"),
+        lit("en").as("lang"),
+        lit("web").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    def dirOf(n: Long): String = {
+      val dir = graft.util.TempDirs.create(s"graft_d32scale_$n").toString
+      corpus30(n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def stats(n: Long): (Long, Long, Long, Long) = withAqeOff {
+      val dir = dirOf(n)
+      val q = queries.Registry.all.find(_.name == "d32_substring_dedup").get
+      val agg = q.run(spark, dir)
+        .agg(count(lit(1)).as("spans"),
+          sum(when(col("start_tok") === 1L && col("n_tok") === 30L, 0L)
+            .otherwise(1L)).as("malformed"))
+      val row = agg.collect()(0)
+      val (rec, by) = shuffleMetrics(agg)
+      (row.getLong(0), row.getLong(1), rec, by)
+    }
+    val t0 = System.nanoTime()
+    val (spans1, bad1, rec1, by1) = stats(n3)
+    val t1 = System.nanoTime()
+    val (spans2, bad2, rec2, by2) = stats(2 * n3)
+    val t2 = System.nanoTime()
+    info(f"d32: N spans=$spans1%,d (rec=$rec1%,d, ${by1 / 1e6}%.1f MB, " +
+      f"${(t1 - t0) / 1e9}%.1fs) 2N spans=$spans2%,d (rec=$rec2%,d, " +
+      f"${by2 / 1e6}%.1f MB, ${(t2 - t1) / 1e9}%.1fs)")
+    // both members of each planted pair report exactly one maximal
+    // span covering the whole 30-token text
+    assert(spans1 == 2 * (n3 / 100) && bad1 == 0,
+      s"d32 at N: $spans1 spans ($bad1 malformed), expected ${2 * (n3 / 100)}")
+    assert(spans2 == 2 * (2 * n3 / 100) && bad2 == 0,
+      s"d32 at 2N: $spans2 spans ($bad2 malformed)")
+    assert(rec2 <= rec1 * 5 / 2,
+      s"d32 shuffle records grew ${rec2.toDouble / rec1}x on a 2x corpus")
+    assert(by2 <= by1 * 5 / 2,
+      s"d32 shuffle bytes grew ${by2.toDouble / by1}x on a 2x corpus")
+  }
+
   /** d10 (chunk dedup, the CCNet paragraph-level shape): at W=8 every
     * 12-word doc yields exactly one chunk (its first 8 words), so the
     * planted structure gives a closed-form answer — every doc
