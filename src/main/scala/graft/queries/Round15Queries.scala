@@ -56,14 +56,16 @@ object Round15Queries {
            |ORDER BY cnt DESC, wh LIMIT 10""".stripMargin)),
 
     // S26 — streaming ingest that MAINTAINS the x28 manifest: each
-    // micro-batch range-clusters its rows, appends parquet files, and
-    // refreshManifest footer-reads ONLY the appended files before
-    // atomically rewriting the sidecar — per-batch overhead follows
-    // the batch, not the table, so the sink's cost stays flat as the
-    // table grows. The final read goes through the manifest (pruned
-    // flag pins that planning-time skipping works on a STREAMED
-    // table); rows are micro-batch-split-invariant (append-only
-    // content), so the batch rectangle is the oracle, exactly x28's.
+    // micro-batch range-clusters its rows and lands them through
+    // ManifestScan.appendBatch — a staged write + ONE CAS commit
+    // carrying files, footer zones, AND the batch-id watermark, so the
+    // sink is EXACTLY-ONCE (a replayed foreachBatch is a no-op, the
+    // s13/s21/s22 contract on a relational table) and per-batch
+    // overhead follows the batch, not the table. The final read goes
+    // through the manifest (pruned flag pins that planning-time
+    // skipping works on a STREAMED table); rows are
+    // micro-batch-split-invariant (append-only content), so the batch
+    // rectangle is the oracle, exactly x28's.
     Q("s26_stream_manifest_ingest",
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -79,12 +81,11 @@ object Round15Queries {
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.repartitionByRange(4, col("user_id"))
-              .sortWithinPartitions("user_id")
-              .write.mode("append").parquet(dataDir)
-            ManifestScan.refreshManifest(s, dataDir,
-              Seq("user_id", "hour_bucket"))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            ManifestScan.appendBatch(s, dataDir, batch,
+              Seq("user_id", "hour_bucket"), batchId = bid,
+              shape = _.repartitionByRange(4, col("user_id"))
+                .sortWithinPartitions("user_id"))
             ()
           }
           .option("checkpointLocation", ckpt)

@@ -167,6 +167,135 @@ object Round17Queries {
            |  FROM s GROUP BY doc_id, island)
            |SELECT doc_id, start_tok,
            |  end_tok - start_tok + 1 AS n_tok
-           |FROM sp ORDER BY doc_id, start_tok""".stripMargin))
+           |FROM sp ORDER BY doc_id, start_tok""".stripMargin)),
+
+    // D33 — the REMOVAL pass d32's span list exists for (Lee et al.
+    // 2022 keep-one-occurrence): every duplicated gram names an OWNER
+    // (the smallest doc_id holding it); hit positions in non-owner
+    // docs merge into maximal spans (d32's islands) and those spans
+    // are EXCISED, so exactly one occurrence of each duplicated
+    // passage survives corpus-wide. Output per touched doc: span/token
+    // removal counts plus a poly-hash fingerprint of the CLEANED token
+    // sequence — the fingerprint pins the excision itself (which
+    // tokens survive, in order), not just its size. Deterministic by
+    // construction: ownership is a min, spans are maximal, the hash is
+    // a fixed left fold. Scale shape: everything is d32's linear
+    // pipeline plus one explode of the removed spans (≤ corpus
+    // tokens), an anti-join on (doc, position), and a per-doc ordered
+    // fold over TOUCHED docs only — no all-pairs, no global sort.
+    Q("d33_substring_removal",
+      (s, d) => {
+        val k = K
+        import graft.functions.{TextFunctions => TF}
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            split(col("text"), " ").as("t"))
+          .withColumn("n", size(col("t")).cast("long"))
+        val g = base.where(col("n") >= k)
+          .select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(1, cast(n as int) - ${k - 1}), " +
+              s"i -> concat_ws(' ', slice(t, i, $k)))")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("gram"))
+        val shared = g.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"),
+            min(col("doc_id")).as("owner_doc"))
+          .where(col("nd") >= 2).select("gram", "owner_doc")
+        val r = g.join(shared, Seq("gram"))
+          .where(col("doc_id") =!= col("owner_doc"))
+          .select("doc_id", "p")
+        val win = Window.partitionBy("doc_id").orderBy("p")
+        val spans = r
+          .withColumn("lp", lag("p", 1).over(win))
+          .withColumn("brk",
+            when(col("lp").isNull || col("p") > col("lp") + k, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum("brk").over(win))
+          .groupBy("doc_id", "island")
+          .agg(min("p").as("st"), (max(col("p")) + (k - 1)).as("en"))
+        val touched = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans_removed"),
+            sum(col("en") - col("st") + 1).as("n_toks_removed"))
+        // spans are maximal per doc ⇒ disjoint ⇒ no distinct needed
+        val removedPos = spans.select(col("doc_id"),
+          explode(expr("sequence(st, en)")).as("tp"))
+        val pos = base.join(touched.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("n"),
+            posexplode(TF.wordHashes(col("text"))))
+          .select(col("doc_id"), col("n"),
+            (col("pos") + 1).cast("long").as("tp"), col("col").as("h"))
+        val fp = pos.join(removedPos, Seq("doc_id", "tp"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks_kept"),
+            expr("aggregate(transform(array_sort(collect_list(" +
+              s"struct(tp, h))), x -> x.h), 0L, " +
+              s"(acc, v) -> (acc * 31 + v) % ${TF.P})").as("kept_fp"))
+        touched
+          .join(base.select("doc_id", "n"), Seq("doc_id"))
+          .join(fp, Seq("doc_id"), "left") // fully-covered docs keep 0
+          .select(col("doc_id"), col("n").as("n_toks"),
+            col("n_spans_removed"), col("n_toks_removed"),
+            coalesce(col("n_toks_kept"), lit(0L)).as("n_toks_kept"),
+            coalesce(col("kept_fp"), lit(0L)).as("kept_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    ${graft.functions.TextFunctions.wordHashesSql("text")} AS wh
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, t, wh, CAST(len(t) AS BIGINT) AS n FROM w),
+           |g AS (
+           |  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+           |    array_to_string(t[CAST(u.p AS INT):CAST(u.p + ${K - 1} AS INT)],
+           |      ' ') AS gram
+           |  FROM base, unnest(generate_series(1, n - $K + 1)) AS u(p)
+           |  WHERE n >= $K),
+           |shared AS (
+           |  SELECT gram, min(doc_id) AS owner_doc
+           |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |r AS (
+           |  SELECT g.doc_id, g.p FROM g JOIN shared s USING (gram)
+           |  WHERE g.doc_id <> s.owner_doc),
+           |i AS (
+           |  SELECT doc_id, p,
+           |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+           |          OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + $K
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM r),
+           |s2 AS (
+           |  SELECT doc_id, p,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           |  FROM i),
+           |sp AS (
+           |  SELECT doc_id, min(p) AS st, max(p) + $K - 1 AS en
+           |  FROM s2 GROUP BY doc_id, island),
+           |touched AS (
+           |  SELECT doc_id, count(*) AS n_spans_removed,
+           |    CAST(sum(en - st + 1) AS BIGINT) AS n_toks_removed
+           |  FROM sp GROUP BY doc_id),
+           |rp AS (
+           |  SELECT doc_id, CAST(u.tp AS BIGINT) AS tp
+           |  FROM sp, unnest(generate_series(st, en)) AS u(tp)),
+           |pos AS (
+           |  SELECT b.doc_id, b.n, CAST(u.tp AS BIGINT) AS tp,
+           |    b.wh[CAST(u.tp AS INT)] AS h
+           |  FROM base b JOIN touched USING (doc_id),
+           |    unnest(generate_series(1, b.n)) AS u(tp)),
+           |kept AS (SELECT pos.* FROM pos ANTI JOIN rp USING (doc_id, tp)),
+           |fp AS (
+           |  SELECT doc_id, count(*) AS n_toks_kept,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        list(h ORDER BY tp)),
+           |      (acc, v) -> (acc*31 + v) % ${graft.functions.TextFunctions.P})
+           |      AS kept_fp
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, b.n AS n_toks, t.n_spans_removed,
+           |  t.n_toks_removed,
+           |  coalesce(f.n_toks_kept, CAST(0 AS BIGINT)) AS n_toks_kept,
+           |  coalesce(f.kept_fp, CAST(0 AS BIGINT)) AS kept_fp
+           |FROM touched t JOIN base b USING (doc_id)
+           |LEFT JOIN fp f USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -299,6 +299,30 @@ class Round17Spec extends AnyFunSuite {
     assert(FileLog.vacuum(spark, dir, retainLast = 1, graceMs = 0) == 1)
   }
 
+  // --------------------------- exactly-once relational batch append
+
+  test("appendBatch declines a replayed batch id (exactly-once manifest sink)") {
+    val dir = graft.util.TempDirs.create("graft_r17_appendbatch").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("value"))
+    val b0 = ev.where(col("user_id") % 2 === 0)
+    val b1 = ev.where(col("user_id") % 2 === 1)
+    assert(ManifestScan.appendBatch(spark, dir, b0, Seq("user_id"), 0L) > 0)
+    val rows0 = ManifestScan.readPruned(spark, dir, Map.empty)._1.count()
+    assert(rows0 == b0.count())
+    // replay of batch 0 (crash between data write and checkpoint
+    // commit): must be a no-op, not duplicate rows
+    assert(ManifestScan.appendBatch(spark, dir, b0, Seq("user_id"), 0L) == 0)
+    assert(ManifestScan.readPruned(spark, dir, Map.empty)._1.count() == rows0)
+    // the next batch lands, zones maintained for pruning
+    assert(ManifestScan.appendBatch(spark, dir, b1, Seq("user_id"), 1L) > 0)
+    assert(ManifestScan.readPruned(spark, dir, Map.empty)._1.count()
+      == ev.count())
+    val entries = ManifestScan.loadManifest(dir)
+    assert(entries.forall(_.zones.contains("user_id")),
+      "every appended file must carry zones")
+  }
+
   // ------------------------------------- typed vacuum-race delivery
 
   test("FileLog.classified surfaces SnapshotVacuumedException on a mid-scan vacuum") {

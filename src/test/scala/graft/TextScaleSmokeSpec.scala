@@ -184,6 +184,19 @@ class TextScaleSmokeSpec extends AnyFunSuite {
             .otherwise(1L)).as("malformed"))
       val row = agg.collect()(0)
       val (rec, by) = shuffleMetrics(agg)
+      // d33 on the same corpus: the REMOVAL pass keeps the owner (the
+      // lower doc_id of each planted pair), so exactly n/100 docs are
+      // touched, each losing its whole 30-token text (kept_fp = 0)
+      val d33 = queries.Registry.all.find(_.name == "d33_substring_removal")
+        .get.run(spark, dir)
+        .agg(count(lit(1)).as("touched"),
+          sum(when(col("n_toks_removed") === 30L &&
+            col("n_toks_kept") === 0L && col("kept_fp") === 0L, 0L)
+            .otherwise(1L)).as("bad"))
+        .collect()(0)
+      assert(d33.getLong(0) == n / 100 && d33.getLong(1) == 0,
+        s"d33 at $n docs: touched=${d33.getLong(0)} bad=${d33.getLong(1)}, " +
+          s"expected ${n / 100} fully-excised non-owners")
       (row.getLong(0), row.getLong(1), rec, by)
     }
     val t0 = System.nanoTime()
