@@ -111,6 +111,9 @@ final class MultiTableStore(
     val out = MultiTableStore.encode(df, model, idCol, embCol)
     // staged write + read-merge-CAS append: concurrent adds can't share
     // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE)
+    // no pre-write repartition (see VectorStore.add: measured — the
+    // per-batch exchange costs more than the rename savings; compact
+    // heals wide appends)
     val created = FileLog.stagedWrite(spark, path, stage =>
       out.write.mode("overwrite").partitionBy("table", "bucket").parquet(stage))
     FileLog.transact(spark, path) { cur =>
@@ -257,7 +260,8 @@ final class MultiTableStore(
     // affected partitions' old files (fully-emptied partitions simply
     // publish nothing) — readers see pre- or post-state, never torn
     val created = FileLog.stagedWrite(spark, path, stage =>
-      remaining.write.mode("overwrite")
+      remaining.repartition(affected.size, col("table"), col("bucket"))
+        .write.mode("overwrite")
         .partitionBy("table", "bucket").parquet(stage))
     val retired = log.files.filter(f => partOfFile(f).exists(affected))
     // optimistic rewrite: append-only interlopers merge, both land

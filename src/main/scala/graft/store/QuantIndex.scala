@@ -338,6 +338,9 @@ final class QuantIndex(
     val out = QuantIndex.encode(df, model, idCol, embCol)
     // staged write + read-merge-CAS append: concurrent adds can't share
     // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE)
+    // no pre-write repartition (see VectorStore.add: measured — the
+    // per-batch exchange costs more than the rename savings; compact
+    // heals wide appends and re-tightens id zones)
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
       out.write.mode("overwrite").partitionBy("cell").parquet(stage))
     val createdZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols)
@@ -375,7 +378,9 @@ final class QuantIndex(
     // affected cells' old files (readers see pre- or post-state)
     val remaining = inCells.where(!col("id").isin(idSet: _*))
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
-      remaining.write.mode("overwrite").partitionBy("cell").parquet(stage))
+      remaining.repartition(affected.length, col("cell"))
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite").partitionBy("cell").parquet(stage))
     val retired = log.files.filter(f => cellOfFile(f).exists(afSet))
     // optimistic rewrite (see VectorStore.delete): appends merge
     FileLog.commitRewrite(spark, dataDir, log, retired.toSet, created,
@@ -413,7 +418,9 @@ final class QuantIndex(
     val merged = existing.unionByName(incoming)
     val afSet = af.map(_.intValue()).toSet
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
-      merged.write.mode("overwrite").partitionBy("cell").parquet(stage))
+      merged.repartition(af.size, col("cell"))
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite").partitionBy("cell").parquet(stage))
     val retired = log.files.filter(f => cellOfFile(f).exists(afSet))
     // optimistic rewrite (see VectorStore.upsert): appends merge
     FileLog.commitRewrite(spark, dataDir, log, retired.toSet, created,

@@ -102,6 +102,14 @@ final class VectorStore(
     // staged write: writer-private scratch (concurrent adds can't share
     // a _temporary dir) and an exact `created` list — O(batch), never
     // an O(table) directory diff
+    // NO pre-write repartition here, deliberately: an append writes
+    // ≤ inputTasks × touchedBuckets files, and ingest micro-batches
+    // have FEW input tasks, so file counts stay small — an exchange
+    // per micro-batch was tried and bought nothing at bench scale
+    // while adding a stage to every batch. Wide appends that do
+    // explode files are healed by [[compact]] (one writer per
+    // bucket); delete/upsert DO concentrate, because their input is a
+    // wide bucket scan and their output REPLACES files in the log.
     val created = FileLog.stagedWrite(spark, path, stage =>
       out.write.mode("overwrite").partitionBy("bucket").parquet(stage))
     FileLog.transact(spark, path) { cur =>
@@ -265,7 +273,8 @@ final class VectorStore(
     val before = inBuckets.count()
     val remaining = inBuckets.where(!col("id").isin(idSet: _*))
     val created = FileLog.stagedWrite(spark, path, stage =>
-      remaining.write.mode("overwrite").partitionBy("bucket").parquet(stage))
+      remaining.repartition(af.size, col("bucket")) // one writer per bucket
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage))
     val retired = log.files.filter(f => bucketOfFile(f).exists(affected))
     // optimistic rewrite: an append racing this delete MERGES (both
     // land; the delete applies to the snapshot it read, so a
@@ -317,7 +326,8 @@ final class VectorStore(
     // fully emptied by moved-away ids simply publishes no files)
     val merged = existing.unionByName(incoming)
     val created = FileLog.stagedWrite(spark, path, stage =>
-      merged.write.mode("overwrite").partitionBy("bucket").parquet(stage))
+      merged.repartition(af.size, col("bucket")) // one writer per bucket
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage))
     val retired = log.files.filter(f => bucketOfFile(f).exists(afSet))
     // optimistic rewrite (see delete): append-only interlopers merge
     FileLog.commitRewrite(spark, path, log, retired.toSet, created,

@@ -106,6 +106,34 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("delete/upsert write ≤ one replacement file per touched partition") {
+    // rewrites REPLACE files in the log: without writer concentration
+    // every scan task would emit a file into every partition it holds
+    // (tasks × partitions replacement files, permanent until compact);
+    // concentrated, a rewrite adds at most |touched partitions| files
+    val store = freshStore("filecount")
+    val before = FileLog.read(store.path)
+    assert(store.delete((0L until 40L).toSeq) == 40L)
+    val after = FileLog.read(store.path)
+    val bucketRe = """/bucket=(-?\d+)/""".r
+    val created = after.files.toSet -- before.files.toSet
+    val touchedBuckets = created.flatMap(f =>
+      bucketRe.findFirstMatchIn(f).map(_.group(1)))
+    assert(created.size <= math.max(1, touchedBuckets.size),
+      s"delete wrote ${created.size} files across ${touchedBuckets.size} buckets")
+    val sess = spark
+    import sess.implicits._
+    store.upsert((0L until 40L).map(i => (i, Array.fill(64)(0.75f)))
+      .toDF("id", "embedding"))
+    val after2 = FileLog.read(store.path)
+    val created2 = after2.files.toSet -- after.files.toSet
+    val touched2 = created2.flatMap(f =>
+      bucketRe.findFirstMatchIn(f).map(_.group(1)))
+    assert(created2.size <= math.max(1, touched2.size),
+      s"upsert wrote ${created2.size} files across ${touched2.size} buckets")
+    assert(store.indexDf.count() == 500L)
+  }
+
   // --------------------------- relational manifest: two-writer safety
 
   test("two racing refreshManifest appenders both land (relational table)") {
@@ -321,6 +349,63 @@ class Round17Spec extends AnyFunSuite {
     val entries = ManifestScan.loadManifest(dir)
     assert(entries.forall(_.zones.contains("user_id")),
       "every appended file must carry zones")
+  }
+
+  test("kill-and-restart stream: manifest table stays duplicate-free on replay") {
+    val srcDir = graft.util.TempDirs.create("graft_r17_eo_src").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("value"))
+    ev.repartition(4).write.mode("overwrite").parquet(s"$srcDir/files")
+    val total = ev.count()
+    val dataDir = graft.util.TempDirs.create("graft_r17_eo_data").toString
+    val ckpt = graft.util.TempDirs.create("graft_r17_eo_ckpt").toString
+
+    def runStream(): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          val q = spark.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$srcDir/files")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], bid: Long) =>
+              ManifestScan.appendBatch(spark, dataDir, batch.toDF(),
+                Seq("user_id"), batchId = bid,
+                shape = _.repartitionByRange(2, col("user_id"))
+                  .sortWithinPartitions("user_id"))
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          q.awaitTermination()
+          done = true
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if e.getMessage.contains("concurrently using") &&
+                attempts < 20 =>
+            attempts += 1
+            Thread.sleep(250)
+        }
+      }
+    }
+    runStream()
+    def rows() = ManifestScan.readPruned(spark, dataDir, Map.empty)._1.count()
+    assert(rows() == total)
+    // crash between appendBatch and the stream's checkpoint commit:
+    // delete the newest commit marker — restart re-executes that batch
+    // with the SAME id, and the watermark must decline it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    runStream()
+    assert(rows() == total,
+      "replayed micro-batch duplicated rows in the manifest table")
   }
 
   // ------------------------------------- typed vacuum-race delivery
