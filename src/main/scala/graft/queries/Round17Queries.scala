@@ -95,6 +95,36 @@ object Round17Queries {
           |WHERE CAST(o_orderdate AS DATE)
           |  BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin)),
 
+    // X32 — STRING-zone file skipping: documents range-clustered by
+    // (lang, doc_id), manifest zones over the UTF8 `lang` column
+    // (parquet's unsigned byte order, mirrored exactly by the pruning
+    // comparator), and a single-language scan schedules tasks only for
+    // the files whose [min,max] lang range covers it — the
+    // `documents.lang` case the r11 verdict named. Same contract as
+    // x28/x31: pruned flag pins real skipping, counts pin unchanged
+    // answers (disjoint-or-kept + residual re-filter).
+    Q("x32_str_zone_skipping",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x32_m").toString
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartitionByRange(8, col("lang"), col("doc_id"))
+          .sortWithinPartitions("lang")
+          .write.mode("overwrite").parquet(dir)
+        ManifestScan.buildManifest(s, dir, Seq("lang", "doc_id"))
+        val (df, kept, total) = ManifestScan.readPrunedRanges(s, dir,
+          Map("lang" -> ZoneRange.StrR("es", "es")))
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("n_docs"), col("sum_chars"),
+            lit(if (kept > 0 && kept < total) 1 else 0).cast("int")
+              .as("pruned"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(1 AS INT) AS pruned
+          |FROM documents WHERE lang = 'es'""".stripMargin)),
+
     // D32 — exact-substring dedup (Lee et al. 2022): every maximal
     // token span covered by ≥K-token substrings that appear VERBATIM
     // in ≥2 distinct documents — the suffix-array dedup modern corpora

@@ -352,6 +352,7 @@ object ManifestScan {
   def compact(spark: SparkSession, dir: String, clusterCol: String,
       targetFiles: Int, cols: Seq[String]): (Int, Int) = {
     val base = FileLog.read(dir)
+    if (base.files.isEmpty) return (0, 0) // empty table: nothing to do
     val created = FileLog.stagedWrite(spark, dir, stage =>
       spark.read.parquet(base.files: _*)
         .repartitionByRange(targetFiles, col(clusterCol))
