@@ -143,6 +143,14 @@ object ManifestScan {
     * divergence, closed by unification). `shape` lets the sink
     * range-cluster the batch before writing. Returns the number of
     * files appended (0 = declined replay).
+    *
+    * Maintenance note for LONG-RUNNING sinks: every batch commits one
+    * immutable `_files.v{N}.json`, and [[FileLog.read]] resolves the
+    * newest by listing — after millions of micro-batches the listing
+    * itself becomes the cost. Schedule periodic [[compact]] (heals the
+    * small-files debt) and [[vacuum]] with a grace window (prunes old
+    * version logs and retired files); both are safe against concurrent
+    * appends (the rewrite merges, the vacuum is grace-protected).
     */
   def appendBatch(spark: SparkSession, dir: String,
       batch: org.apache.spark.sql.DataFrame, cols: Seq[String],
