@@ -138,8 +138,13 @@ object Round17Queries {
     // No all-pairs anywhere: cost is O(corpus · K) shuffle bytes and
     // the island merge is per-doc sorted — at 100 TB each stage
     // partitions by gram/doc and scales linearly, the same posture as
-    // m5's inverted index. Output = the span list itself (doc, start
-    // token, length), which is what a removal pass consumes.
+    // m5's inverted index. Skew posture: a pathologically hot gram
+    // (boilerplate verbatim in millions of docs) funnels its postings
+    // to one reducer — that's inherent to its popularity, AQE's skew
+    // join splits the join-back side, and in a real pipeline d30's
+    // repetition gates remove such boilerplate upstream. Output = the
+    // span list itself (doc, start token, length), which is what a
+    // removal pass (d33) consumes.
     Q("d32_substring_dedup",
       (s, d) => {
         val k = K
