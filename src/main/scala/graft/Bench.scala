@@ -252,6 +252,40 @@ object Bench {
           buf += "x31_read_full" ->
             Seq.fill(3)(timed(readF().count())).sorted.apply(1)
         }
+        // x34: incremental-vs-full refresh of a materialized aggregate
+        // — the change-feed payoff, measured on BOTH axes. The table
+        // is 33 files (id-range-clustered appends); the delta is one
+        // appended file plus one zone-pruned-delete diff, so the
+        // incremental path reads ~3 files against the full path's 33:
+        // the *_files rows pin that I/O asymmetry (file counts, not
+        // seconds), which is the quantity that scales — at 100 TB the
+        // full path rescans the table, the incremental path reads the
+        // delta. The *_refresh seconds are honest but floor-bound at
+        // bench sf: a 33-small-file scan and a diff+merge plan both
+        // sit on the local job floor, so expect the seconds to CROSS
+        // only as the table outgrows the floor (same posture as the
+        // x28 pair at 16 files, documented there). The
+        // materialization itself (v32 snapshot aggregate) is untimed
+        // — it's the view's build cost, not the refresh loop's.
+        locally {
+          val dir = graft.util.TempDirs.create("graft_bench_x34").toString
+          buf += "x34_build" -> timed(
+            graft.queries.Round18Queries.x34BenchBuild(spark, sfDir, dir))
+          val mat = graft.queries.Round18Queries.x34Mat(spark, dir, 32)
+            .localCheckpoint(true) // the stored view, built once untimed
+          def inc() = graft.queries.Round18Queries
+            .x34Incremental(spark, dir, mat, 32, 34)
+          def full() = graft.queries.Round18Queries
+            .x34FullRecompute(spark, dir)
+          inc().count() // warm-up, not timed
+          buf += "x34_refresh_incremental" ->
+            Seq.fill(3)(timed(inc().count())).sorted.apply(1)
+          full().count() // warm-up, not timed
+          buf += "x34_refresh_full" ->
+            Seq.fill(3)(timed(full().count())).sorted.apply(1)
+          buf += "x34_files_incremental" -> inc().inputFiles.length.toDouble
+          buf += "x34_files_full" -> full().inputFiles.length.toDouble
+        }
         buf.toSeq
       } catch { case e: Throwable =>
         System.err.println(s"[bench] layout phases failed: ${e.getMessage}")

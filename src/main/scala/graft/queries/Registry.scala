@@ -31,7 +31,8 @@ object Registry {
       Round14Queries.all ++
       Round15Queries.all ++
       Round16Queries.all ++
-      Round17Queries.all
+      Round17Queries.all ++
+      Round18Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

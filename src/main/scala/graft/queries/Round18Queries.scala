@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.ManifestScan
+import graft.store.ZoneRange
+
+/** Round-18 additions: the INCREMENTAL-recompute layer on the unified
+  * FileLog commit core — a row-level change feed between table
+  * versions (x33, Delta CDF / Iceberg incremental-read semantics) and
+  * a materialized aggregate maintained FROM that feed instead of a
+  * full rescan (x34, the 100 TB reason the feed exists). Both ride
+  * the round-17 unification: appends, zone-pruned deletes and
+  * data-neutral compactions all flow through one versioned log, so
+  * the feed is pure log arithmetic plus scans bounded by the CHANGED
+  * files.
+  *
+  * Reference tie-in: the reference rebuilds its whole index to absorb
+  * any change (`generate_report.py` re-ingests per run); the feed is
+  * the scalable replacement — downstream state refreshes from the
+  * delta, never the table.
+  */
+object Round18Queries {
+
+  private val FeedCols = Seq("doc_id", "lang")
+
+  /** Shared builder for x33/x34: a manifest table under `dir` grown
+    * through the log's real mutation surface — two exactly-once
+    * appends (thirds of `documents` by doc_id mod 3), then optionally
+    * a third append, a data-neutral compaction and a zone-pruned
+    * single-language delete. Version numbers are deterministic
+    * (fresh dir: v1, v2, ... in call order).
+    */
+  private def appendThird(s: SparkSession, d: String, dir: String,
+      third: Int, batchId: Long): Unit = {
+    val b = Tables.documents(s, d)
+      .where(col("doc_id") % 3 === third)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    ManifestScan.appendBatch(s, dir, b, FeedCols, batchId)
+    ()
+  }
+
+  // ---- Bench plumbing for the x34 refresh pair: a table grown in 32
+  // id-range-clustered appends (so every file owns a tight doc_id
+  // zone), materialized at v32, then a delta of one more append (v33)
+  // and one zone-pruned delete (v34). The pair prices what the change
+  // feed buys a materialized view: the incremental path reads the
+  // DELTA's files (one appended + the few the delete touched), the
+  // full path rescans every file — at 100 TB that's the difference
+  // between a merge and a nightly table scan.
+
+  private[graft] def x34BenchBuild(s: SparkSession, d: String,
+      dir: String): Long = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = docs.agg(max("doc_id")).head.getLong(0) / 33 + 1
+    (0 until 32).foreach { i => // v1..v32: id-range-clustered batches
+      ManifestScan.appendBatch(s, dir,
+        docs.where(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w),
+        FeedCols, i.toLong)
+    }
+    // the delta the refresh pair consumes:
+    ManifestScan.appendBatch(s, dir, // v33: the last id range
+      docs.where(col("doc_id") >= 32 * w), FeedCols, 32L)
+    ManifestScan.delete(s, dir, // v34: touches only batch 0's file
+      Map("doc_id" -> ZoneRange.I64R(0L, w / 4)), FeedCols)
+    w
+  }
+
+  /** Per-lang (count, sum) over the table as of version `v`. */
+  private[graft] def x34Mat(s: SparkSession, dir: String,
+      v: Int): DataFrame =
+    ManifestScan.readPrunedAsOf(s, dir, v, Map.empty)._1
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n0"), sum("n_chars").as("c0"))
+
+  /** Incremental refresh: fold the (fromV, toV] feed into `mat`. */
+  private[graft] def x34Incremental(s: SparkSession, dir: String,
+      mat: DataFrame, fromV: Int, toV: Int): DataFrame = {
+    val delta = ManifestScan.changes(s, dir, fromV, toV)
+      .withColumn("sgn",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy("lang")
+      .agg(sum(col("sgn")).as("dn"),
+        sum(col("sgn") * col("n_chars")).as("dc"))
+    mat.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("sum_chars"))
+      .where(col("n_docs") > 0)
+  }
+
+  /** The baseline the feed replaces: full recompute at the head. */
+  private[graft] def x34FullRecompute(s: SparkSession,
+      dir: String): DataFrame =
+    ManifestScan.readPrunedRanges(s, dir, Map.empty)._1
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
+  val all: Seq[Q] = Seq(
+
+    // X33 — row-level CHANGE FEED over a log-structured table: two
+    // appends (v1, v2), a compaction (v3, committed with
+    // dataChange=false — the feed SKIPS it without scanning a byte,
+    // Delta's dataChange bit), and a zone-pruned delete of one
+    // language (v4). `changes(0, 4)` replays the history as tagged
+    // rows: inserts carry the version that appended them, the delete
+    // surfaces the removed rows' old image diffed over ONLY the files
+    // the delete touched (exceptAll both ways, multiset semantics).
+    // Scale shape: append versions cost a scan of exactly their added
+    // files, rewrite versions a diff of exactly their touched files,
+    // compactions nothing — the feed is O(changed data), never
+    // O(table), which is what lets a downstream consumer at 100 TB
+    // refresh from the delta instead of rescanning. The oracle
+    // recomputes the expected feed from the mutation definitions.
+    Q("x33_change_feed",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x33_m").toString
+        appendThird(s, d, dir, 0, 0L) // v1
+        appendThird(s, d, dir, 1, 1L) // v2
+        ManifestScan.compact(s, dir, "doc_id", 4, FeedCols) // v3, row-neutral
+        ManifestScan.delete(s, dir,
+          Map("lang" -> ZoneRange.StrR("de", "de")), FeedCols) // v4
+        ManifestScan.changes(s, dir, 0, 4)
+          .select(col("doc_id"), col("lang"),
+            col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_version"))
+          .orderBy("commit_version", "change_type", "doc_id")
+      },
+      Some("""SELECT doc_id, lang, 'insert' AS change_type,
+          |  CAST(1 AS BIGINT) AS commit_version
+          |FROM documents WHERE doc_id % 3 = 0
+          |UNION ALL
+          |SELECT doc_id, lang, 'insert', CAST(2 AS BIGINT)
+          |FROM documents WHERE doc_id % 3 = 1
+          |UNION ALL
+          |SELECT doc_id, lang, 'delete', CAST(4 AS BIGINT)
+          |FROM documents WHERE doc_id % 3 IN (0, 1) AND lang = 'de'
+          |ORDER BY commit_version, change_type, doc_id""".stripMargin)),
+
+    // X34 — INCREMENTAL materialized-aggregate maintenance: a per-lang
+    // (count, sum) is materialized from a FULL scan pinned at v2
+    // (time travel), the table then takes an append (v3), a compaction
+    // (v4, skipped by flag) and a delete (v5), and the view refreshes
+    // by folding the CHANGE FEED (2, 5] into the materialized state —
+    // +row for inserts, −row for deletes, groups emptied by the
+    // refresh dropped. The refresh reads the delta files only: at
+    // 100 TB this is the difference between a nightly full-table
+    // groupBy and a delta-sized merge (the standard IVM contract
+    // change feeds exist to serve). The oracle computes the SAME
+    // aggregate directly over the final table state — incremental
+    // must equal recompute exactly (integer arithmetic throughout,
+    // no float drift to hide behind).
+    Q("x34_incremental_agg",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x34_m").toString
+        appendThird(s, d, dir, 0, 0L) // v1
+        appendThird(s, d, dir, 1, 1L) // v2
+        val mat = ManifestScan.readPrunedAsOf(s, dir, 2, Map.empty)._1
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n0"), sum("n_chars").as("c0"))
+        appendThird(s, d, dir, 2, 2L) // v3
+        ManifestScan.compact(s, dir, "doc_id", 4, FeedCols) // v4, row-neutral
+        ManifestScan.delete(s, dir,
+          Map("lang" -> ZoneRange.StrR("de", "de")), FeedCols) // v5
+        val delta = ManifestScan.changes(s, dir, 2, 5)
+          .withColumn("sgn",
+            when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          .groupBy("lang")
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn") * col("n_chars")).as("dc"))
+        mat.join(delta, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_docs"),
+            (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("sum_chars"))
+          .where(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE lang <> 'de'
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // X35 — SCHEMA EVOLUTION (widening appends): v1 lands (doc_id,
+    // lang); v2 appends the remaining docs WITH a new n_chars column,
+    // widening the logged schema. Reads resolve every file against
+    // the LOGGED schema, so v1's files — never rewritten — surface
+    // n_chars as NULL (parquet's missing-column rule under an
+    // explicit reader schema): at 100 TB adding a column costs one
+    // log commit, not a rewrite of history, the Delta/Iceberg
+    // mergeSchema contract. Narrowing/retyping appends are refused
+    // loudly (spec-pinned). The aggregate distinguishes rows by
+    // n_chars presence, so a lazy "fill everything" or "drop old
+    // rows" implementation hash-mismatches the oracle.
+    Q("x35_schema_evolution",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x35_m").toString
+        val docs = Tables.documents(s, d)
+        ManifestScan.appendBatch(s, dir,
+          docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("lang")),
+          FeedCols, 0L) // v1: narrow schema
+        ManifestScan.appendBatch(s, dir,
+          docs.where(col("doc_id") % 3 =!= 0)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          FeedCols, 1L) // v2: widened with n_chars
+        ManifestScan.readPrunedRanges(s, dir, Map.empty)._1
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_chars")).as("n_with_chars"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          |  count(CASE WHEN doc_id % 3 <> 0 THEN n_chars END)
+          |    AS n_with_chars,
+          |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars END) AS BIGINT)
+          |    AS sum_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

@@ -9,7 +9,7 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.store.{FileLog, Zone, ZoneRange}
+import graft.store.{FileLog, SnapshotVacuumedException, Zone, ZoneRange}
 
 /** File-level data skipping via a stats manifest — the Iceberg/Delta
   * idea re-expressed over plain parquet directories.
@@ -160,6 +160,10 @@ object ManifestScan {
     if (batchId >= 0 && FileLog.exists(dir) &&
         FileLog.read(dir).batchId >= batchId)
       return 0 // replayed batch: already committed
+    if (FileLog.exists(dir)) { // fail fast on a narrowing/retyping
+      val ddl = FileLog.read(dir).schemaDdl // batch BEFORE writing its
+      if (ddl.nonEmpty) { evolveSchema(ddl, batch.schema); () } // files
+    }
     val created = FileLog.stagedWrite(spark, dir, stage =>
       shape(batch).write.mode("overwrite").parquet(stage))
     val entries = statsOf(spark, created.map(new Path(_)), cols)
@@ -171,6 +175,7 @@ object ManifestScan {
           FileLog.listDataFiles(spark, dir).filterNot(created.toSet))
           ++ created,
         cur.map(_.schemaDdl).filter(_.nonEmpty)
+          .map(d => evolveSchema(d, batch.schema).toDDL)
           .getOrElse(batch.schema.toDDL),
         math.max(batchId, curBid),
         cur.map(_.zones).getOrElse(Map.empty) ++
@@ -183,6 +188,57 @@ object ManifestScan {
 
   private def ddlOf(spark: SparkSession, files: Seq[String]): String =
     if (files.isEmpty) "" else spark.read.parquet(files.head).schema.toDDL
+
+  /** SCHEMA EVOLUTION rule (widening-only, the Delta/Iceberg
+    * `mergeSchema` contract): an appended batch must carry every
+    * existing column with its exact logged type and may ADD trailing
+    * columns; the table's logical schema widens to include them. Files
+    * written before the widening simply lack the new columns — every
+    * read path resolves files AGAINST THE LOGGED SCHEMA
+    * ([[tableRead]]), so parquet's missing-column rule fills them with
+    * nulls, no rewrite of historical terabytes. Narrowing or retyping
+    * is refused loudly: silently dropping or coercing a column is how
+    * long-running pipelines corrupt downstream state.
+    */
+  private[graft] def evolveSchema(curDdl: String,
+      batch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val cur = org.apache.spark.sql.types.StructType.fromDDL(curDdl)
+    val byName = batch.fields.map(f => f.name -> f).toMap
+    cur.fields.foreach { f =>
+      byName.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"appended batch is missing existing column '${f.name}' — " +
+            "appends may widen the schema, never narrow it")
+        case Some(b) if b.dataType != f.dataType =>
+          throw new IllegalArgumentException(
+            s"appended batch retypes column '${f.name}' " +
+              s"(${f.dataType.simpleString} -> ${b.dataType.simpleString}) — " +
+              "appends may widen the schema, never retype columns")
+        case _ => ()
+      }
+    }
+    val known = cur.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      cur.fields ++ batch.fields.filterNot(f => known(f.name)))
+  }
+
+  /** Read `files` AS the logged table schema: files predating a schema
+    * widening lack the added columns and read as nulls (parquet's
+    * missing-column rule under an explicit schema) — the reason
+    * evolution never rewrites history. Empty file list ⇒ empty frame
+    * with the right schema.
+    */
+  private def tableRead(spark: SparkSession, files: Seq[String],
+      schemaDdl: String): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    else if (schemaDdl.isEmpty) spark.read.parquet(files: _*)
+    else spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .parquet(files: _*)
 
   private def commitEntries(spark: SparkSession, dir: String,
       files: Seq[String], entries: Seq[FileZones]): Int =
@@ -332,12 +388,10 @@ object ManifestScan {
       val zs = st.zones.getOrElse(f, Map.empty)
       ranges.forall { case (c, r) => zs.get(c).forall(_.overlaps(r)) }
     }
-    val base =
-      if (kept.isEmpty) // provably empty result; keep the schema
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(st.schemaDdl))
-      else spark.read.parquet(kept: _*)
+    // resolve against the LOGGED schema: pre-evolution files read
+    // their missing columns as nulls, and an empty survivor list
+    // still yields the right shape
+    val base = tableRead(spark, kept, st.schemaDdl)
     val filtered = ranges.foldLeft(base) { case (df, (c, r)) =>
       df.where(residual(c, r))
     }
@@ -362,7 +416,7 @@ object ManifestScan {
     val base = FileLog.read(dir)
     if (base.files.isEmpty) return (0, 0) // empty table: nothing to do
     val created = FileLog.stagedWrite(spark, dir, stage =>
-      spark.read.parquet(base.files: _*)
+      tableRead(spark, base.files, base.schemaDdl)
         .repartitionByRange(targetFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
         .write.mode("overwrite").parquet(stage))
@@ -371,8 +425,139 @@ object ManifestScan {
       removed = base.files.toSet, added = created,
       schemaDdl = base.schemaDdl,
       addedZones = entries.map(e => e.path -> e.zones).toMap,
-      addedRows = entries.map(e => e.path -> e.rows).toMap)
+      addedRows = entries.map(e => e.path -> e.rows).toMap,
+      dataChange = false) // same rows, new files: the feed skips it
     (base.files.size, created.size)
+  }
+
+  /** Delete every row matching ALL `ranges` (a conjunction of typed
+    * range predicates — the same vocabulary [[readPrunedRanges]]
+    * prunes with), rewriting ONLY the files whose zones can contain a
+    * match: at 100 TB a delete scoped to one day / one language / one
+    * id range schedules rewrite tasks for a handful of files, never
+    * the table (the GDPR-delete shape every log-structured table
+    * format optimizes for). Untouched files are carried forward by
+    * reference. Commits through [[FileLog.commitRewrite]] with the
+    * touched files as the declared READ SET, so concurrent appends
+    * AND concurrent file-local rewrites of disjoint files (a delete
+    * in another partition, a scoped compaction) all merge — only a
+    * rewrite overlapping the same files fails loudly. Returns the
+    * number of rows deleted.
+    */
+  def delete(spark: SparkSession, dir: String,
+      ranges: Map[String, ZoneRange], cols: Seq[String]): Long = {
+    require(ranges.nonEmpty, "delete needs at least one range predicate")
+    val base = FileLog.read(dir)
+    if (base.files.isEmpty) return 0L
+    val touched = base.files.filter { f =>
+      val zs = base.zones.getOrElse(f, Map.empty)
+      ranges.forall { case (c, r) => zs.get(c).forall(_.overlaps(r)) }
+    }
+    if (touched.isEmpty) return 0L // provably no file holds a match
+    val pred = ranges.map { case (c, r) => residual(c, r) }.reduce(_ && _)
+    val in = tableRead(spark, touched, base.schemaDdl)
+    val before = in.count()
+    val remaining = in.where(!pred)
+    val created = FileLog.stagedWrite(spark, dir, stage =>
+      remaining.write.mode("overwrite").parquet(stage))
+    val entries = statsOf(spark, created.map(new Path(_)), cols)
+    FileLog.commitRewrite(spark, dir, base,
+      removed = touched.toSet, added = created,
+      schemaDdl = base.schemaDdl,
+      addedZones = entries.map(e => e.path -> e.zones).toMap,
+      addedRows = entries.map(e => e.path -> e.rows).toMap,
+      readSet = Some(touched.toSet))
+    // still readable: retired files stay on disk until vacuum
+    before - remaining.count()
+  }
+
+  /** Row-level CHANGE FEED between two retained versions (Delta CDF /
+    * Iceberg incremental-read semantics): every row inserted into or
+    * deleted from the table by versions in `(fromVersion, toVersion]`,
+    * tagged with `_change_type` (`insert` | `delete`; an upsert is a
+    * delete of the old image plus an insert of the new) and
+    * `_commit_version`. `fromVersion = 0` means "since before the
+    * log existed" — the feed starts from an empty table, so it
+    * replays the whole history.
+    *
+    * This is what makes INCREMENTAL recompute possible at 100 TB: a
+    * downstream consumer (materialized aggregate, search index,
+    * replica) refreshes by reading the delta, never the table. Cost
+    * is proportional to the CHANGED data:
+    *
+    *  - an APPEND version (no files retired) contributes a plain scan
+    *    of exactly its added files — no diffing, no shuffle;
+    *  - a REWRITE version diffs old vs new rows (`exceptAll` both
+    *    ways) over only the files it touched — bounded by the rewrite
+    *    size, not the table ([[delete]] touches only zone-matching
+    *    files, so its feed cost tracks the delete's selectivity);
+    *  - a version committed with `dataChange = false` ([[compact]])
+    *    is SKIPPED outright — the writer certified it row-neutral, so
+    *    the feed never scans a compaction's terabytes to prove they
+    *    changed nothing (Delta's dataChange bit, same trust model).
+    *
+    * Requires versions `fromVersion..toVersion` to still be retained:
+    * a consumer's read cadence bounds the [[vacuum]] `retainLast` it
+    * needs. A vacuumed version surfaces as the typed
+    * [[graft.store.SnapshotVacuumedException]] — re-seed the consumer
+    * from a full scan, the standard CDC-retention contract.
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"need 0 <= from <= to, got ($fromVersion, $toVersion]")
+    def stateAt(v: Int): FileLog.State =
+      if (v == 0) FileLog.State(Seq.empty, "")
+      else try FileLog.readVersion(dir, v)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new SnapshotVacuumedException(
+            s"version $v of $dir, needed by the change feed " +
+              s"($fromVersion, $toVersion], was vacuumed — raise the " +
+              "vacuum retention above the consumer's read cadence and " +
+              "re-seed from a full scan", e)
+      }
+    val toState = stateAt(toVersion)
+    require(toState.schemaDdl.nonEmpty || toVersion == 0,
+      s"version $toVersion of $dir carries no schema")
+    // every version's files resolve against the FEED's (newest)
+    // schema: pre-evolution inserts read added columns as null, and a
+    // rewrite-diff whose files straddle a widening compares both
+    // sides in one shape
+    def readFiles(files: Seq[String]): DataFrame =
+      tableRead(spark, files, toState.schemaDdl)
+    def tag(df: DataFrame, tpe: String, v: Int): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v.toLong))
+    var prev = stateAt(fromVersion)
+    val parts = Seq.newBuilder[DataFrame]
+    var v = fromVersion + 1
+    while (v <= toVersion) {
+      val st = stateAt(v)
+      if (st.dataChange) {
+        val prevSet = prev.files.toSet
+        val stSet = st.files.toSet
+        val added = st.files.filterNot(prevSet.contains)
+        val removed = prev.files.filterNot(stSet.contains)
+        if (removed.isEmpty) {
+          if (added.nonEmpty) parts += tag(readFiles(added), "insert", v)
+        } else {
+          // row-level diff over ONLY the touched files; multiset
+          // semantics (exceptAll) so duplicate rows diff correctly
+          val neu = readFiles(added)
+          val old = readFiles(removed)
+          parts += tag(neu.exceptAll(old), "insert", v)
+          parts += tag(old.exceptAll(neu), "delete", v)
+        }
+      }
+      prev = st
+      v += 1
+    }
+    parts.result() match {
+      case Seq() => // empty feed, but with the full feed schema
+        tag(readFiles(Seq.empty), "insert", 0).limit(0)
+      case ps => ps.reduce(_.unionByName(_))
+    }
   }
 
   /** Drop history ([[FileLog.vacuum]]): retain the newest `retainLast`

@@ -63,10 +63,12 @@ final class SnapshotVacuumedException(msg: String, cause: Throwable)
   *    (Delta-style disjoint-file conflict detection); the rewrite
   *    applies to the snapshot it read, so a concurrently appended row
   *    with a deleted id survives (insert happened-after delete);
-  *  - two concurrent REWRITES: one wins, the other fails loudly with
-  *    [[ConcurrentCommitException]] (its read set may overlap files
-  *    the winner retired — merging could silently drop rows); re-read
-  *    and retry the whole operation;
+  *  - two concurrent REWRITES: disjoint declared read sets merge
+  *    (both land — e.g. zone-pruned deletes in different partitions,
+  *    via `commitRewrite(readSet = ...)`); overlapping or undeclared
+  *    read sets fail loudly with [[ConcurrentCommitException]]
+  *    (merging could silently drop rows); re-read and retry the
+  *    whole operation;
   *  - id uniqueness is NOT enforced across concurrent writers (two
   *    appends of one id both land, like any log-structured table).
   *
@@ -103,11 +105,21 @@ object FileLog {
     *                  collected with the zones) — lets planning-time
     *                  consumers (compaction sizing, stats) avoid
     *                  opening footers again
+    * @param dataChange whether this version changed the table's ROWS
+    *                  (Delta's `dataChange` bit). Appends, deletes and
+    *                  upserts set it; COMPACTION rearranges the same
+    *                  rows into new files and clears it, so a change
+    *                  feed ([[graft.sources.ManifestScan.changes]])
+    *                  can skip the version without scanning the
+    *                  rewrite to prove it row-neutral. Absent in
+    *                  pre-round-18 logs ⇒ true (conservative: the feed
+    *                  diffs the version instead of skipping it).
     */
   final case class State(files: Seq[String], schemaDdl: String,
       version: Int = 0, batchId: Long = -1L,
       zones: Map[String, Map[String, Zone]] = Map.empty,
-      rows: Map[String, Long] = Map.empty)
+      rows: Map[String, Long] = Map.empty,
+      dataChange: Boolean = true)
 
   /** What a writer asks to commit — the payload half of [[State]]
     * (version is assigned by the CAS loop).
@@ -115,7 +127,8 @@ object FileLog {
   final case class Commit(files: Seq[String], schemaDdl: String,
       batchId: Long = -1L,
       zones: Map[String, Map[String, Zone]] = Map.empty,
-      rows: Map[String, Long] = Map.empty)
+      rows: Map[String, Long] = Map.empty,
+      dataChange: Boolean = true)
 
   def currentPath(dir: String): String = s"$dir/_files.json"
   private def versionPath(dir: String, v: Int): String = s"$dir/_files.v$v.json"
@@ -176,7 +189,9 @@ object FileLog {
       version = longOf("version", 0L).toInt,
       batchId = longOf("batch_id", -1L),
       zones = zones,
-      rows = rows)
+      rows = rows,
+      dataChange = m.get("data_change")
+        .forall(_.asInstanceOf[Boolean])) // absent (pre-r18 log) = true
   }
 
   private def render(c: Commit, version: Int): String = {
@@ -193,7 +208,10 @@ object FileLog {
     val withRows =
       if (c.rows.isEmpty) withZones
       else withZones + ("rows" -> c.rows)
-    Json.write(withRows)
+    val withChange = // written only when cleared: pre-r18 readers and
+      if (c.dataChange) withRows // logs agree that absent means true
+      else withRows + ("data_change" -> false)
+    Json.write(withChange)
   }
 
   /** Commit a new live file set, unconditionally (retries a lost CAS
@@ -281,28 +299,46 @@ object FileLog {
 
   /** Optimistic REWRITE commit (Delta-style conflict detection): the
     * writer derived `added` from snapshot `base` by rewriting exactly
-    * the files in `removed` (its read set). If other commits landed
-    * since `base`, they are examined instead of failed on:
+    * the files in `removed`, having READ the files in `readSet`
+    * (default: the whole base — the conservative claim). If other
+    * commits landed since `base`, they are examined instead of
+    * failed on:
     *
-    *  - every file of `base` still live in the current state ⇒ all
-    *    interlopers were APPEND-ONLY (part-file names are job-unique
-    *    UUIDs, so a retired path never reappears — a subset check IS
-    *    an append-only proof). The rewrite merges: current files minus
-    *    `removed` plus `added`, keeping the interlopers' rows, zones
-    *    and exactly-once batch watermark. Both writers land — the
-    *    add()-races-compact() case that previously forced a full
-    *    compaction retry.
-    *  - some file of `base` is gone ⇒ a concurrent REWRITE retired
-    *    files this writer may have read — merging could silently drop
-    *    that writer's output, so fail loudly with
+    *  - no file of this writer's READ SET was retired ⇒ every
+    *    interloper either only appended (part-file names are
+    *    job-unique UUIDs, so a retired path never reappears — a
+    *    still-live check IS an append-only proof for that file) or
+    *    rewrote files this writer never looked at. The rewrite
+    *    merges: current files minus `removed` plus `added`, keeping
+    *    the interlopers' rows, zones and exactly-once batch
+    *    watermark. Both writers land — the add()-races-compact()
+    *    case, and (with a declared read set) two FILE-LOCAL rewrites
+    *    of disjoint file sets, e.g. deletes in different partitions.
+    *  - some read file is gone ⇒ a concurrent REWRITE retired files
+    *    this writer's output was derived from — merging could
+    *    silently drop that writer's rows, so fail loudly with
     *    [[ConcurrentCommitException]] (re-read and redo the rewrite).
+    *
+    * Declaring `readSet` is a correctness claim by the caller: the
+    * rewrite's output must be a pure function of those files, so it
+    * commutes with any concurrent commit that leaves them alone
+    * (under snapshot semantics — e.g. a row concurrently upserted
+    * into an unread partition survives a delete of its id, exactly
+    * like the documented append-races-delete case). Rewrites whose
+    * output depends on the whole table (global dedup, clustering)
+    * must keep the default. `removed` must be ⊆ `readSet`.
     *
     * Returns the committed version.
     */
   def commitRewrite(spark: SparkSession, dir: String, base: State,
       removed: Set[String], added: Seq[String], schemaDdl: String,
       addedZones: Map[String, Map[String, Zone]] = Map.empty,
-      addedRows: Map[String, Long] = Map.empty): Int = {
+      addedRows: Map[String, Long] = Map.empty,
+      dataChange: Boolean = true,
+      readSet: Option[Set[String]] = None): Int = {
+    val readFiles = readSet.getOrElse(base.files.toSet)
+    require(removed.subsetOf(readFiles),
+      "a rewrite's removed files must be inside its declared read set")
     var attempts = 0
     while (true) {
       // unlogged dir (adopted base at version 0): the rewrite's commit
@@ -310,7 +346,7 @@ object FileLog {
       val cur = if (exists(dir)) read(dir) else base
       val curSet = cur.files.toSet
       if (cur.version != base.version &&
-          !base.files.forall(curSet.contains))
+          !readFiles.forall(curSet.contains))
         throw new ConcurrentCommitException(
           s"a concurrent rewrite under $dir retired files this rewrite " +
             s"(derived from version ${base.version}) read — cannot merge; " +
@@ -322,7 +358,8 @@ object FileLog {
       // CAS at exactly cur.version + 1 (see transact): an interloper
       // landing after our read makes this CAS fail → re-examine
       val next = cur.version + 1
-      val json = render(Commit(files, schemaDdl, batchId, zones, rows), next)
+      val json = render(
+        Commit(files, schemaDdl, batchId, zones, rows, dataChange), next)
       if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
         FsIo.writeStringAtomic(currentPath(dir), json)
         return next

@@ -298,7 +298,7 @@ final class MultiTableStore(
     // optimistic rewrite: an add() racing this compaction merges —
     // both land with zero row loss; only rewrite/rewrite races fail
     FileLog.commitRewrite(spark, path, log, log.files.toSet, created,
-      log.schemaDdl)
+      log.schemaDdl, dataChange = false) // same rows, new files
     FileLog.vacuum(spark, path, retainLast = 1, graceMs = vacuumGraceMs)
     (before, created.size.toLong)
   }

@@ -468,7 +468,8 @@ final class QuantIndex(
     // both land with zero row loss; only rewrite/rewrite races fail
     FileLog.commitRewrite(spark, dataDir, log, log.files.toSet, created,
       log.schemaDdl,
-      addedZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols))
+      addedZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols),
+      dataChange = false) // same rows, new files (compaction)
     FileLog.vacuum(spark, dataDir, retainLast = 1, graceMs = vacuumGraceMs)
     invalidateResident()
     (before, created.size.toLong)

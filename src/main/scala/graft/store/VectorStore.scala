@@ -335,6 +335,45 @@ final class VectorStore(
     invalidateRecallCurve()
   }
 
+  /** Apply a relational table's CHANGE FEED
+    * ([[graft.sources.ManifestScan.changes]]) to this index — the
+    * incremental replacement for the reference's rebuild-everything
+    * ingest (`generate_report.py` re-ingests per run): a downstream
+    * search index tracks an upstream 100 TB embedding table by
+    * consuming the delta, never rescanning.
+    *
+    * The feed is first reduced to each id's NET action (its newest
+    * `_commit_version` wins; within one version an upsert's
+    * delete+insert pair resolves to the insert — the new image), so
+    * an id inserted at v3 and deleted at v5 nets to a delete and
+    * replaying a longer feed window is idempotent. Net inserts apply
+    * as [[upsert]] (replace-or-insert), net deletes as [[delete]].
+    * Returns (idsUpserted, idsDeleted).
+    */
+  def applyChanges(feed: DataFrame, idCol: String = "id",
+      embCol: String = "embedding"): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val net = feed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          // 'insert' > 'delete' lexically: the upsert pair at one
+          // version resolves to its insert (the new image)
+          .orderBy(col("_commit_version").desc, col("_change_type").desc)))
+      .where(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true) // one pass over the feed, reused twice
+    val ups = net.where(col("_change_type") === "insert")
+      .select(col(idCol), col(embCol))
+    val dels = net.where(col("_change_type") === "delete")
+      .select(col(idCol))
+    val nUp = ups.count()
+    if (nUp > 0) upsert(ups, idCol, embCol)
+    // delete ids are a driver-side list today (delete(Seq[Long])) —
+    // feed windows carry mutation-sized deltas, not table-sized ones
+    val delIds = dels.collect().map(_.getLong(0)).toSeq
+    val nDel = if (delIds.nonEmpty) delete(delIds) else 0L
+    (nUp, nDel)
+  }
+
   /** Compact the index's data files. Every `add`/streaming ingest
     * appends at least one file per touched bucket, so a long-lived
     * index accumulates small files and scan setup (footer reads, task
@@ -366,7 +405,7 @@ final class VectorStore(
     // both land with zero row loss (the r11 verdict's Delta-style
     // conflict-detection task); only a true rewrite/rewrite race fails
     FileLog.commitRewrite(spark, path, log, log.files.toSet, created,
-      log.schemaDdl)
+      log.schemaDdl, dataChange = false) // same rows, new files
     // compaction is the maintenance point: reclaim retired files — but
     // only past the grace window, so an in-flight reader holding a
     // recent snapshot finishes cleanly (default 10 min; pass 0 to

@@ -1,0 +1,325 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestScan
+import graft.store.{ConcurrentCommitException, FileLog,
+  SnapshotVacuumedException, ZoneRange}
+
+/** Round-18 incremental-recompute batteries:
+  *
+  *  1. CHANGE FEED semantics: appends surface as inserts, rewrites as
+  *     row-level delete/insert diffs, compactions (dataChange=false)
+  *     are skipped WITHOUT scanning, and the feed's scan cost is
+  *     bounded by the changed files (pinned via inputFiles).
+  *  2. Zone-pruned relational DELETE: only files whose zones can hold
+  *     a match are rewritten; the rest are carried by reference.
+  *  3. Read-set-scoped optimistic rewrites: two FILE-LOCAL deletes of
+  *     disjoint file sets racing each other both land; overlapping
+  *     read sets still fail loudly.
+  *  4. Feed retention contract: a vacuumed version surfaces as the
+  *     typed [[SnapshotVacuumedException]], never as a wrong feed.
+  */
+class Round18Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val Cols = Seq("id", "grp")
+
+  /** id, grp ('a'..), val — one file per appendBatch call. */
+  private def batch(ids: Range, grp: String) = {
+    val sess = spark
+    import sess.implicits._
+    ids.map(i => (i.toLong, grp, i.toLong * 10)).toDF("id", "grp", "v")
+      .coalesce(1)
+  }
+
+  private def fresh(tag: String): String =
+    graft.util.TempDirs.create(s"graft_r18_$tag").toString
+
+  private def feedRows(dir: String, from: Int, to: Int) =
+    ManifestScan.changes(spark, dir, from, to)
+      .select("id", "grp", "v", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+      .toSet
+
+  // -------------------------------------------------- feed semantics
+
+  test("appends surface as inserts tagged with their commit version") {
+    val dir = fresh("ins")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 3, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(4 to 5, "b"), Cols, 1L) // v2
+    val feed = feedRows(dir, 0, 2)
+    assert(feed == Set(
+      (1L, "a", 10L, "insert", 1L), (2L, "a", 20L, "insert", 1L),
+      (3L, "a", 30L, "insert", 1L),
+      (4L, "b", 40L, "insert", 2L), (5L, "b", 50L, "insert", 2L)))
+    // a sub-range sees only its versions
+    assert(feedRows(dir, 1, 2).forall(_._5 == 2L))
+  }
+
+  test("an append-only feed reads EXACTLY the added files") {
+    val dir = fresh("bound")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 3, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(4 to 5, "b"), Cols, 1L) // v2
+    val v1 = FileLog.readVersion(dir, 1).files.toSet
+    val v2 = FileLog.readVersion(dir, 2).files.toSet
+    val added = (v2 -- v1).map(f => new java.net.URI(f).getPath)
+    val scanned = ManifestScan.changes(spark, dir, 1, 2)
+      .inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    assert(scanned == added) // never the whole table
+  }
+
+  test("compaction (dataChange=false) is skipped without scanning") {
+    val dir = fresh("skip")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 4, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(5 to 8, "b"), Cols, 1L) // v2
+    ManifestScan.compact(spark, dir, "id", 1, Cols) // v3, row-neutral
+    assert(FileLog.readVersion(dir, 3).dataChange === false)
+    val feed = ManifestScan.changes(spark, dir, 2, 3)
+    assert(feed.count() == 0)
+    assert(feed.inputFiles.isEmpty) // skipped by flag, not by diffing
+    // and the full-history feed is unchanged by the compaction
+    assert(feedRows(dir, 0, 3).map(_._5).forall(v => v == 1L || v == 2L))
+  }
+
+  test("a rewrite diffs row-level: unchanged rows cancel, changes surface") {
+    val dir = fresh("diff")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 4, "a"), Cols, 0L) // v1
+    // hand-rolled upsert of id=2 (v -> 999): rewrite the one file
+    val base = FileLog.read(dir)
+    val created = FileLog.stagedWrite(spark, dir, stage =>
+      spark.read.parquet(base.files: _*)
+        .withColumn("v", when(col("id") === 2L, 999L).otherwise(col("v")))
+        .coalesce(1).write.mode("overwrite").parquet(stage))
+    FileLog.commitRewrite(spark, dir, base, base.files.toSet, created,
+      base.schemaDdl) // v2
+    val feed = feedRows(dir, 1, 2)
+    assert(feed == Set(
+      (2L, "a", 20L, "delete", 2L), // old image out
+      (2L, "a", 999L, "insert", 2L))) // new image in — ids 1/3/4 cancel
+  }
+
+  test("a vacuumed feed version raises the typed retention error") {
+    val dir = fresh("vac")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 3, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(4 to 6, "b"), Cols, 1L) // v2
+    ManifestScan.appendBatch(spark, dir, batch(7 to 9, "c"), Cols, 2L) // v3
+    ManifestScan.vacuum(spark, dir, retainLast = 2) // drops v1
+    val e = intercept[SnapshotVacuumedException] {
+      ManifestScan.changes(spark, dir, 0, 3).count()
+    }
+    assert(e.getMessage.contains("change feed"))
+    // the still-retained tail remains readable
+    assert(feedRows(dir, 2, 3).map(_._1) == Set(7L, 8L, 9L))
+  }
+
+  // ------------------------------------------- zone-pruned delete
+
+  test("delete rewrites only zone-matching files; misses cost nothing") {
+    val dir = fresh("del")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 4, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(5 to 8, "b"), Cols, 1L) // v2
+    val before = FileLog.read(dir)
+    val n = ManifestScan.delete(spark, dir,
+      Map("grp" -> ZoneRange.StrR("b", "b"), "id" -> ZoneRange.I64R(5L, 6L)),
+      Cols) // v3
+    assert(n == 2L)
+    val after = FileLog.read(dir)
+    // the 'a' file was provably disjoint: carried by REFERENCE
+    val aFile = before.files.filter(f =>
+      before.zones(f)("grp") == graft.store.Zone.Str("a", "a"))
+    assert(aFile.nonEmpty && aFile.forall(after.files.contains))
+    assert(spark.read.parquet(after.files: _*).count() == 6)
+    // a delete that provably matches nothing commits NO version
+    val v = FileLog.read(dir).version
+    assert(ManifestScan.delete(spark, dir,
+      Map("id" -> ZoneRange.I64R(100L, 200L)), Cols) == 0L)
+    assert(FileLog.read(dir).version == v)
+    // and the feed shows exactly the deleted rows' old images
+    assert(feedRows(dir, 2, 3) == Set(
+      (5L, "b", 50L, "delete", 3L), (6L, "b", 60L, "delete", 3L)))
+  }
+
+  // ------------------------- read-set-scoped optimistic rewrites
+
+  test("two deletes of DISJOINT file sets racing: both land") {
+    val dir = fresh("race")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 4, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(5 to 8, "b"), Cols, 1L) // v2
+    // writer B pins its snapshot and stages its rewrite of the 'b'
+    // file BEFORE writer A commits
+    val baseB = FileLog.read(dir)
+    val bFiles = baseB.files.filter(f =>
+      baseB.zones(f)("grp") == graft.store.Zone.Str("b", "b")).toSet
+    val createdB = FileLog.stagedWrite(spark, dir, stage =>
+      spark.read.parquet(bFiles.toSeq: _*).where(col("id") =!= 5L)
+        .coalesce(1).write.mode("overwrite").parquet(stage))
+    // writer A deletes in the 'a' file and commits first (v3)
+    assert(ManifestScan.delete(spark, dir,
+      Map("grp" -> ZoneRange.StrR("a", "a"), "id" -> ZoneRange.I64R(1L, 1L)),
+      Cols) == 1L)
+    // writer B commits against its now-stale base, declaring its
+    // file-local read set: MERGES (v4) — disjoint rewrites commute
+    FileLog.commitRewrite(spark, dir, baseB, bFiles, createdB,
+      baseB.schemaDdl, readSet = Some(bFiles))
+    val rows = spark.read.parquet(FileLog.read(dir).files: _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(2L, 3L, 4L, 6L, 7L, 8L)) // both deletes applied
+  }
+
+  test("two rewrites with OVERLAPPING read sets still fail loudly") {
+    val dir = fresh("conflict")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 4, "a"), Cols, 0L) // v1
+    val base = FileLog.read(dir)
+    val created = FileLog.stagedWrite(spark, dir, stage =>
+      spark.read.parquet(base.files: _*).where(col("id") =!= 2L)
+        .coalesce(1).write.mode("overwrite").parquet(stage))
+    // an overlapping delete wins the race (rewrites the same file)
+    assert(ManifestScan.delete(spark, dir,
+      Map("id" -> ZoneRange.I64R(3L, 3L)), Cols) == 1L)
+    intercept[ConcurrentCommitException] {
+      FileLog.commitRewrite(spark, dir, base, base.files.toSet, created,
+        base.schemaDdl, readSet = Some(base.files.toSet))
+    }
+    // removed must be inside the declared read set (caller bug guard)
+    intercept[IllegalArgumentException] {
+      FileLog.commitRewrite(spark, dir, FileLog.read(dir),
+        FileLog.read(dir).files.toSet, Seq.empty, base.schemaDdl,
+        readSet = Some(Set.empty))
+    }
+  }
+
+  // ----------------------------------------- feed-driven index sync
+
+  test("an index tracks an upstream table by consuming its change feed") {
+    val dir = fresh("sync_tbl")
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    ManifestScan.appendBatch(spark, dir,
+      emb.where(col("id") < 300), Seq("id"), 0L) // v1
+    val store = graft.store.VectorStore.build(spark,
+      ManifestScan.readPrunedAsOf(spark, dir, 1, Map.empty)._1,
+      s"${fresh("sync_idx")}/index",
+      graft.lsh.LshConfig(dim = 64, seed = 18L))
+    // upstream moves on: append (v2), compact (v3, feed-invisible),
+    // zone-pruned delete of ids 0..49 (v4)
+    ManifestScan.appendBatch(spark, dir,
+      emb.where(col("id") >= 300), Seq("id"), 1L) // v2
+    ManifestScan.compact(spark, dir, "id", 2, Seq("id")) // v3
+    ManifestScan.delete(spark, dir,
+      Map("id" -> ZoneRange.I64R(0L, 49L)), Seq("id")) // v4
+    val (nUp, nDel) =
+      store.applyChanges(ManifestScan.changes(spark, dir, 1, 4))
+    assert(nUp == 200L && nDel == 50L)
+    // the synced index holds exactly the upstream table's final ids
+    val want = ManifestScan.readPrunedRanges(spark, dir, Map.empty)._1
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = store.indexDf.select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want && want.size == 450)
+    // replaying a wider feed window is idempotent (net actions)
+    val (nUp2, nDel2) =
+      store.applyChanges(ManifestScan.changes(spark, dir, 1, 4))
+    assert(nUp2 == 200L && nDel2 == 0L) // deletes already gone
+    assert(store.indexDf.count() == 450)
+  }
+
+  // ------------------------------------------------ schema evolution
+
+  test("widening append evolves the schema; old files read as nulls") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("evo")
+    ManifestScan.appendBatch(spark, dir,
+      Seq((1L, "a"), (2L, "a")).toDF("id", "grp").coalesce(1),
+      Cols, 0L) // v1: narrow
+    ManifestScan.appendBatch(spark, dir,
+      Seq((3L, "b", 30L)).toDF("id", "grp", "v").coalesce(1),
+      Cols, 1L) // v2: widened with v
+    assert(FileLog.read(dir).schemaDdl.contains("v"))
+    val rows = ManifestScan.readPrunedRanges(spark, dir, Map.empty)._1
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, -1L), (2L, -1L), (3L, 30L)))
+    // the feed reads EVERY version in the evolved shape: v1's
+    // inserts surface the post-evolution column as null
+    val feed = ManifestScan.changes(spark, dir, 0, 2)
+    assert(feed.where(col("_commit_version") === 1L && col("v").isNull)
+      .count() == 2)
+    assert(feed.count() == 3)
+    // time travel keeps v1's ORIGINAL schema (no v column yet)
+    assert(!ManifestScan.readPrunedAsOf(spark, dir, 1, Map.empty)._1
+      .columns.contains("v"))
+  }
+
+  test("narrowing or retyping appends are refused before writing") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("evoguard")
+    ManifestScan.appendBatch(spark, dir,
+      Seq((1L, "a", 10L)).toDF("id", "grp", "v").coalesce(1), Cols, 0L)
+    val filesBefore = FileLog.listDataFiles(spark, dir).size
+    intercept[IllegalArgumentException] { // drops column v
+      ManifestScan.appendBatch(spark, dir,
+        Seq((2L, "b")).toDF("id", "grp").coalesce(1), Cols, 1L)
+    }
+    intercept[IllegalArgumentException] { // retypes v to string
+      ManifestScan.appendBatch(spark, dir,
+        Seq((2L, "b", "x")).toDF("id", "grp", "v").coalesce(1), Cols, 1L)
+    }
+    // fail-fast: the refused batches never staged files into the tree
+    assert(FileLog.listDataFiles(spark, dir).size == filesBefore)
+    assert(FileLog.read(dir).version == 1)
+  }
+
+  test("delete and compact operate on the evolved shape") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("evomut")
+    ManifestScan.appendBatch(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "grp").coalesce(1), Cols, 0L)
+    ManifestScan.appendBatch(spark, dir,
+      Seq((3L, "b", 30L)).toDF("id", "grp", "v").coalesce(1), Cols, 1L)
+    // compact merges mixed-schema generations, materializing nulls
+    ManifestScan.compact(spark, dir, "id", 1, Cols)
+    assert(ManifestScan.delete(spark, dir,
+      Map("id" -> ZoneRange.I64R(2L, 2L)), Cols) == 1L)
+    val rows = ManifestScan.readPrunedRanges(spark, dir, Map.empty)._1
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, -1L), (3L, 30L)))
+  }
+
+  // ------------------------------------ incremental view maintenance
+
+  test("incremental aggregate refresh equals full recompute") {
+    val dir = fresh("ivm")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 4, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(5 to 8, "b"), Cols, 1L) // v2
+    val mat = ManifestScan.readPrunedAsOf(spark, dir, 2, Map.empty)._1
+      .groupBy("grp").agg(count(lit(1)).as("n0"), sum("v").as("s0"))
+    ManifestScan.appendBatch(spark, dir, batch(9 to 10, "c"), Cols, 2L) // v3
+    ManifestScan.compact(spark, dir, "id", 2, Cols) // v4
+    ManifestScan.delete(spark, dir,
+      Map("grp" -> ZoneRange.StrR("a", "a")), Cols) // v5
+    val delta = ManifestScan.changes(spark, dir, 2, 5)
+      .withColumn("sgn",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy("grp")
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("v")).as("ds"))
+    val refreshed = mat.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .where(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = spark.read.parquet(FileLog.read(dir).files: _*)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(refreshed == full)
+    assert(refreshed.map(_._1) == Set("b", "c")) // 'a' emptied and dropped
+  }
+}
