@@ -9,13 +9,15 @@ import graft.store.ZoneRange
 
 /** Round-18 additions: the INCREMENTAL-recompute layer on the unified
   * FileLog commit core — a row-level change feed between table
-  * versions (x33, Delta CDF / Iceberg incremental-read semantics) and
-  * a materialized aggregate maintained FROM that feed instead of a
-  * full rescan (x34, the 100 TB reason the feed exists). Both ride
-  * the round-17 unification: appends, zone-pruned deletes and
-  * data-neutral compactions all flow through one versioned log, so
-  * the feed is pure log arithmetic plus scans bounded by the CHANGED
-  * files.
+  * versions (x33, Delta CDF / Iceberg incremental-read semantics), a
+  * materialized aggregate maintained FROM that feed instead of a
+  * full rescan (x34, the 100 TB reason the feed exists), widening
+  * schema evolution (x35), MERGE-style zone-pruned upsert (x36), and
+  * the streaming composition (s27: table ← exactly-once micro-batch
+  * sink, live index ← per-batch feed windows). All ride the round-17
+  * unification: appends, zone-pruned deletes/upserts and data-neutral
+  * compactions flow through one versioned log, so the feed is pure
+  * log arithmetic plus scans bounded by the CHANGED files.
   *
   * Reference tie-in: the reference rebuilds its whole index to absorb
   * any change (`generate_report.py` re-ingests per run); the feed is
@@ -222,6 +224,102 @@ object Round18Queries {
           |    AS n_with_chars,
           |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars END) AS BIGINT)
           |    AS sum_chars
-          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // X36 — MERGE-style upsert (Delta MERGE WHEN MATCHED UPDATE /
+    // WHEN NOT MATCHED INSERT), zone-pruned by the key envelope: the
+    // update batch REPLACES every doc_id ≡ 7 (mod 10) with a bumped
+    // n_chars and INSERTS shifted copies of every doc_id ≡ 3 — one
+    // atomic version, only key-overlapping files rewritten (at 100 TB
+    // a key-clustered upsert rewrites a handful of files, never the
+    // table). The final-state aggregate is keyed so a wrong merge —
+    // duplicated matched rows, dropped inserts, un-bumped updates —
+    // hash-mismatches the oracle's direct recomputation.
+    Q("x36_merge_upsert",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x36_m").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        ManifestScan.appendBatch(s, dir,
+          docs.where(col("doc_id") % 3 === 0), FeedCols, 0L) // v1
+        ManifestScan.appendBatch(s, dir,
+          docs.where(col("doc_id") % 3 =!= 0), FeedCols, 1L) // v2
+        val updates = docs.where(col("doc_id") % 10 === 7)
+            .withColumn("n_chars", col("n_chars") + 1000000L)
+          .unionByName(docs.where(col("doc_id") % 10 === 3)
+            .withColumn("doc_id", col("doc_id") + 10000000L))
+        ManifestScan.upsert(s, dir, updates, "doc_id", FeedCols) // v3
+        ManifestScan.readPrunedRanges(s, dir, Map.empty)._1
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH fin AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN doc_id % 10 = 7 THEN n_chars + 1000000
+          |         ELSE n_chars END AS n_chars
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, lang, n_chars
+          |  FROM documents WHERE doc_id % 10 = 3)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // S27 — STREAMING feed-driven index sync, the round's pieces
+    // composed end-to-end: a file stream lands embedding micro-batches
+    // in a manifest table (exactly-once appendBatch, the s26
+    // contract), and after each batch a consumer reads the table's
+    // CHANGE FEED since its last synced version and applies it to a
+    // live LSH index (applyChanges: net per-id actions → upsert /
+    // delete). A post-stream upstream DELETE flows through the same
+    // loop — the index follows the table without ever rescanning it
+    // (per-sync cost is O(delta), the property that lets a search
+    // index track a 100 TB embedding table). applyChanges is
+    // idempotent (net actions), so a replayed/overlapping window
+    // can't double-apply. The oracle is the upstream table's final
+    // state: the synced index must hold exactly those ids.
+    Q("s27_stream_feed_sync",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val srcDir = graft.util.TempDirs.create("graft_s27_src").toString
+        val tblDir = graft.util.TempDirs.create("graft_s27_tbl").toString
+        val ckpt = graft.util.TempDirs.create("graft_s27_ckpt").toString
+        val idxDir = graft.util.TempDirs.create("graft_s27_idx").toString
+        emb.repartitionByRange(4, col("id"))
+          .write.mode("overwrite").parquet(srcDir)
+        val store = graft.store.VectorStore.build(s, emb.limit(0),
+          s"$idxDir/index", graft.lsh.LshConfig(dim = 64, seed = 27L))
+        var synced = 0 // the consumer's high-water version
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            ManifestScan.appendBatch(s, tblDir, b, Seq("id"), batchId = bid,
+              shape = _.repartitionByRange(2, col("id")))
+            val cur = graft.store.FileLog.read(tblDir).version
+            if (cur > synced) {
+              store.applyChanges(ManifestScan.changes(s, tblDir, synced, cur))
+              synced = cur
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        // an upstream delete flows through the same consumer loop
+        ManifestScan.delete(s, tblDir,
+          Map("id" -> graft.store.ZoneRange.I64R(0L, 99L)), Seq("id"))
+        val cur = graft.store.FileLog.read(tblDir).version
+        store.applyChanges(ManifestScan.changes(s, tblDir, synced, cur))
+        store.indexDf.select(col("id")).orderBy("id")
+      },
+      Some("SELECT vec_id AS id FROM embeddings WHERE vec_id > 99 ORDER BY id"),
+      streaming = true)
   )
 }

@@ -471,6 +471,87 @@ object ManifestScan {
     before - remaining.count()
   }
 
+  /** MERGE-style UPSERT by key: rows of `updates` REPLACE existing
+    * rows carrying the same `keyCol` value and INSERT otherwise — the
+    * Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`
+    * shape, zone-pruned: only files whose `keyCol` zone overlaps the
+    * update batch's [min, max] key range are rewritten (a file
+    * holding a matching key MUST overlap — zones are conservative —
+    * so untouched files provably hold no match and are carried by
+    * reference). At 100 TB an upsert of one day's keys into a
+    * key-clustered table rewrites a handful of files, never the
+    * table. Duplicate keys WITHIN the batch keep the last occurrence
+    * (row order), mirroring the index stores' upsert contract.
+    *
+    * Schema evolution applies ([[evolveSchema]]): an update batch may
+    * widen the schema; rewritten files materialize the new columns,
+    * untouched pre-evolution files keep reading them as null.
+    *
+    * Commits through [[FileLog.commitRewrite]] with the touched files
+    * as the declared read set (same snapshot semantics as [[delete]]:
+    * concurrent disjoint file-local rewrites merge; overlapping ones
+    * fail loudly). The change feed shows an upsert as the old images'
+    * deletes plus the new images' inserts in one version. Returns
+    * (rowsReplaced, rowsInserted).
+    */
+  def upsert(spark: SparkSession, dir: String,
+      updates: org.apache.spark.sql.DataFrame, keyCol: String,
+      cols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val deduped = updates // keep the LAST occurrence of a duplicated key
+      .withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__seq").desc)))
+      .where(col("__rn") === 1).drop("__rn", "__seq")
+      .localCheckpoint(true) // scanned thrice (range, anti-join, union)
+    val nUpdates = deduped.count()
+    if (nUpdates == 0) return (0L, 0L)
+    require(FileLog.exists(dir),
+      s"no manifest table under $dir — seed it with appendBatch/" +
+        "buildManifest before upserting")
+    val base = FileLog.read(dir)
+    val ddl =
+      if (base.schemaDdl.nonEmpty) evolveSchema(base.schemaDdl, deduped.schema).toDDL
+      else deduped.schema.toDDL
+    val outCols = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fieldNames.toSeq
+    // the batch's key envelope, typed like the zones it prunes against
+    val mm = deduped.agg(min(col(keyCol)), max(col(keyCol))).head
+    val range: ZoneRange = mm.get(0) match {
+      case i: java.lang.Long => ZoneRange.I64R(i, mm.getLong(1))
+      case i: java.lang.Integer =>
+        ZoneRange.I64R(i.toLong, mm.getInt(1).toLong)
+      case s: String => ZoneRange.StrR(s, mm.getString(1))
+      case d: java.sql.Date =>
+        ZoneRange.DateR(d.toLocalDate, mm.getDate(1).toLocalDate)
+      case d: java.lang.Double => ZoneRange.F64R(d, mm.getDouble(1))
+      case other => throw new IllegalArgumentException(
+        s"upsert key column '$keyCol' has unzonable type " +
+          s"${if (other == null) "NULL" else other.getClass.getName}")
+    }
+    val touched = base.files.filter { f =>
+      base.zones.getOrElse(f, Map.empty).get(keyCol)
+        .forall(_.overlaps(range)) // unzoned files may hold any key
+    }
+    val existing = tableRead(spark, touched, ddl)
+    val remaining = existing
+      .join(deduped.select(keyCol), Seq(keyCol), "left_anti")
+    val nRemaining = remaining.count()
+    val nReplaced = existing.count() - nRemaining
+    val merged = remaining.select(outCols.map(col): _*)
+      .unionByName(deduped.select(outCols.map(col): _*))
+    val created = FileLog.stagedWrite(spark, dir, stage =>
+      merged.write.mode("overwrite").parquet(stage))
+    val entries = statsOf(spark, created.map(new Path(_)), cols)
+    FileLog.commitRewrite(spark, dir, base,
+      removed = touched.toSet, added = created,
+      schemaDdl = ddl,
+      addedZones = entries.map(e => e.path -> e.zones).toMap,
+      addedRows = entries.map(e => e.path -> e.rows).toMap,
+      readSet = Some(touched.toSet))
+    (nReplaced, nUpdates - nReplaced)
+  }
+
   /** Row-level CHANGE FEED between two retained versions (Delta CDF /
     * Iceberg incremental-read semantics): every row inserted into or
     * deleted from the table by versions in `(fromVersion, toVersion]`,

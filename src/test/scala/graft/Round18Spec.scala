@@ -143,6 +143,49 @@ class Round18Spec extends AnyFunSuite {
       (5L, "b", 50L, "delete", 3L), (6L, "b", 60L, "delete", 3L)))
   }
 
+  // ---------------------------------------------- merge-style upsert
+
+  test("upsert replaces matched keys, inserts the rest, prunes by zone") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("ups")
+    ManifestScan.appendBatch(spark, dir, batch(1 to 4, "a"), Cols, 0L) // v1
+    ManifestScan.appendBatch(spark, dir, batch(5 to 8, "b"), Cols, 1L) // v2
+    val before = FileLog.read(dir)
+    // id 6 replaced (twice in the batch: LAST wins), id 99 inserted —
+    // key envelope [6, 99] misses the 'a' file's [1, 4] zone
+    val (nRep, nIns) = ManifestScan.upsert(spark, dir,
+      Seq((6L, "b", 111L), (6L, "b", 666L), (99L, "c", 990L))
+        .toDF("id", "grp", "v"), "id", Cols)
+    assert(nRep == 1L && nIns == 1L)
+    val after = FileLog.read(dir)
+    val aFile = before.files.filter(f =>
+      before.zones(f)("grp") == graft.store.Zone.Str("a", "a"))
+    assert(aFile.forall(after.files.contains)) // provably unmatched: kept
+    val rows = ManifestScan.readPrunedRanges(spark, dir, Map.empty)._1
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows(6L) == 666L && rows(99L) == 990L && rows.size == 9)
+    // the feed shows the upsert as old-image deletes + new-image inserts
+    assert(feedRows(dir, 2, 3) == Set(
+      (6L, "b", 60L, "delete", 3L),
+      (6L, "b", 666L, "insert", 3L), (99L, "c", 990L, "insert", 3L)))
+  }
+
+  test("an upsert batch may widen the schema (evolution through merge)") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("upsevo")
+    ManifestScan.appendBatch(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "grp").coalesce(1), Cols, 0L)
+    val (nRep, nIns) = ManifestScan.upsert(spark, dir,
+      Seq((2L, "b", 22L)).toDF("id", "grp", "v"), "id", Cols)
+    assert(nRep == 1L && nIns == 0L)
+    val rows = ManifestScan.readPrunedRanges(spark, dir, Map.empty)._1
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, -1L), (2L, 22L)))
+  }
+
   // ------------------------- read-set-scoped optimistic rewrites
 
   test("two deletes of DISJOINT file sets racing: both land") {
