@@ -641,6 +641,44 @@ object ManifestScan {
     }
   }
 
+  /** REGION-scoped compaction: compact only the files whose zones
+    * overlap `ranges` (unzoned files are conservatively included),
+    * leaving the rest untouched — and declare exactly those files as
+    * the rewrite's READ SET, so compactions of DISJOINT regions (and
+    * any concurrent file-local rewrite elsewhere in the table) merge
+    * instead of failing. This is what lets a 100 TB table run
+    * maintenance region-by-region — yesterday's partition compacts
+    * while today's keeps ingesting and compacting independently;
+    * whole-table [[compact]] keeps the strict single-winner claim.
+    * Committed with `dataChange = false` (row-neutral: the change
+    * feed skips it). Returns (filesTouched, filesAfter); fewer than
+    * two touched files is a no-op (nothing to merge).
+    */
+  def compactWhere(spark: SparkSession, dir: String,
+      ranges: Map[String, ZoneRange], clusterCol: String,
+      targetFiles: Int, cols: Seq[String]): (Int, Int) = {
+    val base = FileLog.read(dir)
+    val touched = base.files.filter { f =>
+      val zs = base.zones.getOrElse(f, Map.empty)
+      ranges.forall { case (c, r) => zs.get(c).forall(_.overlaps(r)) }
+    }
+    if (touched.size < 2) return (touched.size, touched.size)
+    val created = FileLog.stagedWrite(spark, dir, stage =>
+      tableRead(spark, touched, base.schemaDdl)
+        .repartitionByRange(targetFiles, col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+        .write.mode("overwrite").parquet(stage))
+    val entries = statsOf(spark, created.map(new Path(_)), cols)
+    FileLog.commitRewrite(spark, dir, base,
+      removed = touched.toSet, added = created,
+      schemaDdl = base.schemaDdl,
+      addedZones = entries.map(e => e.path -> e.zones).toMap,
+      addedRows = entries.map(e => e.path -> e.rows).toMap,
+      dataChange = false, // same rows, new files
+      readSet = Some(touched.toSet))
+    (touched.size, created.size)
+  }
+
   /** Drop history ([[FileLog.vacuum]]): retain the newest `retainLast`
     * manifest versions plus any version (or unreferenced data file)
     * younger than `graceMs` — the same grace window the index stores

@@ -1,0 +1,47 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared reducer for consuming a relational table's CHANGE FEED
+  * ([[graft.sources.ManifestScan.changes]]) into an index: all three
+  * store layouts (LSH, quantized, multi-table) sync with the same
+  * net-action semantics, so the reduction lives once.
+  *
+  * A feed window may carry several events for one id (inserted then
+  * deleted, upserted twice); the index must apply each id's NET
+  * action: the newest `_commit_version` wins, and within one version
+  * an upsert's delete+insert pair resolves to the insert (the new
+  * image — 'insert' > 'delete' lexically, so one descending sort
+  * encodes both rules). This also makes application IDEMPOTENT:
+  * replaying a wider or overlapping window re-derives the same net
+  * actions, and upsert/delete are state-convergent.
+  *
+  * Sync is NOT atomic across commits: an upsert commit and a delete
+  * commit land separately, so a concurrent reader can observe the
+  * intermediate snapshot (standard CDC-consumer semantics; each
+  * snapshot is itself consistent).
+  */
+object FeedSync {
+
+  /** (net insert rows as (id, embedding), net deleted ids). The delete
+    * ids are a driver-side list — feed windows carry mutation-sized
+    * deltas, not table-sized ones (the stores' `delete(Seq[Long])`
+    * contract).
+    */
+  def net(feed: DataFrame, idCol: String,
+      embCol: String): (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    val reduced = feed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("_commit_version").desc, col("_change_type").desc)))
+      .where(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true) // one pass over the feed, reused twice
+    val inserts = reduced.where(col("_change_type") === "insert")
+      .select(col(idCol), col(embCol))
+    val deleteIds = reduced.where(col("_change_type") === "delete")
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    (inserts, deleteIds)
+  }
+}

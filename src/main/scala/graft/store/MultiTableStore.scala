@@ -242,6 +242,22 @@ final class MultiTableStore(
     * [[VectorStore.delete]] contract, ×L). Returns rows removed
     * (counted across copies) / L.
     */
+  /** Apply a relational table's CHANGE FEED to this index — net
+    * per-id actions (see [[FeedSync]]); this layout has no native
+    * upsert, so a net insert applies as delete-then-[[add]] (replace
+    * semantics, two commits — each snapshot stays consistent, see
+    * FeedSync's non-atomicity note). Idempotent under replayed
+    * windows. Returns (idsUpserted, idsDeleted).
+    */
+  def applyChanges(feed: DataFrame, idCol: String = "id",
+      embCol: String = "embedding"): (Long, Long) = {
+    val (ups, delIds) = FeedSync.net(feed, idCol, embCol)
+    val upIds = ups.select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    if (upIds.nonEmpty) { delete(upIds); add(ups, idCol, embCol) }
+    val nDel = if (delIds.nonEmpty) delete(delIds) else 0L
+    (upIds.size.toLong, nDel)
+  }
+
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     val idSet = ids.map(Long.box)

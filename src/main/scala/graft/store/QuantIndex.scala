@@ -430,6 +430,22 @@ final class QuantIndex(
     invalidateResident()
   }
 
+  /** Apply a relational table's CHANGE FEED to this index — net
+    * per-id actions (see [[FeedSync]]), inserts as [[upsert]],
+    * deletes as [[delete]]; idempotent under replayed windows.
+    * Returns (idsUpserted, idsDeleted). Same contract as
+    * `VectorStore.applyChanges` — all three layouts can track an
+    * upstream table incrementally.
+    */
+  def applyChanges(feed: DataFrame, idCol: String = "id",
+      embCol: String = "embedding"): (Long, Long) = {
+    val (ups, delIds) = FeedSync.net(feed, idCol, embCol)
+    val nUp = ups.count()
+    if (nUp > 0) upsert(ups, idCol, embCol)
+    val nDel = if (delIds.nonEmpty) delete(delIds) else 0L
+    (nUp, nDel)
+  }
+
   /** Compact the index's data files (every add/upsert appends at least
     * one file per touched cell — see [[VectorStore.compact]]).
     * Preserves the build's within-cell id ordering so the re-rank's id

@@ -352,24 +352,9 @@ final class VectorStore(
     */
   def applyChanges(feed: DataFrame, idCol: String = "id",
       embCol: String = "embedding"): (Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    val net = feed
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol))
-          // 'insert' > 'delete' lexically: the upsert pair at one
-          // version resolves to its insert (the new image)
-          .orderBy(col("_commit_version").desc, col("_change_type").desc)))
-      .where(col("__rn") === 1).drop("__rn")
-      .localCheckpoint(true) // one pass over the feed, reused twice
-    val ups = net.where(col("_change_type") === "insert")
-      .select(col(idCol), col(embCol))
-    val dels = net.where(col("_change_type") === "delete")
-      .select(col(idCol))
+    val (ups, delIds) = FeedSync.net(feed, idCol, embCol)
     val nUp = ups.count()
     if (nUp > 0) upsert(ups, idCol, embCol)
-    // delete ids are a driver-side list today (delete(Seq[Long])) —
-    // feed windows carry mutation-sized deltas, not table-sized ones
-    val delIds = dels.collect().map(_.getLong(0)).toSeq
     val nDel = if (delIds.nonEmpty) delete(delIds) else 0L
     (nUp, nDel)
   }

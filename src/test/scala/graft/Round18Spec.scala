@@ -336,6 +336,92 @@ class Round18Spec extends AnyFunSuite {
     assert(rows == Set((1L, -1L), (3L, 30L)))
   }
 
+  // ------------------------------------------- region compaction
+
+  test("compactWhere compacts only the targeted region; feed skips it") {
+    val dir = fresh("cw")
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (g, i) =>
+      ManifestScan.appendBatch(spark, dir,
+        batch(i * 4 + 1 to i * 4 + 4, g), Cols, i.toLong) // v1..v4
+    }
+    val before = FileLog.read(dir)
+    val (touched, after) = ManifestScan.compactWhere(spark, dir,
+      Map("grp" -> ZoneRange.StrR("a", "b")), "id", 1, Cols) // v5
+    assert(touched == 2 && after == 1)
+    val cur = FileLog.read(dir)
+    assert(cur.files.size == 3) // 1 merged + c and d by reference
+    val cdFiles = before.files.filter { f =>
+      val z = before.zones(f)("grp")
+      z == graft.store.Zone.Str("c", "c") || z == graft.store.Zone.Str("d", "d")
+    }
+    assert(cdFiles.size == 2 && cdFiles.forall(cur.files.contains))
+    assert(!cur.dataChange) // row-neutral: the feed skips it unscanned
+    val feed = ManifestScan.changes(spark, dir, 4, 5)
+    assert(feed.count() == 0 && feed.inputFiles.isEmpty)
+    assert(ManifestScan.readPrunedRanges(spark, dir, Map.empty)._1
+      .count() == 16)
+  }
+
+  test("two region compactions of DISJOINT regions race: both land") {
+    val dir = fresh("cwrace")
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (g, i) =>
+      ManifestScan.appendBatch(spark, dir,
+        batch(i * 4 + 1 to i * 4 + 4, g), Cols, i.toLong) // v1..v4
+    }
+    // the RIGHT-region compaction pins its snapshot and stages first
+    val baseB = FileLog.read(dir)
+    val rightFiles = baseB.files.filter { f =>
+      val z = baseB.zones(f)("grp")
+      z == graft.store.Zone.Str("c", "c") || z == graft.store.Zone.Str("d", "d")
+    }.toSet
+    val createdB = FileLog.stagedWrite(spark, dir, stage =>
+      spark.read.parquet(rightFiles.toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(stage))
+    // LEFT region compacts and commits first (v5)...
+    ManifestScan.compactWhere(spark, dir,
+      Map("grp" -> ZoneRange.StrR("a", "b")), "id", 1, Cols)
+    // ...RIGHT commits against its stale base, declaring its region
+    // as the read set: disjoint regions commute, both land (v6)
+    FileLog.commitRewrite(spark, dir, baseB, rightFiles, createdB,
+      baseB.schemaDdl, dataChange = false, readSet = Some(rightFiles))
+    val cur = FileLog.read(dir)
+    assert(cur.files.size == 2) // left-merged + right-merged
+    assert(spark.read.parquet(cur.files: _*).select("id")
+      .collect().map(_.getLong(0)).toSet == (1L to 16L).toSet)
+  }
+
+  // ------------------------------- tri-layout feed sync parity
+
+  test("quantized and multi-table layouts sync from the same feed") {
+    val dir = fresh("sync3_tbl")
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    ManifestScan.appendBatch(spark, dir,
+      emb.where(col("id") < 300), Seq("id"), 0L) // v1
+    val atV1 = ManifestScan.readPrunedAsOf(spark, dir, 1, Map.empty)._1
+    val quant = graft.store.QuantIndex.build(spark, atV1,
+      s"${fresh("sync3_q")}/index", graft.store.QuantConfig())
+    val mt = graft.store.MultiTableStore.build(spark, atV1,
+      s"${fresh("sync3_mt")}/index",
+      graft.lsh.LshConfig(numHashFunctions = 4, numHashTables = 4,
+        dim = 64, seed = 18L, multiTable = true))
+    ManifestScan.appendBatch(spark, dir,
+      emb.where(col("id") >= 300), Seq("id"), 1L) // v2
+    ManifestScan.delete(spark, dir,
+      Map("id" -> ZoneRange.I64R(0L, 49L)), Seq("id")) // v3
+    val want = ManifestScan.readPrunedRanges(spark, dir, Map.empty)._1
+      .select("id").collect().map(_.getLong(0)).toSet
+    def feed() = ManifestScan.changes(spark, dir, 1, 3)
+    val (qUp, qDel) = quant.applyChanges(feed())
+    assert(qUp == 200L && qDel == 50L)
+    assert(quant.indexDf.select("id").collect()
+      .map(_.getLong(0)).toSet == want)
+    val (mUp, mDel) = mt.applyChanges(feed())
+    assert(mUp == 200L && mDel == 50L)
+    assert(mt.indexDf.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet == want)
+  }
+
   // ------------------------------------ incremental view maintenance
 
   test("incremental aggregate refresh equals full recompute") {
