@@ -422,6 +422,76 @@ class Round18Spec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == want)
   }
 
+  // -------------------------------------------- mixed-writer chaos
+
+  test("mixed concurrent writers: zero row loss, feed reconstructs state") {
+    val dir = fresh("chaos")
+    // seed: 8 single-file batches with tight grp zones (v1..v8)
+    val seedGrps = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    seedGrps.zipWithIndex.foreach { case (g, i) =>
+      ManifestScan.appendBatch(spark, dir,
+        batch(i * 4 + 1 to i * 4 + 4, g), Cols, i.toLong)
+    }
+    // four writers race: more appends, two single-grp deletes, a
+    // region compaction OVERLAPPING one delete's region. Rewrites
+    // retry on ConcurrentCommitException (the documented contract);
+    // appends and disjoint-read-set rewrites merge on their own.
+    def retrying[T](body: => T): T = {
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        try out = Some(body)
+        catch { case _: ConcurrentCommitException => Thread.sleep(10) }
+      }
+      out.get
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() => (0 until 4).foreach { i => // appends i..l
+        ManifestScan.appendBatch(spark, dir,
+          batch(100 + i * 4 + 1 to 100 + i * 4 + 4, ('i' + i).toChar.toString),
+          Cols, 100L + i)
+      }),
+      new Thread(() => retrying {
+        ManifestScan.delete(spark, dir,
+          Map("grp" -> ZoneRange.StrR("b", "b")), Cols)
+      }: Unit),
+      new Thread(() => retrying {
+        ManifestScan.delete(spark, dir,
+          Map("grp" -> ZoneRange.StrR("f", "f")), Cols)
+      }: Unit),
+      new Thread(() => retrying {
+        ManifestScan.compactWhere(spark, dir,
+          Map("grp" -> ZoneRange.StrR("a", "d")), "id", 1, Cols)
+      }: Unit)
+    ).map { t =>
+      t.setUncaughtExceptionHandler((_, e) => { errs.add(e); () })
+      t.start(); t
+    }
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer died: ${Option(errs.peek()).map(_.toString)}")
+    // final state is deterministic regardless of interleaving: every
+    // seed grp except the two deleted, plus all appended grps
+    val want = (seedGrps.zipWithIndex.filterNot(g => g._1 == "b" || g._1 == "f")
+      .flatMap { case (_, i) => (i * 4 + 1) to (i * 4 + 4) } ++
+      (0 until 4).flatMap(i => (100 + i * 4 + 1) to (100 + i * 4 + 4)))
+      .map(_.toLong).toSet
+    val cur = FileLog.read(dir)
+    val got = spark.read.parquet(cur.files: _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "physical row loss or resurrection under race")
+    // and the CHANGE FEED replays the whole racy history to the same
+    // state: net per-id actions over (0, head] must equal the table
+    val (ins, delIds) = graft.store.FeedSync.net(
+      ManifestScan.changes(spark, dir, 0, cur.version), "id", "grp")
+    val feedIds = ins.select("id").collect().map(_.getLong(0)).toSet
+    assert(feedIds == want, "feed-reconstructed state diverges")
+    assert(delIds.toSet ==
+      (seedGrps.indexOf("b") * 4 + 1 to seedGrps.indexOf("b") * 4 + 4)
+        .map(_.toLong).toSet ++
+      (seedGrps.indexOf("f") * 4 + 1 to seedGrps.indexOf("f") * 4 + 4)
+        .map(_.toLong).toSet)
+  }
+
   // ------------------------------------ incremental view maintenance
 
   test("incremental aggregate refresh equals full recompute") {
