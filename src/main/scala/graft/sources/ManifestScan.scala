@@ -581,7 +581,13 @@ object ManifestScan {
     * a consumer's read cadence bounds the [[vacuum]] `retainLast` it
     * needs. A vacuumed version surfaces as the typed
     * [[graft.store.SnapshotVacuumedException]] — re-seed the consumer
-    * from a full scan, the standard CDC-retention contract.
+    * from a full scan, the standard CDC-retention contract. That
+    * check happens at PLANNING time (version-log reads); the returned
+    * frame is lazy, so a consumer whose SCAN races a concurrent
+    * vacuum past its snapshot should run its action inside
+    * [[graft.store.FileLog.classified]]`(dir) { feed.collect() }` to
+    * get the same typed error instead of a raw FileNotFound (the
+    * stores' own eager actions are already wrapped).
     */
   def changes(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
