@@ -320,6 +320,70 @@ object Round18Queries {
         store.indexDf.select(col("id")).orderBy("id")
       },
       Some("SELECT vec_id AS id FROM embeddings WHERE vec_id > 99 ORDER BY id"),
+      streaming = true),
+
+    // S28 — streaming DEDUP-AT-INGEST against ALL history: each
+    // micro-batch is deduplicated within itself (min doc_id per text
+    // fingerprint), anti-joined against the fingerprints of EVERY
+    // previously accepted document (the growing corpus table — state
+    // that survives restarts, unlike in-memory stream state), and the
+    // survivors land exactly-once. The history side is read COLUMN-
+    // PRUNED (only the 32-byte fingerprint column of the corpus scan
+    // feeds the anti-join — at 100 TB that is a ~1% read of the
+    // table, and a production layout hash-clusters the fingerprint
+    // column so the join also file-prunes; the d1 batch dedup's
+    // posture, made incremental). Which copy of a cross-batch
+    // duplicate survives depends on arrival order, so the oracle pins
+    // the order-invariant truth: the accepted corpus carries exactly
+    // the distinct texts, each once. The stream carries planted
+    // RE-CRAWLS (every 7th doc again under a high doc_id, landing in
+    // a LATER micro-batch than its original via the id-range file
+    // split) so the cross-history path provably rejects rows at every
+    // sf — a gate that forgot its history would land ~14% extra rows
+    // and fail the row-count half of the oracle compare.
+    Q("s28_stream_dedup_gate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val docs = base.unionByName(base // the re-crawl copies
+          .where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+        val srcDir = graft.util.TempDirs.create("graft_s28_src").toString
+        val corpusDir = graft.util.TempDirs.create("graft_s28_corp").toString
+        val ckpt = graft.util.TempDirs.create("graft_s28_ckpt").toString
+        docs.repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            val withH = b.withColumn("h", md5(col("text")))
+            val inBatch = withH.withColumn("__rn",
+                row_number().over(
+                  Window.partitionBy("h").orderBy("doc_id")))
+              .where(col("__rn") === 1).drop("__rn")
+            val fresh =
+              if (graft.store.FileLog.exists(corpusDir)) {
+                val hist = ManifestScan
+                  .readPrunedRanges(s, corpusDir, Map.empty)._1
+                  .select("h") // column-pruned: fingerprints only
+                inBatch.join(hist, Seq("h"), "left_anti")
+              } else inBatch
+            ManifestScan.appendBatch(s, corpusDir, fresh,
+              Seq("doc_id"), batchId = bid)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        ManifestScan.readPrunedRanges(s, corpusDir, Map.empty)._1
+          .select(col("h")).orderBy("h")
+      },
+      Some("SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"),
       streaming = true)
   )
 }
