@@ -457,7 +457,12 @@ object ManifestScan {
     val pred = ranges.map { case (c, r) => residual(c, r) }.reduce(_ && _)
     val in = tableRead(spark, touched, base.schemaDdl)
     val before = in.count()
-    val remaining = in.where(!pred)
+    // SQL DELETE semantics: a NULL predicate RETAINS the row (it did
+    // not match). Without the coalesce, !NULL = NULL and the row is
+    // silently dropped — reachable here because files predating a
+    // schema widening read evolved columns as NULL yet are
+    // conservatively zone-matched (no zone recorded for that column).
+    val remaining = in.where(!coalesce(pred, lit(false)))
     val created = FileLog.stagedWrite(spark, dir, stage =>
       remaining.write.mode("overwrite").parquet(stage))
     val entries = statsOf(spark, created.map(new Path(_)), cols)
@@ -480,8 +485,13 @@ object ManifestScan {
     * so untouched files provably hold no match and are carried by
     * reference). At 100 TB an upsert of one day's keys into a
     * key-clustered table rewrites a handful of files, never the
-    * table. Duplicate keys WITHIN the batch keep the last occurrence
-    * (row order), mirroring the index stores' upsert contract.
+    * table. Duplicate keys WITHIN the batch: with `seqCol` supplied,
+    * the row with the HIGHEST `seqCol` value wins (deterministic —
+    * the caller's event-time/sequence column); without it, the winner
+    * follows physical row order (`monotonically_increasing_id`),
+    * which is deterministic only for a single-partition batch — a
+    * shuffled multi-partition batch's winner is partition-layout-
+    * dependent, so callers with duplicate keys should pass `seqCol`.
     *
     * Schema evolution applies ([[evolveSchema]]): an update batch may
     * widen the schema; rewritten files materialize the new columns,
@@ -496,10 +506,11 @@ object ManifestScan {
     */
   def upsert(spark: SparkSession, dir: String,
       updates: org.apache.spark.sql.DataFrame, keyCol: String,
-      cols: Seq[String]): (Long, Long) = {
+      cols: Seq[String], seqCol: Option[String] = None): (Long, Long) = {
     import org.apache.spark.sql.expressions.Window
-    val deduped = updates // keep the LAST occurrence of a duplicated key
-      .withColumn("__seq", monotonically_increasing_id())
+    val deduped = updates // keep the winning occurrence of a dup key
+      .withColumn("__seq", seqCol.map(col)
+        .getOrElse(monotonically_increasing_id()))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("__seq").desc)))
       .where(col("__rn") === 1).drop("__rn", "__seq")
@@ -659,6 +670,13 @@ object ManifestScan {
       v += 1
     }
     parts.result() match {
+      case Seq() if toState.schemaDdl.isEmpty =>
+        // changes(dir, 0, 0): the table does not exist yet, so there
+        // is no data schema to resolve against — an empty feed with
+        // only the feed's own metadata columns (fromDDL("") throws)
+        spark.range(0).select(
+          lit("insert").as("_change_type"),
+          lit(0L).as("_commit_version"))
       case Seq() => // empty feed, but with the full feed schema
         tag(readFiles(Seq.empty), "insert", 0).limit(0)
       case ps => ps.reduce(_.unionByName(_))

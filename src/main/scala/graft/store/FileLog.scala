@@ -355,11 +355,17 @@ object FileLog {
       val zones = (cur.zones -- removed) ++ addedZones
       val rows = (cur.rows -- removed) ++ addedRows
       val batchId = math.max(base.batchId, cur.batchId)
+      // The caller's schemaDdl was derived from the STALE base: if an
+      // interloping append widened the schema since (evolveSchema),
+      // committing the narrow DDL would regress the log and every
+      // read resolves files against the logged schema — the evolved
+      // column would silently vanish. Commit the UNION of both.
+      val mergedDdl = mergeSchemas(schemaDdl, cur.schemaDdl)
       // CAS at exactly cur.version + 1 (see transact): an interloper
       // landing after our read makes this CAS fail → re-examine
       val next = cur.version + 1
       val json = render(
-        Commit(files, schemaDdl, batchId, zones, rows, dataChange), next)
+        Commit(files, mergedDdl, batchId, zones, rows, dataChange), next)
       if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
         FsIo.writeStringAtomic(currentPath(dir), json)
         return next
@@ -369,6 +375,33 @@ object FileLog {
         s"gave up rewriting under $dir after $attempts lost races")
     }
     -1 // unreachable
+  }
+
+  /** Wider union of two schema DDLs — order-preserving (`a`'s columns
+    * first, then `b`'s additions), used by [[commitRewrite]] to keep a
+    * concurrently evolved schema when merging past interloping
+    * commits. Widening only ever APPENDS columns, so the union is the
+    * unique reconciliation; two commits disagreeing on an existing
+    * column's TYPE cannot be merged and fail as a concurrent-commit
+    * conflict (re-read and redo).
+    */
+  private def mergeSchemas(a: String, b: String): String = {
+    if (a.isEmpty) return b
+    if (b.isEmpty || a == b) return a
+    import org.apache.spark.sql.types.StructType
+    val sa = StructType.fromDDL(a)
+    val sb = StructType.fromDDL(b)
+    val inB = sb.fields.map(f => f.name -> f).toMap
+    sa.fields.foreach { f =>
+      inB.get(f.name).foreach { g =>
+        if (g.dataType != f.dataType) throw new ConcurrentCommitException(
+          s"concurrent commits disagree on column '${f.name}' type " +
+            s"(${f.dataType.simpleString} vs ${g.dataType.simpleString}) " +
+            "— cannot merge schemas; re-read and retry")
+      }
+    }
+    val known = sa.fieldNames.toSet
+    StructType(sa.fields ++ sb.fields.filterNot(f => known(f.name))).toDDL
   }
 
   /** Every parquet data file physically under `dir` (recursive —
