@@ -23,6 +23,18 @@ import graft.lsh.LshConfig
   */
 object Bench {
 
+  /** A GAUGE is a non-time measurement (a recall fraction, an index
+    * MB, a file count) riding along in the detail output. Gauges live
+    * in their own JSON map, never the seconds map: r12's generated
+    * report ranked `x34_files_full` (a FILE COUNT of 33) as the
+    * slowest query because everything in `queries` is presumed
+    * seconds — anything that sums or ranks that map inherits the lie.
+    * Shared with Report so both sides agree on the split.
+    */
+  private[graft] def isGauge(n: String): Boolean =
+    n.startsWith("index_mb") || n.startsWith("knn_pruned_recall") ||
+      n.contains("_files_")
+
   /** Query-name prefix → headline group total. Shared with Report so
     * its section-4 group bars always match the bench's group totals.
     */
@@ -139,7 +151,7 @@ object Bench {
       "x21_zorder_layout", "x22_corrupt_records", "p12_temperature_mix",
       "r77_skew_join", "r75_bloom_runtime_filter",
       "s21_stream_quant_ingest", "s6_stream_stream_join",
-      "d26_editdist_pairs", "r80_bfs_levels")
+      "d26_editdist_pairs_cap200", "r80_bfs_levels")
     // The whole v-group + e1 joined in round 10 (r7 verdict: e1's
     // 0.31↔0.51 s swing and the vector_total roll-up were pure ambient
     // noise on an unchanged plan — warm medians make the group's
@@ -357,12 +369,14 @@ object Bench {
             .withColumn("rn", row_number().over(w))
             .where(col("rn") <= 10)
             .count()
-        // Warm-up + median of 3: the r4 close run recorded 7.0 ms/query
+        // Warm-up + median of 5: the r4 close run recorded 7.0 ms/query
         // against 3.6–4.4 ms in isolated runs — a single cold timing is
         // hostage to ambient load from the preceding 175-query sweep.
-        // Median-of-3 after an untimed warm-up pins the steady state.
+        // Median-of-5 after an untimed warm-up pins the steady state
+        // (bumped from 3 with the r12 sub-second-row hardening; the
+        // row is ~0.3 s, so two extra runs are noise-cheap).
         runBatch()
-        val t = Seq.fill(3)(timed(runBatch())).sorted.apply(1)
+        val t = Seq.fill(5)(timed(runBatch())).sorted.apply(2)
         knn += "knn_batch100_total" -> t
         knn += "knn_batch100_per_query" -> t / 100.0
       }
@@ -455,17 +469,25 @@ object Bench {
           // resident index, mirroring the warm `indexDf.cache()` the
           // exact-kNN protocol times against
           val qidx = graft.queries.QuantCache.forDir(spark, sfDir).cacheIndex()
-          def meanQ(label: String)(f: Array[Double] => Unit): Unit = {
+          // MEDIAN over the 20 warm queries, not mean (r12 verdict
+          // What's-wrong #2): a mean-of-20 is hostage to one ambient
+          // GC/load spike — the r12 driver run reported knn_pq_k10 at
+          // 0.145 s where the same-HEAD quiet run had 0.062 s, a pure
+          // measurement phantom. The median absorbs a burst exactly
+          // like knn_exact's p50 rows (20 samples ≥ the prescribed
+          // median-of-5's protection), so every knn_* row is now a
+          // median and two quiet same-HEAD runs agree run-to-run.
+          def medQ(label: String)(f: Array[Double] => Unit): Unit = {
             queries.take(5).foreach(f) // warm-up, not timed
-            val ts = queries.map(q => timed(f(q)))
-            knn += label -> ts.sum / ts.size
+            val ts = queries.map(q => timed(f(q))).sorted
+            knn += label -> ts(ts.size / 2)
           }
-          meanQ("knn_sq8_k10")(q => qidx.searchSq8(q, 10).collect())
-          meanQ("knn_int4_k10")(q => qidx.searchInt4(q, 10).collect())
-          meanQ("knn_pq_k10")(q => qidx.searchPq(q, 10).collect())
-          meanQ("knn_ivfpq_k10")(q => qidx.searchIvfPq(q, 10).collect())
-          meanQ("knn_ivfpqr_k10")(q => qidx.searchIvfPqResidual(q, 10).collect())
-          meanQ("knn_bitq_k10")(q => qidx.searchBitq(q, 10).collect())
+          medQ("knn_sq8_k10")(q => qidx.searchSq8(q, 10).collect())
+          medQ("knn_int4_k10")(q => qidx.searchInt4(q, 10).collect())
+          medQ("knn_pq_k10")(q => qidx.searchPq(q, 10).collect())
+          medQ("knn_ivfpq_k10")(q => qidx.searchIvfPq(q, 10).collect())
+          medQ("knn_ivfpqr_k10")(q => qidx.searchIvfPqResidual(q, 10).collect())
+          medQ("knn_bitq_k10")(q => qidx.searchBitq(q, 10).collect())
         }
 
         knn += "knn_pruned_k10_of16" -> {
@@ -473,11 +495,12 @@ object Bench {
             VectorStore.searchIn(
               df16.where(store16.pruneFilter(q, 2)), q, 10).collect()
           }
+          // median-of-20 like every other knn_* row (was a mean)
           val ts = queries.map { q =>
             timed(VectorStore.searchIn(
               df16.where(store16.pruneFilter(q, 2)), q, 10).collect())
-          }
-          ts.sum / ts.size
+          }.sorted
+          ts(ts.size / 2)
         }
         df16.unpersist()
       }
@@ -486,13 +509,16 @@ object Bench {
     }
 
     // layoutPhases decompose timings already counted in perQuery, so
-    // they appear in the detail map but not in the total.
-    val results = quantBuild ++ perQuery ++ knn ++ layoutPhases
-    // _p95 rows re-describe runs already counted by their p50 sibling;
-    // recall/index_mb rows aren't seconds at all.
+    // they appear in the detail map but not in the total. Gauges
+    // (recall fractions, index MB, file counts) split into their own
+    // map — `queries` holds ONLY wall-clock seconds.
+    val (gauges, results) =
+      (quantBuild ++ perQuery ++ knn ++ layoutPhases)
+        .partition(e => Bench.isGauge(e._1))
+    // _p95 rows re-describe runs already counted by their p50 sibling.
     val total = quantBuild.map(_._2).sum + perQuery.map(_._2).sum +
-      knn.filterNot(e => e._1.startsWith("knn_pruned_recall") ||
-        e._1.startsWith("index_mb") || e._1.endsWith("_p95")).map(_._2).sum
+      knn.filterNot(e => Bench.isGauge(e._1) || e._1.endsWith("_p95"))
+        .map(_._2).sum
 
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
@@ -517,7 +543,7 @@ object Bench {
       new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json").getPath)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      (f"""{"metric":"total","value":$total%.3f,"unit":"sec",$provenance,"queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n")
+      (f"""{"metric":"total","value":$total%.3f,"unit":"sec",$provenance,"queries":${jsonMap(results)},"gauges":${jsonMap(gauges)},"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
@@ -551,12 +577,14 @@ object Bench {
       .toSeq.sortBy(_._1)
     val flagship = Set("r6_tpch_q1", "r9_window_rank", "m1_minhash_pairs",
       "e1_ann_cosine_topk", "d1_dedup_exact", "s1_stream_tumble")
-    val headline = quantBuild ++ knn.toSeq ++ groups ++
+    val headline = quantBuild ++
+      knn.toSeq.filterNot(e => Bench.isGauge(e._1)) ++ groups ++
       perQuery.filter { case (n, _) => flagship(n) }
+    val headGauges = knn.toSeq.filter(e => Bench.isGauge(e._1))
     // Stop Spark BEFORE printing so nothing it logs at shutdown can
     // land after the JSON line (the driver parses the last line).
     spark.stop()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headline)},"sf":"$sfDir","detail":"$detailPath"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headline)},"gauges":${jsonMap(headGauges)},"sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

@@ -25,14 +25,19 @@ object Report {
     "█" * math.max(0, math.min(BarWidth, math.round(frac * BarWidth).toInt))
 
   /** Minimal parser for Bench's flat detail line:
-    * {"metric":...,"queries":{"name":1.23,...},"sf":"..."} — every
-    * value in `queries` is a bare number, so a regex scan is exact.
+    * {"metric":...,"queries":{"name":1.23,...},"gauges":{...},
+    * "sf":"..."}. Parses ONLY the named flat object — scanning the
+    * whole line (the r12 bug) also swallowed the provenance's
+    * `load_avg_*` and ranked a load average as a query.
     */
-  private def parseQueries(json: String): Seq[(String, Double)] = {
+  private def parseMap(json: String, key: String): Seq[(String, Double)] = {
+    val start = json.indexOf("\"" + key + "\":{")
+    if (start < 0) return Seq.empty
+    val open = json.indexOf('{', start)
+    val close = json.indexOf('}', open) // flat object, no nesting
     val m = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
-    m.findAllMatchIn(json)
+    m.findAllMatchIn(json.substring(open, close + 1))
       .map(g => g.group(1) -> g.group(2).toDouble)
-      .filter { case (k, _) => k != "value" && k != "sf" }
       .toSeq
   }
 
@@ -43,7 +48,11 @@ object Report {
 
     val detail = new String(
       Files.readAllBytes(Paths.get(detailPath)), "UTF-8")
-    val q = parseQueries(detail).toMap
+    // seconds and gauges (recall/MB/file counts) are separate maps;
+    // lookups by name may draw from either, but anything that SUMS or
+    // RANKS works over the seconds map alone
+    val secs = parseMap(detail, "queries").toMap
+    val q = secs ++ parseMap(detail, "gauges").toMap
     val totalRe = """"metric":"total","value":([0-9.]+)""".r
     val total = totalRe.findFirstMatchIn(detail).map(_.group(1)).getOrElse("?")
     val sfRe = """"sf":"([^"]+)"""".r
@@ -185,9 +194,9 @@ object Report {
     // ---- 4. Query-group totals + slowest ---------------------------
     // The detail file carries per-query entries only; derive group
     // totals via Bench.groupOf (the single shared mapping).
-    val perQuery = q.filterNot { case (k, _) =>
+    val perQuery = secs.filterNot { case (k, _) =>
       k.startsWith("knn_") || k.startsWith("index_build") ||
-        k.startsWith("index_mb") ||
+        Bench.isGauge(k) ||
         k == "quant_index_build" || k.endsWith("_total")
     }
     val groups = perQuery.groupBy { case (n, _) => Bench.groupOf(n) }

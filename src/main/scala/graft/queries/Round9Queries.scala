@@ -431,7 +431,7 @@ object Round9Queries {
     // banded threshold form (levenshtein(a, b, t) early-exits at
     // O(t·len) instead of O(len²)) — the compute bound that matters
     // when the blocks hold millions of rows.
-    Q("d26_editdist_pairs",
+    Q("d26_editdist_pairs_cap200",
       (s, d) => {
         val docs = Tables.documents(s, d).where(col("doc_id") < 200)
           .select(col("doc_id"),

@@ -24,13 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object FeedSync {
 
-  /** (net insert rows as (id, embedding), net deleted ids). The delete
-    * ids are a driver-side list — feed windows carry mutation-sized
-    * deltas, not table-sized ones (the stores' `delete(Seq[Long])`
-    * contract).
+  /** (net insert rows as (id, embedding), net deleted ids as a
+    * single-column frame). BOTH sides stay distributed — the r12
+    * verdict's scale wart was collecting the delete ids here, which
+    * made feed sync the only bulk-delete path routing ids through the
+    * driver; the stores' `delete(DataFrame, idCol)` overload keeps
+    * them executor-side end to end.
     */
   def net(feed: DataFrame, idCol: String,
-      embCol: String): (DataFrame, Seq[Long]) = {
+      embCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val reduced = feed
       .withColumn("__rn", row_number().over(
@@ -40,8 +42,8 @@ object FeedSync {
       .localCheckpoint(true) // one pass over the feed, reused twice
     val inserts = reduced.where(col("_change_type") === "insert")
       .select(col(idCol), col(embCol))
-    val deleteIds = reduced.where(col("_change_type") === "delete")
-      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
-    (inserts, deleteIds)
+    val deletes = reduced.where(col("_change_type") === "delete")
+      .select(col(idCol))
+    (inserts, deletes)
   }
 }

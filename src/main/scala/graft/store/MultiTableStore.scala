@@ -251,18 +251,31 @@ final class MultiTableStore(
     */
   def applyChanges(feed: DataFrame, idCol: String = "id",
       embCol: String = "embedding"): (Long, Long) = {
-    val (ups, delIds) = FeedSync.net(feed, idCol, embCol)
-    val upIds = ups.select(col(idCol)).collect().map(_.getLong(0)).toSeq
-    if (upIds.nonEmpty) { delete(upIds); add(ups, idCol, embCol) }
-    val nDel = if (delIds.nonEmpty) delete(delIds) else 0L
-    (upIds.size.toLong, nDel)
+    val (ups, dels) = FeedSync.net(feed, idCol, embCol)
+    // replace = delete-then-add; both sides stay distributed (the
+    // upsert ids previously transited the driver too)
+    val nUp = ups.count()
+    if (nUp > 0) { delete(ups.select(col(idCol)), idCol); add(ups, idCol, embCol) }
+    val nDel = delete(dels, idCol) // distributed: ids never hit the driver
+    (nUp, nDel)
   }
 
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
-    val idSet = ids.map(Long.box)
+    import spark.implicits._
+    delete(spark.createDataset(ids).toDF("id"), "id")
+  }
+
+  /** Distributed delete — ids as a DataFrame column, never through
+    * the driver (see [[VectorStore.delete]]); only the affected
+    * (table, bucket) PAIRS — bounded by L·numBuckets — are collected.
+    * The Seq overload is sugar over this.
+    */
+  def delete(delDf: DataFrame, idCol: String): Long = {
+    val ids = delDf.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true) // scanned thrice: semi-join, anti-join ×2
     val (log, cur) = pinned()
-    val affected = cur.where(col("id").isin(idSet: _*))
+    val affected = cur.join(ids, Seq("id"), "left_semi")
       .select(col("table").cast("int"), col("bucket").cast("int"))
       .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     if (affected.isEmpty) return 0L
@@ -271,7 +284,7 @@ final class MultiTableStore(
     }.reduce(_ || _)
     val inParts = cur.where(hit)
     val before = inParts.count()
-    val remaining = inParts.where(!col("id").isin(idSet: _*))
+    val remaining = inParts.join(ids, Seq("id"), "left_anti")
     // replacement files append; one atomic log commit retires the
     // affected partitions' old files (fully-emptied partitions simply
     // publish nothing) — readers see pre- or post-state, never torn

@@ -365,9 +365,20 @@ final class QuantIndex(
     */
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
-    val idSet = ids.map(Long.box)
+    import spark.implicits._
+    delete(spark.createDataset(ids).toDF("id"), "id")
+  }
+
+  /** Distributed delete — ids as a DataFrame column, never through
+    * the driver (see [[VectorStore.delete]]: semi-join finds the
+    * cells, anti-join rewrites them; only CELL ids, bounded by
+    * ivfCells, are collected). The Seq overload is sugar over this.
+    */
+  def delete(delDf: DataFrame, idCol: String): Long = {
+    val ids = delDf.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true) // scanned thrice: semi-join, anti-join ×2
     val (log, cur) = pinned()
-    val affected = cur.where(col("id").isin(idSet: _*))
+    val affected = cur.join(ids, Seq("id"), "left_semi")
       .select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0))
     if (affected.isEmpty) return 0L
@@ -376,7 +387,7 @@ final class QuantIndex(
     val before = inCells.count()
     // replacement files APPEND; one atomic log commit retires the
     // affected cells' old files (readers see pre- or post-state)
-    val remaining = inCells.where(!col("id").isin(idSet: _*))
+    val remaining = inCells.join(ids, Seq("id"), "left_anti")
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
       remaining.repartition(affected.length, col("cell"))
         .sortWithinPartitions("cell", "id")
@@ -439,10 +450,10 @@ final class QuantIndex(
     */
   def applyChanges(feed: DataFrame, idCol: String = "id",
       embCol: String = "embedding"): (Long, Long) = {
-    val (ups, delIds) = FeedSync.net(feed, idCol, embCol)
+    val (ups, dels) = FeedSync.net(feed, idCol, embCol)
     val nUp = ups.count()
     if (nUp > 0) upsert(ups, idCol, embCol)
-    val nDel = if (delIds.nonEmpty) delete(delIds) else 0L
+    val nDel = delete(dels, idCol) // distributed: ids never hit the driver
     (nUp, nDel)
   }
 

@@ -481,11 +481,11 @@ class Round18Spec extends AnyFunSuite {
     assert(got == want, "physical row loss or resurrection under race")
     // and the CHANGE FEED replays the whole racy history to the same
     // state: net per-id actions over (0, head] must equal the table
-    val (ins, delIds) = graft.store.FeedSync.net(
+    val (ins, dels) = graft.store.FeedSync.net(
       ManifestScan.changes(spark, dir, 0, cur.version), "id", "grp")
     val feedIds = ins.select("id").collect().map(_.getLong(0)).toSet
     assert(feedIds == want, "feed-reconstructed state diverges")
-    assert(delIds.toSet ==
+    assert(dels.collect().map(_.getLong(0)).toSet ==
       (seedGrps.indexOf("b") * 4 + 1 to seedGrps.indexOf("b") * 4 + 4)
         .map(_.toLong).toSet ++
       (seedGrps.indexOf("f") * 4 + 1 to seedGrps.indexOf("f") * 4 + 4)

@@ -136,7 +136,7 @@ class Round9Spec extends AnyFunSuite {
   }
 
   test("d26: block join is a hash join; distances bounded by threshold") {
-    val q = queries.Registry.all.find(_.name == "d26_editdist_pairs").get
+    val q = queries.Registry.all.find(_.name == "d26_editdist_pairs_cap200").get
     val df = q.run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
