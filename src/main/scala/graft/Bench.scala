@@ -485,9 +485,30 @@ object Bench {
           medQ("knn_sq8_k10")(q => qidx.searchSq8(q, 10).collect())
           medQ("knn_int4_k10")(q => qidx.searchInt4(q, 10).collect())
           medQ("knn_pq_k10")(q => qidx.searchPq(q, 10).collect())
+          medQ("knn_opq_k10")(q => qidx.searchOpq(q, 10).collect())
           medQ("knn_ivfpq_k10")(q => qidx.searchIvfPq(q, 10).collect())
           medQ("knn_ivfpqr_k10")(q => qidx.searchIvfPqResidual(q, 10).collect())
           medQ("knn_bitq_k10")(q => qidx.searchBitq(q, 10).collect())
+          // recall@10 of the PQ vs OPQ coarse pass at the same
+          // coarseN budget (gauges): what the trained rotation buys
+          // at identical bytes read — the r12 verdict's weak axis,
+          // now a measured number per round.
+          def recallQ(search: (Array[Double], Int) => org.apache.spark.sql.DataFrame): Double = {
+            val rs = queries.map { q =>
+              val exact = qidx.indexDf
+                .select(col("id"), graft.functions.VectorFunctions
+                  .l2sqLit(col("embedding"), q).as("d"))
+                .orderBy(col("d"), col("id")).limit(10)
+                .collect().map(_.getLong(0)).toSet
+              val got = search(q, 10).collect().map(_.getLong(0)).toSet
+              (exact intersect got).size.toDouble / exact.size
+            }
+            rs.sum / rs.size
+          }
+          knn += "knn_pruned_recall_at10_pq" ->
+            recallQ((q, k) => qidx.searchPq(q, k))
+          knn += "knn_pruned_recall_at10_opq" ->
+            recallQ((q, k) => qidx.searchOpq(q, k))
         }
 
         knn += "knn_pruned_k10_of16" -> {

@@ -304,6 +304,32 @@ object VecEval {
     best
   }
 
+  /** y = M·x with ascending-i inner sums (rows of M are the output
+    * dims) — the OPQ rotation kernel. Bit-identical to the DuckDB
+    * `list_sum(list_transform(range, i -> m[r][i] * x[i]))` twin.
+    */
+  def matVec(a: ArrayData, m: Array[Array[Double]],
+      isFloat: Boolean): GenericArrayData = {
+    val n = a.numElements()
+    if (m.length == 0 || m(0).length != n)
+      foldLenMismatch("vec_mat_vec", n, if (m.length == 0) 0 else m(0).length)
+    val out = new Array[Double](m.length)
+    var r = 0
+    while (r < m.length) {
+      val row = m(r)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        acc += row(i) * x
+        i += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** PQ encode: per subspace j, the 1-BASED index of the nearest
     * codebook centroid over dims [j·sub, (j+1)·sub) — first-match tie
     * rule and ascending-dim distance folds, bit-identical to the HOF
@@ -564,6 +590,31 @@ case class VecIvfCell(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): VecIvfCell =
     copy(child = c)
   override def prettyName: String = "vec_ivf_cell"
+}
+
+/** Dense matrix-vector product y = M·x ([[VecEval.matVec]]) — the OPQ
+  * rotation applied row-wise at encode time (Ge et al., "Optimized
+  * Product Quantization", CVPR 2013; FAISS `OPQMatrix`). Ascending-i
+  * inner sums, so a DuckDB `list_sum(list_transform(...))` twin over
+  * the same injected matrix literals is bit-identical.
+  */
+case class VecMatVec(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression with VecExprHelpers {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecEval.matVec(v.asInstanceOf[ArrayData], matrix, isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matVecM", matrix, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VecEval.matVec($a, $m, ${isFloat(child.dataType)})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecMatVec =
+    copy(child = c)
+  override def prettyName: String = "vec_mat_vec"
 }
 
 /** Product-quantization encode ([[VecEval.pqEncode]]): all subspace

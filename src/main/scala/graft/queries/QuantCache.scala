@@ -49,7 +49,8 @@ object QuantCache {
         "e10_batch_pq_knn" -> batchPqSql(idx.model),
         "e14_ivfpq_residual" -> pqrSql(idx.model),
         "e15_quant_error" -> quantErrSql(idx.model),
-        "e18_ivf_recall_audit" -> ivfRecallSql(idx.model)))
+        "e18_ivf_recall_audit" -> ivfRecallSql(idx.model),
+        "e24_opq_search" -> opqSql(idx.model)))
       idx
     })
   }
@@ -237,6 +238,70 @@ object QuantCache {
        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
   }
 
+  /** `rt(r)` CTE body with the TRAINED OPQ rotation injected as a
+    * list-of-rows literal.
+    */
+  private def rotCte(m: QuantModel): String = {
+    val rows = m.opqRot.map(r => r.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    s"rt AS (SELECT $rows AS r)"
+  }
+
+  /** R·x as a SQL list expression — ascending-i inner sums, the exact
+    * fold of the [[graft.expressions.VecMatVec]] kernel, so rotated
+    * doubles are bit-identical across engines.
+    */
+  private def rotExpr(e: String, dim: Int): String =
+    s"list_transform(range(1, ${dim + 1}), rr -> " +
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+      s"r[rr][i] * CAST(($e)[i] AS DOUBLE))))"
+
+  /** DuckDB twin of the OPQ search (e24): rotate every embedding AND
+    * the query by the injected trained rotation, encode against the
+    * injected OPQ books, ADC with the rotated query's LUT, coarse
+    * top-100, exact re-rank on the ORIGINAL embeddings (R is
+    * orthogonal — the re-ranked metric is the same). The entire
+    * rotate→encode→ADC pipeline is replayed in SQL, so the trained
+    * rotation itself is hash-checked.
+    */
+  private[queries] def opqSql(m: QuantModel): String = {
+    val M = m.cfg.pqSubspaces
+    val sub = m.sub
+    val dim = m.dim
+    val books = m.opqBooks.map(book =>
+      book.map(c => c.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    def subDist(e: String): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i]) * " +
+        s"(CAST(($e)[(j-1)*$sub+i] AS DOUBLE) - cent[i])))"
+    val adcTerms = (1 to M).map(j => s"lt[$j][c[$j]]").mkString(" + ")
+    s"""WITH bk AS (SELECT $books AS b),
+       |${rotCte(m)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rq AS (SELECT ${rotExpr("q.qe", dim)} AS qe FROM q, rt),
+       |re AS (SELECT e.vec_id, ${rotExpr("e.embedding", dim)} AS emb
+       |       FROM embeddings e, rt),
+       |lut AS (
+       |  SELECT list_transform(range(1, ${M + 1}), j ->
+       |    list_transform(b[j], cent -> ${subDist("qe")})) AS lt
+       |  FROM rq, bk),
+       |codes AS (
+       |  SELECT vec_id, list_transform(dl, dj ->
+       |    list_position(dj, list_min(dj))) AS c
+       |  FROM (
+       |    SELECT vec_id, list_transform(range(1, ${M + 1}), j ->
+       |      list_transform(b[j], cent -> ${subDist("emb")})) AS dl
+       |    FROM re, bk)),
+       |cand AS (
+       |  SELECT codes.vec_id AS vec_id, $adcTerms AS adc
+       |  FROM codes, lut
+       |  ORDER BY adc, vec_id LIMIT 100)
+       |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
+       |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
+       |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
+  }
+
   /** DuckDB twin of the RESIDUAL IVFPQ search (e14): cell assignment
     * and the 2 probed cells recomputed in SQL exactly like e9's; each
     * vector's RESIDUAL against its own cell centroid is encoded with
@@ -387,7 +452,23 @@ object QuantCache {
        |    CAST(cl.ce[i] AS DOUBLE) +
        |    flatten(list_transform(range(1, ${M + 1}), j -> b[j][c[j]]))[i])
        |    AS dec
-       |  FROM pqrc JOIN cl ON cl.cid = pqrc.cid, bkr)
+       |  FROM pqrc JOIN cl ON cl.cid = pqrc.cid, bkr),
+       |${rotCte(m)},
+       |bko AS (SELECT ${booksLit(m.opqBooks)} AS b),
+       |re AS (
+       |  SELECT e.vec_id, ${rotExpr("e.embedding", dim)} AS emb
+       |  FROM embeddings e, rt),
+       |opqc AS (
+       |  SELECT vec_id, list_transform(dl, dj ->
+       |    list_position(dj, list_min(dj))) AS c
+       |  FROM (
+       |    SELECT vec_id, list_transform(range(1, ${M + 1}), j ->
+       |      list_transform(b[j], cent -> ${subDist("emb")})) AS dl
+       |    FROM re, bko)),
+       |opqd AS (
+       |  SELECT opqc.vec_id,
+       |    flatten(list_transform(range(1, ${M + 1}), j -> b[j][c[j]])) AS dec
+       |  FROM opqc, bko)
        |SELECT tier, CAST(sum(eu) // count(*) AS BIGINT) AS mean_err_u
        |FROM (
        |  SELECT 'sq8' AS tier, ${errU("s.dec")} AS eu
@@ -400,7 +481,14 @@ object QuantCache {
        |  FROM embeddings e JOIN pqd p ON e.vec_id = p.vec_id
        |  UNION ALL
        |  SELECT 'pqr', ${errU("p.dec")}
-       |  FROM embeddings e JOIN pqrd p ON e.vec_id = p.vec_id)
+       |  FROM embeddings e JOIN pqrd p ON e.vec_id = p.vec_id
+       |  UNION ALL
+       |  -- opq error lives in the ROTATED space (an isometry of the
+       |  -- original — same number in exact math): rotated emb vs the
+       |  -- coded centroids
+       |  SELECT 'opq', CAST(floor(${DuckSql.l2sq("re.emb", "p.dec")}
+       |    / $dim * 1000000000) AS BIGINT)
+       |  FROM re JOIN opqd p ON re.vec_id = p.vec_id)
        |GROUP BY tier ORDER BY tier""".stripMargin
   }
 

@@ -32,7 +32,8 @@ object Registry {
       Round15Queries.all ++
       Round16Queries.all ++
       Round17Queries.all ++
-      Round18Queries.all
+      Round18Queries.all ++
+      Round19Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

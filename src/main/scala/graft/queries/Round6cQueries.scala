@@ -494,17 +494,25 @@ object Round6cQueries {
           floor(graft.functions.VectorFunctions.l2sq(
             col("embedding").cast("array<double>"), dec)
             / lit(m.dim) * lit(1e9)).cast("long")
+        // opq's error lives in the ROTATED space (R is an isometry of
+        // the original, so it's the same number in exact math):
+        // rotated embedding vs the coded OPQ centroids
+        val errOpq = floor(graft.functions.VectorFunctions.l2sq(
+          m.opqRotateCol(col("embedding")), m.opqDecodeCol(col("opq")))
+          / lit(m.dim) * lit(1e9)).cast("long")
         idx.indexDf
           .select(
             errU(m.sq8DecodeCol(col("sq8"))).as("e_sq8"),
             errU(m.int4DecodeCol(col("sq8"))).as("e_i4"),
             errU(m.pqDecodeCol(col("pq"))).as("e_pq"),
-            errU(m.pqrDecodeCol(col("pqr"), col("cell"))).as("e_pqr"))
+            errU(m.pqrDecodeCol(col("pqr"), col("cell"))).as("e_pqr"),
+            errOpq.as("e_opq"))
           .agg(sum("e_sq8").as("s1"), sum("e_pq").as("s2"),
             sum("e_pqr").as("s3"), sum("e_i4").as("s4"),
-            count(lit(1)).as("n"))
-          .selectExpr("stack(4, 'i4', s4 div n, 'pq', s2 div n, " +
-            "'pqr', s3 div n, 'sq8', s1 div n) as (tier, mean_err_u)")
+            sum("e_opq").as("s5"), count(lit(1)).as("n"))
+          .selectExpr("stack(5, 'i4', s4 div n, 'opq', s5 div n, " +
+            "'pq', s2 div n, 'pqr', s3 div n, 'sq8', s1 div n) " +
+            "as (tier, mean_err_u)")
           .orderBy("tier")
       },
       None,

@@ -144,6 +144,7 @@ object FileLog {
   def versions(spark: SparkSession, dir: String): Seq[Int] = versions(dir)
 
   private def versions(dir: String): Seq[Int] = {
+    listings.incrementAndGet()
     val p = new Path(dir)
     val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p)) return Seq.empty
@@ -152,22 +153,58 @@ object FileLog {
       .collect { case re(n) => n.toInt }.sorted.toSeq
   }
 
-  /** Current state = the newest immutable version file (the pointer is
-    * only consulted when no version files exist — a log written by the
-    * pre-version code, or one whose history was fully vacuumed while
-    * we listed; in the latter case the pointer is always current).
+  /** Directory listings performed by [[versions]] — test telemetry
+    * for the O(1)-resolve claim below (reads of a pointer-carrying
+    * log must never list), harmless in production.
     */
-  def read(dir: String): State = versions(dir).lastOption match {
-    case Some(v) =>
-      try readVersion(dir, v)
-      catch {
-        // lost the race to a concurrent vacuum dropping v: the pointer
-        // is rewritten by every commit and always parseable
-        case _: java.io.FileNotFoundException =>
-          parse(FsIo.readString(currentPath(dir)))
-      }
-    case None => parse(FsIo.readString(currentPath(dir)))
+  private[graft] val listings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Current state, resolved in O(1) — never a directory listing on
+    * the common path (the Delta `_last_checkpoint` move, r12 verdict
+    * task #4): a long-running streaming sink commits one version per
+    * micro-batch, so at 10⁵ commits a read that LISTS to find the
+    * newest version pays O(history) per resolve — and every commit
+    * itself reads first, making ingest quadratic in history length.
+    *
+    * Fast path: the `_files.json` pointer (rewritten by every commit)
+    * names a version; probe FORWARD from it past any commits that
+    * landed since it was written. Sound because [[vacuum]] retains a
+    * CONTIGUOUS suffix of versions ending at the newest (newest-K by
+    * count plus young-by-grace — both suffixes), so a version that
+    * still exists whose successor does not IS the newest. Pointer
+    * staleness is bounded by in-flight commits (each commit rewrites
+    * it), so the probe is O(1 + racing writers), not O(history).
+    *
+    * Slow path (pointer missing, legacy pre-version pointer, or
+    * pointer's version vacuumed out from under a crashed writer):
+    * list, exactly as before.
+    */
+  def read(dir: String): State = {
+    val ptr =
+      try Some(parse(FsIo.readString(currentPath(dir))))
+      catch { case _: java.io.IOException => None }
+    ptr match {
+      case Some(st) if st.version > 0 &&
+          FsIo.exists(versionPath(dir, st.version)) =>
+        var v = st.version
+        while (FsIo.exists(versionPath(dir, v + 1))) v += 1
+        if (v == st.version) st else readVersion(dir, v)
+      case _ => readByListing(dir, ptr)
+    }
   }
+
+  private def readByListing(dir: String, ptr: Option[State]): State =
+    versions(dir).lastOption match {
+      case Some(v) =>
+        try readVersion(dir, v)
+        catch {
+          // lost the race to a concurrent vacuum dropping v: the
+          // pointer is rewritten by every commit and always parseable
+          case _: java.io.FileNotFoundException =>
+            ptr.getOrElse(parse(FsIo.readString(currentPath(dir))))
+        }
+      case None => ptr.getOrElse(parse(FsIo.readString(currentPath(dir))))
+    }
 
   def readVersion(dir: String, v: Int): State =
     parse(FsIo.readString(versionPath(dir, v))).copy(version = v)

@@ -19,7 +19,8 @@ final case class QuantConfig(
     pqCentroids: Int = 16,
     ivfCells: Int = 16,
     sampleCap: Int = 8192,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    opq: Boolean = true)
 
 /** Trained quantization models + the encode/search column expressions.
   *
@@ -35,11 +36,16 @@ final class QuantModel(
     val scales: Array[Double],
     val ivfCentroids: Array[Array[Double]],
     val pqBooks: Array[Array[Array[Double]]],
-    val pqrBooks: Array[Array[Array[Double]]]) {
+    val pqrBooks: Array[Array[Array[Double]]],
+    val opqRot: Array[Array[Double]] = Array.empty,
+    val opqBooks: Array[Array[Array[Double]]] = Array.empty) {
 
   require(dim % cfg.pqSubspaces == 0,
     s"dim $dim not divisible by pqSubspaces ${cfg.pqSubspaces}")
   val sub: Int = dim / cfg.pqSubspaces
+
+  /** Whether the OPQ tier was trained (cfg.opq at train time). */
+  def opqEnabled: Boolean = opqRot.nonEmpty
 
   // ------------------------------------------------- encode (build time)
 
@@ -107,6 +113,65 @@ final class QuantModel(
   def pqrCol(emb: Column, cell: Column): Column =
     colOf(graft.expressions.VecPqrEncode(expOf(emb),
       expOf(cell.cast("int")), pqrBooks, sub, ivfCentroids))
+
+  /** Rotated embedding R·x (codegen matvec kernel) — the OPQ space
+    * every opq code lives in. R is orthogonal, so L2 distances are
+    * preserved exactly (in real math) and an OPQ search ranks the
+    * same metric as the plain tiers.
+    */
+  def opqRotateCol(emb: Column): Column = {
+    require(opqEnabled, "OPQ tier not trained (QuantConfig.opq = false)")
+    colOf(graft.expressions.VecMatVec(expOf(emb), opqRot))
+  }
+
+  /** OPQ codes: PQ codes of the ROTATED vector (Ge et al. 2013; FAISS
+    * `OPQMatrix` + PQ). The rotation is trained to make the subspaces
+    * independent-ish, so the same M×k code budget loses less signal
+    * than [[pqCol]] — the e15 audit prices exactly that gap.
+    */
+  def opqCol(emb: Column): Column = {
+    require(opqEnabled, "OPQ tier not trained (QuantConfig.opq = false)")
+    colOf(graft.expressions.VecPqEncode(
+      expOf(opqRotateCol(emb)), opqBooks, sub))
+  }
+
+  /** Inverse of [[opqCol]] IN THE ROTATED SPACE: the concatenation of
+    * the coded centroids. (Reconstruction in the original space would
+    * be Rᵀ·this; the e15 audit compares errors in the rotated space,
+    * which is the same number in exact math — R is an isometry.)
+    */
+  def opqDecodeCol(codes: Column): Column =
+    flatten(array((0 until cfg.pqSubspaces).map(j =>
+      element_at(typedLit(opqBooks(j).map(_.toSeq).toSeq),
+        element_at(codes, j + 1))): _*))
+
+  /** Driver-side R·q — query prep for the OPQ ADC (ascending-i sums,
+    * the same fold as the codegen kernel).
+    */
+  def opqRotate(q: Array[Double]): Array[Double] =
+    Array.tabulate(dim) { r =>
+      val row = opqRot(r)
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += row(i) * q(i); i += 1 }
+      acc
+    }
+
+  /** OPQ asymmetric-distance LUT: the ROTATED query against the OPQ
+    * books (distances in rotated space = distances in original space,
+    * R orthogonal).
+    */
+  def opqLut(q: Array[Double]): Array[Array[Double]] =
+    lutFor(opqRotate(q), opqBooks)
+
+  /** OPQ asymmetric distance over stored `opq` codes — [[pqAdcCol]]
+    * with the rotated-query LUT.
+    */
+  def opqAdcCol(codes: Column, q: Array[Double]): Column = {
+    val lut = opqLut(q)
+    (0 until cfg.pqSubspaces).map(j =>
+      element_at(typedLit(lut(j).toSeq), element_at(codes, j + 1)))
+      .reduce(_ + _)
+  }
 
   /** Interpreted-HOF twins of [[pqCol]]/[[pqrCol]], kept for the pin. */
   private[graft] def pqColHof(emb: Column): Column =
@@ -245,7 +310,9 @@ final class QuantModel(
       s""""ivfCells":${cfg.ivfCells},"sampleCap":${cfg.sampleCap},"seed":${cfg.seed},""" +
       s""""dim":$dim,"mins":${arr(mins)},"scales":${arr(scales)},""" +
       s""""ivf_flat":${arr(ivfCentroids.flatten)},"books_flat":${arr(pqBooks.flatten.flatten)},""" +
-      s""""booksr_flat":${arr(pqrBooks.flatten.flatten)}}"""
+      s""""booksr_flat":${arr(pqrBooks.flatten.flatten)},""" +
+      s""""opq_rot_flat":${arr(opqRot.flatten)},""" +
+      s""""opq_books_flat":${arr(opqBooks.flatten.flatten)}}"""
     // Atomic (tmp + rename): this file's existence marks a versioned
     // index snapshot COMPLETE (QuantIndex.currentDataDir), so it must
     // never be observable half-written.
@@ -306,7 +373,91 @@ object QuantModel {
     val booksR = Array.tabulate(cfg.pqSubspaces)(j =>
       fitSub(resSample.map(_.slice(j * sub, (j + 1) * sub)),
         cfg.pqCentroids, cfg.seed + 1000 + j))
-    new QuantModel(cfg, dim, mins, scales, ivf, books, booksR)
+    val (rot, booksO) =
+      if (cfg.opq) trainOpq(sample, cfg, dim)
+      else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
+    new QuantModel(cfg, dim, mins, scales, ivf, books, booksR, rot, booksO)
+  }
+
+  /** OPQ training (Ge et al., CVPR 2013, the non-parametric variant
+    * FAISS ships as `OPQMatrix`): alternate (a) fit PQ books on the
+    * rotated sample, (b) re-solve the rotation as the orthogonal
+    * Procrustes problem R = argmin ‖R·X − Y‖_F (Y = the quantized
+    * rotated sample), whose closed form is U·Vᵀ from the SVD of
+    * B = Y·Xᵀ. Iteration 0 uses the SAME k-means seeds as the plain
+    * PQ books over the identity rotation — i.e. it IS plain PQ — and
+    * the best (rot, books) by sample MSE across iterations is kept,
+    * so sample-MSE(opq) ≤ sample-MSE(pq) by construction, never a
+    * regression. Driver math over the bounded training sample, like
+    * every other quantizer here; SVD via breeze (on Spark's own
+    * classpath).
+    */
+  private[store] def trainOpq(sample: Array[Array[Double]],
+      cfg: QuantConfig, dim: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sub = dim / cfg.pqSubspaces
+    def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { r =>
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += m(r)(i) * x(i); i += 1 }
+        acc
+      }
+    // quantized approximation of one rotated point under `books`
+    def reconstruct(books: Array[Array[Array[Double]]],
+        xr: Array[Double]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var j = 0
+      while (j < cfg.pqSubspaces) {
+        val book = books(j); val base = j * sub
+        var best = 0; var bd = Double.PositiveInfinity; var c = 0
+        while (c < book.length) {
+          var acc = 0.0; var i = 0
+          while (i < sub) {
+            val d = xr(base + i) - book(c)(i); acc += d * d; i += 1
+          }
+          if (acc < bd) { bd = acc; best = c }
+          c += 1
+        }
+        System.arraycopy(book(best), 0, y, base, sub)
+        j += 1
+      }
+      y
+    }
+    var rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var bestRot = rot
+    var bestBooks: Array[Array[Array[Double]]] = null
+    var bestMse = Double.PositiveInfinity
+    for (it <- 0 until 6) {
+      val xr = sample.map(matVec(rot, _))
+      // iteration 0 (rot = I) reuses the plain-PQ seeds, so its books
+      // ARE pqBooks and the best-tracking floor is exactly plain PQ
+      val books = Array.tabulate(cfg.pqSubspaces)(j =>
+        fitSub(xr.map(_.slice(j * sub, (j + 1) * sub)),
+          cfg.pqCentroids, cfg.seed + j))
+      val ys = xr.map(reconstruct(books, _))
+      val mse = xr.zip(ys).map { case (x, y) =>
+        var acc = 0.0; var i = 0
+        while (i < dim) { val d = x(i) - y(i); acc += d * d; i += 1 }
+        acc
+      }.sum / sample.length
+      if (mse < bestMse) { bestMse = mse; bestRot = rot; bestBooks = books }
+      if (it < 5) {
+        // Procrustes: B = Y·Xᵀ over the ORIGINAL sample, R = U·Vᵀ
+        val b = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+        sample.zip(ys).foreach { case (x, y) =>
+          var i = 0
+          while (i < dim) {
+            var jj = 0
+            while (jj < dim) { b(i, jj) += y(i) * x(jj); jj += 1 }
+            i += 1
+          }
+        }
+        val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(b)
+        val r = u * vt
+        rot = Array.tabulate(dim, dim)((i, j) => r(i, j))
+      }
+    }
+    (bestRot, bestBooks)
   }
 
   /** Seeded k-means++ init + 10 Lloyd iterations over driver-side points
@@ -366,12 +517,20 @@ object QuantModel {
         else s.indexWhere(c => c == ',' || c == '}', i)
       s.substring(i, end)
     }
-    def nums(key: String): Array[Double] =
-      field(key).stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toDouble)
+    def nums(key: String): Array[Double] = {
+      val body = field(key).stripPrefix("[").stripSuffix("]").trim
+      if (body.isEmpty) Array.empty
+      else body.split(",").map(_.trim.toDouble)
+    }
+    // OPQ fields are absent from pre-r19 model files and empty when
+    // trained with opq = false — both load as a model without the tier
+    def optNums(key: String): Array[Double] =
+      if (s.contains("\"" + key + "\":")) nums(key) else Array.empty
+    val opqTrained = optNums("opq_rot_flat").nonEmpty
     val cfg = QuantConfig(
       field("pqSubspaces").trim.toInt, field("pqCentroids").trim.toInt,
       field("ivfCells").trim.toInt, field("sampleCap").trim.toInt,
-      field("seed").trim.toLong)
+      field("seed").trim.toLong, opq = opqTrained)
     val dim = field("dim").trim.toInt
     val sub = dim / cfg.pqSubspaces
     val ivf = nums("ivf_flat").grouped(dim).toArray
@@ -379,7 +538,11 @@ object QuantModel {
       .grouped(cfg.pqCentroids).toArray
     val booksR = nums("booksr_flat").grouped(sub).toArray
       .grouped(cfg.pqCentroids).toArray
-    new QuantModel(cfg, dim, nums("mins"), nums("scales"), ivf, books, booksR)
+    val rot = optNums("opq_rot_flat").grouped(dim).toArray
+    val booksO = optNums("opq_books_flat").grouped(sub).toArray
+      .grouped(cfg.pqCentroids).toArray
+    new QuantModel(cfg, dim, nums("mins"), nums("scales"), ivf, books,
+      booksR, rot, booksO)
   }
 
   def exists(path: String): Boolean =

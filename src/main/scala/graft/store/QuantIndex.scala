@@ -250,6 +250,26 @@ final class QuantIndex(
   def searchPq(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
     rerank(coarsePq(q, coarseN), q, k)
 
+  /** (id, cell, adc) coarse candidates by OPQ asymmetric distance:
+    * LUT from the ROTATED query against the OPQ books, over the
+    * stored `opq` codes — same scan bytes as [[coarsePq]] (the codes
+    * are the same width), tighter distances because the trained
+    * rotation decorrelates the subspaces before coding.
+    */
+  def coarseOpq(q: Array[Double], n: Int): DataFrame = {
+    require(indexDf.columns.contains("opq"),
+      s"$path lacks the 'opq' column — rebuild with QuantConfig(opq = true)")
+    indexDf.select(col("id"), col("cell"),
+        model.opqAdcCol(col("opq"), q).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(n)
+  }
+
+  /** OPQ two-stage search (Ge et al. 2013 / FAISS OPQMatrix+PQ):
+    * rotated-ADC coarse pass, exact re-rank.
+    */
+  def searchOpq(q: Array[Double], k: Int, coarseN: Int = 100): DataFrame =
+    rerank(coarseOpq(q, coarseN), q, k)
+
   /** BQ two-stage search: Hamming over stored sign signatures, exact
     * re-rank.
     */
@@ -685,14 +705,21 @@ object QuantIndex {
     * FAISS IVFPQ encoding).
     */
   private def encode(df: DataFrame, model: QuantModel,
-                     idCol: String, embCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
+                     idCol: String, embCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
       .withColumn("sq8", model.sq8Col(col("embedding")))
       .withColumn("i4", VF.nibblePack(col("sq8")))
       .withColumn("pq", model.pqCol(col("embedding")))
       .withColumn("sig", VF.signPack(col("embedding")))
       .withColumn("cell", model.ivfCellCol(col("embedding")))
       .withColumn("pqr", model.pqrCol(col("embedding"), col("cell")))
+    // OPQ codes (rotate-then-PQ) only when the tier was trained —
+    // indexes built with QuantConfig(opq = false) skip the per-row
+    // dim×dim rotation at encode time
+    if (model.opqEnabled) base.withColumn("opq", model.opqCol(col("embedding")))
+    else base
+  }
 
   /** Train the quantizers (one distributed stats pass + a bounded
     * driver sample for PQ), encode every vector once, and write the

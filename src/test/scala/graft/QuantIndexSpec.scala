@@ -31,7 +31,7 @@ class QuantIndexSpec extends AnyFunSuite {
 
   test("build persists codes + cell partitions; reopen round-trips the model") {
     assert(idx.indexDf.columns.toSet ==
-      Set("id", "embedding", "sq8", "i4", "pq", "sig", "pqr", "cell"))
+      Set("id", "embedding", "sq8", "i4", "pq", "sig", "pqr", "opq", "cell"))
     assert(idx.indexDf.count() == 500)
     val cells = new java.io.File(idx.path).listFiles
       .count(_.getName.startsWith("cell="))
