@@ -281,8 +281,10 @@ class Round19Spec extends AnyFunSuite {
     // fine at this size, impossible at 10⁸ ids where the threshold
     // stops it and the join shuffles). Disabling auto-broadcast here
     // makes the test measure the plan a GDPR-scale purge would get.
-    val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val abt = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", bt)
+    // Restore by UNSET, not re-set: TestSpark never sets these, and
+    // writing the adaptive threshold explicitly would break its
+    // fallback to autoBroadcastJoinThreshold for later suites
+    // (Round4Spec's skew test sets only the non-adaptive one).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -300,8 +302,8 @@ class Round19Spec extends AnyFunSuite {
       assert(store.indexDf.agg(max("id")).head.getLong(0) == 9999L)
     } finally {
       spark.sparkContext.removeSparkListener(l)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", abt)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
 

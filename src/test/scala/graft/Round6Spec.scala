@@ -293,7 +293,10 @@ class Round6Spec extends AnyFunSuite {
   test("e15 reconstruction error ranks the tiers: sq8 < i4, sq8 < pqr < pq") {
     val errs = run("e15_quant_error").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(errs.keySet == Set("sq8", "i4", "pq", "pqr"))
+    assert(errs.keySet == Set("sq8", "i4", "pq", "pqr", "opq"))
+    // the r19 tier: a trained rotation never loses to plain PQ at the
+    // same code budget (structural — see Round19Spec)
+    assert(errs("opq") <= errs("pq"), errs.toString)
     assert(errs.values.forall(_ > 0), s"degenerate zero error: $errs")
     // 8 bits/dim beats 0.5 bits/dim handily
     assert(errs("sq8") < errs("pqr"), errs.toString)
