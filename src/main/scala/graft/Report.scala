@@ -94,6 +94,7 @@ object Report {
       ("sq8", "knn_sq8_k10", "8 bits/dim"),
       ("int4", "knn_int4_k10", "4 bits/dim"),
       ("pq", "knn_pq_k10", "~0.5 bits/dim"),
+      ("opq", "knn_opq_k10", "~0.5 bits/dim, trained rotation"),
       ("ivfpq", "knn_ivfpq_k10", "~0.5 bits/dim, 2/16 cells"),
       ("ivfpqr", "knn_ivfpqr_k10", "~0.5 bits/dim residual, 2/16 cells"),
       ("bitq", "knn_bitq_k10", "1 bit/dim"))
@@ -117,6 +118,15 @@ object Report {
       }
     }
     sb ++= "```\n\n"
+    // PQ vs OPQ recall at the same coarse budget — what the trained
+    // rotation buys at identical bytes read (r12 verdict task #5)
+    (q.get("knn_pruned_recall_at10_pq"),
+      q.get("knn_pruned_recall_at10_opq")) match {
+      case (Some(p), Some(o)) =>
+        sb ++= f"Quant-tier recall@10 at coarseN=100: pq $p%.3f vs " +
+          f"opq $o%.3f (trained rotation, same code budget).\n\n"
+      case _ => ()
+    }
     // multi-table OR-probing curve at the same probed fraction per
     // probe (1/16 of one corpus copy) — present when the bench ran
     // the LshConfig(multiTable) protocol

@@ -636,6 +636,23 @@ object FileLog {
           fs.delete(st.getPath, true)
       }
     }
+    // Pointer hygiene for the O(1) fast path: crashed writers can
+    // leave `_files.json` several commits behind, and if this vacuum
+    // just reclaimed the version it names, every future [[read]]
+    // would fall back to a directory listing. Re-point it at the
+    // newest surviving version (atomic replace; a racing commit's
+    // pointer write is newer and last-wins — harmless either way,
+    // the forward probe tolerates any still-live pointer). Also
+    // migrates legacy pointer-less logs onto the fast path.
+    survivors.lastOption.foreach { newest =>
+      val ptrLive =
+        try FsIo.exists(versionPath(dir,
+          parse(FsIo.readString(currentPath(dir))).version))
+        catch { case _: java.io.IOException => false }
+      if (!ptrLive)
+        FsIo.writeStringAtomic(currentPath(dir),
+          FsIo.readString(versionPath(dir, newest)))
+    }
     orphans.length
   }
 }

@@ -250,6 +250,29 @@ class Round19Spec extends AnyFunSuite {
     assert(FileLog.listings.get() == b2)
   }
 
+  test("vacuum re-points a dangling pointer at the newest survivor") {
+    val dir = fresh("ptrfix")
+    (1 to 12).foreach { i =>
+      FileLog.transact(spark, dir) { cur =>
+        Some(FileLog.Commit(
+          cur.map(_.files).getOrElse(Seq.empty) :+ s"f$i.parquet",
+          "id BIGINT", -1L,
+          cur.map(_.zones).getOrElse(Map.empty),
+          cur.map(_.rows).getOrElse(Map.empty)))
+      }
+    }
+    // simulate crashed pointer writes: pointer stuck at v2
+    graft.util.FsIo.writeStringAtomic(FileLog.currentPath(dir),
+      graft.util.FsIo.readString(s"$dir/_files.v2.json"))
+    FileLog.vacuum(spark, dir, retainLast = 3) // drops v1..v9 incl. v2
+    // the pointer was refreshed, so reads are pointer-probed again
+    val before = FileLog.listings.get()
+    val st = FileLog.read(dir)
+    assert(st.version == 12 && st.files.size == 12)
+    assert(FileLog.listings.get() == before,
+      "dangling pointer forced a listing fallback after vacuum")
+  }
+
   // --------------------------------------------- distributed delete
 
   test("frame delete: a million-id purge never routes ids through " +
