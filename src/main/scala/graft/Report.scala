@@ -12,11 +12,18 @@ import java.nio.file.{Files, Paths}
   * content (latency vs k, recall vs probes, shard distribution,
   * imbalance, memory estimate) is the same analysis.
   *
-  * Usage: runMain graft.Report [detailJson] [outMd]
+  * Usage: runMain graft.Report [detailJson] [outMd] [prevDetailJson]
   *   detailJson defaults to ./BENCH_DETAIL.json (a `graft.Bench` run's
   *   detail output); outMd defaults to ./REPORT.md. The shard section
   *   additionally runs the live v10 stats query against
   *   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+  *
+  *   With a third argument (the PREVIOUS round's committed detail
+  *   file) the report adds a round-over-round section listing only
+  *   rows whose seconds moved more than 1.3× in either direction —
+  *   since r14 every row ≥0.3 s is an in-run median-of-3, so a move
+  *   past that band is signal, not sampling noise (r13 verdict task
+  *   #2; sub-0.3 s rows sit on the scheduler floor and are excluded).
   */
 object Report {
   private val BarWidth = 40
@@ -225,6 +232,37 @@ object Report {
         sb ++= f"| $k | $v%.2f |\n"
       }
       sb ++= "\n"
+    }
+
+    // ---- 4b. Round-over-round (vs a previous detail file) ----------
+    args.drop(2).headOption.foreach { prevPath =>
+      try {
+        val prev = parseMap(new String(
+          Files.readAllBytes(Paths.get(prevPath)), "UTF-8"), "queries")
+          .toMap
+        // only rows that are medians in BOTH runs (≥0.3 s each side,
+        // the in-run stabilization threshold) are comparable; a move
+        // past 1.3× on a median is a real regression/improvement
+        val moved = secs.toSeq.flatMap { case (k, v) =>
+          prev.get(k).collect {
+            case p if math.max(p, v) >= 0.3 && p > 0 &&
+                math.max(v / p, p / v) > 1.3 =>
+              (k, p, v, v / p)
+          }
+        }.sortBy(-_._4)
+        sb ++= s"### Round-over-round vs `$prevPath` (moves >1.3×)\n\n"
+        if (moved.isEmpty)
+          sb ++= "_no row moved more than 1.3×._\n\n"
+        else {
+          sb ++= "| query | prev s | now s | ratio |\n|---|---|---|---|\n"
+          moved.foreach { case (k, p, v, r) =>
+            sb ++= f"| $k | $p%.3f | $v%.3f | $r%.2f |\n"
+          }
+          sb ++= "\n"
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[report] round-over-round failed: ${e.getMessage}")
+      }
     }
 
     // ---- 5. Shard distribution (generate_report.py:207,

@@ -256,15 +256,27 @@ object QuantCache {
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> " +
       s"r[rr][i] * CAST(($e)[i] AS DOUBLE))))"
 
+  /** DuckDB twin of [[graft.store.QuantIndex.searchOpq]] at an
+    * arbitrary measured re-rank budget, the chosen coarseN echoed as
+    * a column — e25's recall-targeted replay (the e19/v21 pattern on
+    * the coarseN axis): injected LATE, after the measured curve picks
+    * the budget, so the curve-driven choice itself is hash-checked (a
+    * wrong budget admits a different candidate set and the rows
+    * diverge).
+    */
+  private[queries] def opqSqlAt(m: QuantModel, coarseN: Int): String =
+    opqSql(m, coarseN, echoN = true)
+
   /** DuckDB twin of the OPQ search (e24): rotate every embedding AND
     * the query by the injected trained rotation, encode against the
     * injected OPQ books, ADC with the rotated query's LUT, coarse
-    * top-100, exact re-rank on the ORIGINAL embeddings (R is
+    * top-`coarseN`, exact re-rank on the ORIGINAL embeddings (R is
     * orthogonal — the re-ranked metric is the same). The entire
     * rotate→encode→ADC pipeline is replayed in SQL, so the trained
     * rotation itself is hash-checked.
     */
-  private[queries] def opqSql(m: QuantModel): String = {
+  private[queries] def opqSql(m: QuantModel, coarseN: Int = 100,
+      echoN: Boolean = false): String = {
     val M = m.cfg.pqSubspaces
     val sub = m.sub
     val dim = m.dim
@@ -296,11 +308,24 @@ object QuantCache {
        |cand AS (
        |  SELECT codes.vec_id AS vec_id, $adcTerms AS adc
        |  FROM codes, lut
-       |  ORDER BY adc, vec_id LIMIT 100)
-       |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist
+       |  ORDER BY adc, vec_id LIMIT $coarseN)
+       |SELECT e.vec_id, round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist${
+        if (echoN) s", CAST($coarseN AS INT) AS coarse_n" else ""}
        |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
   }
+
+  /** DuckDB twin of the exact-kNN fallback of
+    * [[graft.store.QuantIndex.searchAdcAtRecall]] (no measured point
+    * met the target): plain exact top-10, coarse_n echoed as −1.
+    */
+  private[queries] def exactFallbackSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  round(${DuckSql.l2sq("e.embedding", "q.qe")}, 6) AS dist,
+       |  CAST(-1 AS INT) AS coarse_n
+       |FROM embeddings e, q
+       |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin
 
   /** DuckDB twin of the RESIDUAL IVFPQ search (e14): cell assignment
     * and the 2 probed cells recomputed in SQL exactly like e9's; each
@@ -398,6 +423,36 @@ object QuantCache {
     def errU(dec: String): String =
       s"CAST(floor(${DuckSql.l2sq("e.embedding", dec)} / $dim " +
         s"* 1000000000) AS BIGINT)"
+    // OPQ CTEs + union arm only when the tier was trained (r13 ADVICE
+    // #2: opqRot/opqBooks literals are empty otherwise and the SQL
+    // would not parse) — the Spark side gates its stack identically.
+    val opqCtes = if (!m.opqEnabled) "" else
+      s""",
+         |${rotCte(m)},
+         |bko AS (SELECT ${booksLit(m.opqBooks)} AS b),
+         |re AS (
+         |  SELECT e.vec_id, ${rotExpr("e.embedding", dim)} AS emb
+         |  FROM embeddings e, rt),
+         |opqc AS (
+         |  SELECT vec_id, list_transform(dl, dj ->
+         |    list_position(dj, list_min(dj))) AS c
+         |  FROM (
+         |    SELECT vec_id, list_transform(range(1, ${M + 1}), j ->
+         |      list_transform(b[j], cent -> ${subDist("emb")})) AS dl
+         |    FROM re, bko)),
+         |opqd AS (
+         |  SELECT opqc.vec_id,
+         |    flatten(list_transform(range(1, ${M + 1}), j -> b[j][c[j]])) AS dec
+         |  FROM opqc, bko)""".stripMargin
+    val opqArm = if (!m.opqEnabled) "" else
+      s"""
+         |  UNION ALL
+         |  -- opq error lives in the ROTATED space (an isometry of the
+         |  -- original — same number in exact math): rotated emb vs the
+         |  -- coded centroids
+         |  SELECT 'opq', CAST(floor(${DuckSql.l2sq("re.emb", "p.dec")}
+         |    / $dim * 1000000000) AS BIGINT)
+         |  FROM re JOIN opqd p ON re.vec_id = p.vec_id""".stripMargin
     s"""WITH bk AS (SELECT ${booksLit(m.pqBooks)} AS b),
        |bkr AS (SELECT ${booksLit(m.pqrBooks)} AS b),
        |mn AS (SELECT $mins AS m, $scales AS sc),
@@ -452,23 +507,7 @@ object QuantCache {
        |    CAST(cl.ce[i] AS DOUBLE) +
        |    flatten(list_transform(range(1, ${M + 1}), j -> b[j][c[j]]))[i])
        |    AS dec
-       |  FROM pqrc JOIN cl ON cl.cid = pqrc.cid, bkr),
-       |${rotCte(m)},
-       |bko AS (SELECT ${booksLit(m.opqBooks)} AS b),
-       |re AS (
-       |  SELECT e.vec_id, ${rotExpr("e.embedding", dim)} AS emb
-       |  FROM embeddings e, rt),
-       |opqc AS (
-       |  SELECT vec_id, list_transform(dl, dj ->
-       |    list_position(dj, list_min(dj))) AS c
-       |  FROM (
-       |    SELECT vec_id, list_transform(range(1, ${M + 1}), j ->
-       |      list_transform(b[j], cent -> ${subDist("emb")})) AS dl
-       |    FROM re, bko)),
-       |opqd AS (
-       |  SELECT opqc.vec_id,
-       |    flatten(list_transform(range(1, ${M + 1}), j -> b[j][c[j]])) AS dec
-       |  FROM opqc, bko)
+       |  FROM pqrc JOIN cl ON cl.cid = pqrc.cid, bkr)$opqCtes
        |SELECT tier, CAST(sum(eu) // count(*) AS BIGINT) AS mean_err_u
        |FROM (
        |  SELECT 'sq8' AS tier, ${errU("s.dec")} AS eu
@@ -481,14 +520,7 @@ object QuantCache {
        |  FROM embeddings e JOIN pqd p ON e.vec_id = p.vec_id
        |  UNION ALL
        |  SELECT 'pqr', ${errU("p.dec")}
-       |  FROM embeddings e JOIN pqrd p ON e.vec_id = p.vec_id
-       |  UNION ALL
-       |  -- opq error lives in the ROTATED space (an isometry of the
-       |  -- original — same number in exact math): rotated emb vs the
-       |  -- coded centroids
-       |  SELECT 'opq', CAST(floor(${DuckSql.l2sq("re.emb", "p.dec")}
-       |    / $dim * 1000000000) AS BIGINT)
-       |  FROM re JOIN opqd p ON re.vec_id = p.vec_id)
+       |  FROM embeddings e JOIN pqrd p ON e.vec_id = p.vec_id$opqArm)
        |GROUP BY tier ORDER BY tier""".stripMargin
   }
 

@@ -33,7 +33,8 @@ object Registry {
       Round16Queries.all ++
       Round17Queries.all ++
       Round18Queries.all ++
-      Round19Queries.all
+      Round19Queries.all ++
+      Round20Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -487,34 +487,7 @@ object Round6cQueries {
     // both. One scan of the index computes all three tiers' sums —
     // codes and embeddings only, no shuffle beyond the 1-row agg.
     Q("e15_quant_error",
-      (s, d) => {
-        val idx = QuantCache.forDir(s, d)
-        val m = idx.model
-        def errU(dec: org.apache.spark.sql.Column) =
-          floor(graft.functions.VectorFunctions.l2sq(
-            col("embedding").cast("array<double>"), dec)
-            / lit(m.dim) * lit(1e9)).cast("long")
-        // opq's error lives in the ROTATED space (R is an isometry of
-        // the original, so it's the same number in exact math):
-        // rotated embedding vs the coded OPQ centroids
-        val errOpq = floor(graft.functions.VectorFunctions.l2sq(
-          m.opqRotateCol(col("embedding")), m.opqDecodeCol(col("opq")))
-          / lit(m.dim) * lit(1e9)).cast("long")
-        idx.indexDf
-          .select(
-            errU(m.sq8DecodeCol(col("sq8"))).as("e_sq8"),
-            errU(m.int4DecodeCol(col("sq8"))).as("e_i4"),
-            errU(m.pqDecodeCol(col("pq"))).as("e_pq"),
-            errU(m.pqrDecodeCol(col("pqr"), col("cell"))).as("e_pqr"),
-            errOpq.as("e_opq"))
-          .agg(sum("e_sq8").as("s1"), sum("e_pq").as("s2"),
-            sum("e_pqr").as("s3"), sum("e_i4").as("s4"),
-            sum("e_opq").as("s5"), count(lit(1)).as("n"))
-          .selectExpr("stack(5, 'i4', s4 div n, 'opq', s5 div n, " +
-            "'pq', s2 div n, 'pqr', s3 div n, 'sq8', s1 div n) " +
-            "as (tier, mean_err_u)")
-          .orderBy("tier")
-      },
+      (s, d) => quantErrorFrame(QuantCache.forDir(s, d)),
       None,
       lateOracle = QuantCache.lateOracle("e15_quant_error")),
 
@@ -664,4 +637,50 @@ object Round6cQueries {
         // that never reads the bad column never SEES the corruption
         sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
       .orderBy("lang")
+
+  /** The e15 reconstruction-error frame over an arbitrary
+    * [[graft.store.QuantIndex]]: per-tier mean squared error per
+    * dimension in integer nano-units. Factored out of the query so
+    * the tier GATING is testable against a non-default build — the
+    * opq row exists only when the index trained the tier (r13 ADVICE
+    * #2); the four legacy tiers are required (they are what the audit
+    * exists to compare).
+    */
+  private[graft] def quantErrorFrame(
+      idx: graft.store.QuantIndex): org.apache.spark.sql.DataFrame = {
+    val m = idx.model
+    def errU(dec: org.apache.spark.sql.Column) =
+      floor(graft.functions.VectorFunctions.l2sq(
+        col("embedding").cast("array<double>"), dec)
+        / lit(m.dim) * lit(1e9)).cast("long")
+    // opq's error lives in the ROTATED space (R is an isometry of
+    // the original, so it's the same number in exact math): rotated
+    // embedding vs the coded OPQ centroids.
+    val base = Seq(
+      errU(m.sq8DecodeCol(col("sq8"))).as("e_sq8"),
+      errU(m.int4DecodeCol(col("sq8"))).as("e_i4"),
+      errU(m.pqDecodeCol(col("pq"))).as("e_pq"),
+      errU(m.pqrDecodeCol(col("pqr"), col("cell"))).as("e_pqr"))
+    val errCols =
+      if (!m.opqEnabled) base
+      else base :+ floor(graft.functions.VectorFunctions.l2sq(
+        m.opqRotateCol(col("embedding")), m.opqDecodeCol(col("opq")))
+        / lit(m.dim) * lit(1e9)).cast("long").as("e_opq")
+    val sums = Seq(sum("e_sq8").as("s1"), sum("e_pq").as("s2"),
+      sum("e_pqr").as("s3"), sum("e_i4").as("s4")) ++
+      (if (m.opqEnabled) Seq(sum("e_opq").as("s5")) else Nil) :+
+      count(lit(1)).as("n")
+    val stack =
+      if (m.opqEnabled)
+        "stack(5, 'i4', s4 div n, 'opq', s5 div n, " +
+          "'pq', s2 div n, 'pqr', s3 div n, 'sq8', s1 div n)"
+      else
+        "stack(4, 'i4', s4 div n, 'pq', s2 div n, " +
+          "'pqr', s3 div n, 'sq8', s1 div n)"
+    idx.indexDf
+      .select(errCols: _*)
+      .agg(sums.head, sums.tail: _*)
+      .selectExpr(s"$stack as (tier, mean_err_u)")
+      .orderBy("tier")
+  }
 }

@@ -507,13 +507,9 @@ object ManifestScan {
   def upsert(spark: SparkSession, dir: String,
       updates: org.apache.spark.sql.DataFrame, keyCol: String,
       cols: Seq[String], seqCol: Option[String] = None): (Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    val deduped = updates // keep the winning occurrence of a dup key
-      .withColumn("__seq", seqCol.map(col)
-        .getOrElse(monotonically_increasing_id()))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col("__seq").desc)))
-      .where(col("__rn") === 1).drop("__rn", "__seq")
+    // shared last-wins dedup (graft.store.Dedup): `seqCol` highest
+    // wins, ties and the no-seqCol fallback by positional order
+    val deduped = graft.store.Dedup.lastWins(updates, keyCol, seqCol)
       .localCheckpoint(true) // scanned thrice (range, anti-join, union)
     val nUpdates = deduped.count()
     if (nUpdates == 0) return (0L, 0L)

@@ -1,0 +1,36 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared in-batch key dedup for the four upsert surfaces
+  * ([[graft.sources.ManifestScan.upsert]], [[VectorStore.upsert]],
+  * [[QuantIndex.upsert]], and MultiTableStore via delete+add): a batch
+  * carrying one key twice must apply exactly one row, and WHICH row
+  * must not depend on the batch's partition layout.
+  *
+  * With `seqCol` the caller names the ordering column (a CDC sequence
+  * number, an event timestamp) and the highest value wins —
+  * deterministic for any partitioning. Without it, the fallback is
+  * last-wins by `monotonically_increasing_id`, which follows row order
+  * WITHIN a partition but is partition-layout-dependent across
+  * partitions (documented; fine for single-partition batches and for
+  * callers that don't carry duplicates). Ties on `seqCol` fall back to
+  * the same positional id, keeping the single-partition determinism.
+  */
+private[graft] object Dedup {
+
+  def lastWins(df: DataFrame, keyCol: String,
+      seqCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSeq = df.withColumn("__pos", monotonically_increasing_id())
+    val order = seqCol match {
+      case Some(s) => Seq(col(s).desc, col("__pos").desc)
+      case None => Seq(col("__pos").desc)
+    }
+    withSeq
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(order: _*)))
+      .where(col("__rn") === 1).drop("__rn", "__pos")
+  }
+}

@@ -188,7 +188,17 @@ object FileLog {
           FsIo.exists(versionPath(dir, st.version)) =>
         var v = st.version
         while (FsIo.exists(versionPath(dir, v + 1))) v += 1
-        if (v == st.version) st else readVersion(dir, v)
+        if (v == st.version) st
+        else
+          // A grace-0 vacuum can reclaim v between the exists probe
+          // and this read (a commit landed at v+1 and was itself
+          // vacuumed past). Degrade to the listing path, which already
+          // carries the FileNotFound → pointer fallback — the same
+          // graceful contract the slow path has (r13 ADVICE #1).
+          try readVersion(dir, v)
+          catch {
+            case _: java.io.FileNotFoundException => readByListing(dir, ptr)
+          }
       case _ => readByListing(dir, ptr)
     }
   }
@@ -397,6 +407,27 @@ object FileLog {
       // committing the narrow DDL would regress the log and every
       // read resolves files against the logged schema — the evolved
       // column would silently vanish. Commit the UNION of both.
+      // The union is sound ONLY under the append-only-widening
+      // invariant; enforce it (r13 ADVICE #4): a column present in
+      // BOTH the base and the caller's DDL but gone from cur's was
+      // DROPPED by an interloper — the union would silently
+      // resurrect it, so fail loudly instead (Delta's behavior on
+      // concurrent metadata change).
+      if (cur.version != base.version && cur.schemaDdl.nonEmpty &&
+          base.schemaDdl.nonEmpty && schemaDdl.nonEmpty) {
+        val curCols = org.apache.spark.sql.types.StructType
+          .fromDDL(cur.schemaDdl).fieldNames.toSet
+        val baseCols = org.apache.spark.sql.types.StructType
+          .fromDDL(base.schemaDdl).fieldNames.toSet
+        val callerCols = org.apache.spark.sql.types.StructType
+          .fromDDL(schemaDdl).fieldNames
+        val dropped = callerCols.filter(c => baseCols(c) && !curCols(c))
+        if (dropped.nonEmpty) throw new ConcurrentCommitException(
+          s"a concurrent commit under $dir dropped column(s) " +
+            s"${dropped.mkString(", ")} this rewrite (derived from " +
+            s"version ${base.version}) still carries — merging would " +
+            "resurrect them; re-read and retry the operation")
+      }
       val mergedDdl = mergeSchemas(schemaDdl, cur.schemaDdl)
       // CAS at exactly cur.version + 1 (see transact): an interloper
       // landing after our read makes this CAS fail → re-examine

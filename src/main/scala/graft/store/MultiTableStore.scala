@@ -256,7 +256,10 @@ final class MultiTableStore(
     // upsert ids previously transited the driver too)
     val nUp = ups.count()
     if (nUp > 0) { delete(ups.select(col(idCol)), idCol); add(ups, idCol, embCol) }
-    val nDel = delete(dels, idCol) // distributed: ids never hit the driver
+    // zero-delete windows skip the delete machinery entirely — cheap
+    // probe on the checkpointed frame (r13 ADVICE #5)
+    val nDel = if (dels.isEmpty) 0L
+      else delete(dels, idCol) // distributed: ids never hit the driver
     (nUp, nDel)
   }
 

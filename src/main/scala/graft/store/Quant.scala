@@ -4,6 +4,47 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => VF}
 
+/** The selectable quantization tiers of a [[QuantIndex]]. Each
+  * selected tier costs one encode pass over the corpus at build time
+  * and one stored code column forever after — at 100 TB an unused
+  * tier is a full corpus read plus real bytes per row, so builds
+  * should select what they will search. The FAISS index-factory
+  * composability the reference *claims* (`Readme.md:29-35`,
+  * `config/shard_node.yaml:6`) but never built.
+  *
+  * IVF cell assignment is NOT a tier: `cell` is the index's partition
+  * column and is always present (it is what makes probing partition
+  * pruning).
+  */
+object QuantTier {
+  /** 8-bit scalar quantization (column `sq8`). */
+  val Sq8 = "sq8"
+  /** 4-bit nibble-packed truncation of SQ8 (column `i4`; needs the
+    * SQ8 STATS — selecting it alone still trains mins/scales — but
+    * stores only the packed nibbles).
+    */
+  val Int4 = "i4"
+  /** Product quantization (column `pq`). */
+  val Pq = "pq"
+  /** Residual PQ against the coarse cell (column `pqr` — the FAISS
+    * IVFPQ encoding).
+    */
+  val Pqr = "pqr"
+  /** 1-bit sign signatures (column `sig`; parameterless). */
+  val Bitq = "bitq"
+  /** Optimized PQ — trained rotation then PQ (column `opq`). */
+  val Opq = "opq"
+
+  val All: Set[String] = Set(Sq8, Int4, Pq, Pqr, Bitq, Opq)
+
+  def validate(tiers: Set[String]): Unit = {
+    val unknown = tiers -- All
+    require(unknown.isEmpty,
+      s"unknown quant tier(s): ${unknown.mkString(", ")} " +
+        s"(known: ${All.toSeq.sorted.mkString(", ")})")
+  }
+}
+
 /** Quantized-index configuration: PQ (product quantization, `m`
   * subspaces × `k` centroids), SQ8 (per-dimension scalar quantization to
   * 0–255), and IVF (coarse cells). Mirrors the FAISS index families the
@@ -13,6 +54,11 @@ import graft.functions.{VectorFunctions => VF}
   * codes are persisted as columns next to the vectors (FAISS
   * encode-at-add semantics, `shard/shard_node.py:88`), and search scans
   * codes only until the exact re-rank.
+  *
+  * `tiers` selects which code tiers to train, encode and store
+  * ([[QuantTier]]); the default keeps all of them (the bench
+  * protocol's shape). An unselected tier trains nothing, writes no
+  * column, and its search methods refuse with a rebuild hint.
   */
 final case class QuantConfig(
     pqSubspaces: Int = 8,
@@ -20,7 +66,12 @@ final case class QuantConfig(
     ivfCells: Int = 16,
     sampleCap: Int = 8192,
     seed: Long = 42L,
-    opq: Boolean = true)
+    tiers: Set[String] = QuantTier.All) {
+  QuantTier.validate(tiers)
+
+  /** Whether the OPQ tier is selected (legacy accessor). */
+  def opq: Boolean = tiers(QuantTier.Opq)
+}
 
 /** Trained quantization models + the encode/search column expressions.
   *
@@ -44,8 +95,23 @@ final class QuantModel(
     s"dim $dim not divisible by pqSubspaces ${cfg.pqSubspaces}")
   val sub: Int = dim / cfg.pqSubspaces
 
-  /** Whether the OPQ tier was trained (cfg.opq at train time). */
+  /** Whether the OPQ tier was trained (selected at train time). */
   def opqEnabled: Boolean = opqRot.nonEmpty
+
+  /** Whether the SQ8 stats were trained (the sq8 OR i4 tier was
+    * selected — i4 codes derive from the SQ8 grid).
+    */
+  def sq8Enabled: Boolean = mins.nonEmpty
+
+  /** Whether the plain-PQ books were trained. */
+  def pqEnabled: Boolean = pqBooks.nonEmpty
+
+  /** Whether the residual-PQ books were trained. */
+  def pqrEnabled: Boolean = pqrBooks.nonEmpty
+
+  private def requireTier(on: Boolean, tier: String): Unit =
+    require(on, s"the '$tier' tier was not trained (unselected in " +
+      "QuantConfig.tiers) — rebuild the index with the tier selected")
 
   // ------------------------------------------------- encode (build time)
 
@@ -62,8 +128,10 @@ final class QuantModel(
     * kernels cut the 10M-row index build ~fourfold (it was spending
     * its wall interpreting per-element lambdas).
     */
-  def sq8Col(emb: Column): Column =
+  def sq8Col(emb: Column): Column = {
+    requireTier(sq8Enabled, "sq8/i4")
     colOf(graft.expressions.VecSq8Encode(expOf(emb), mins, scales))
+  }
 
   /** Interpreted-HOF twin of [[sq8Col]] (the shipped form through
     * round 15), kept for the kernel-equivalence pin.
@@ -99,8 +167,10 @@ final class QuantModel(
     * centroid (1-based so ADC is a direct `element_at` into the LUT).
     * Compiled kernel — all subspace argmins fused into one loop.
     */
-  def pqCol(emb: Column): Column =
+  def pqCol(emb: Column): Column = {
+    requireTier(pqEnabled, "pq")
     colOf(graft.expressions.VecPqEncode(expOf(emb), pqBooks, sub))
+  }
 
   /** RESIDUAL PQ codes (the FAISS IVFPQ convention): the vector minus
     * its assigned coarse centroid is what gets product-quantized, so
@@ -110,9 +180,11 @@ final class QuantModel(
     * Compiled kernel — the residual subtraction happens inside the
     * distance loop, no intermediate array.
     */
-  def pqrCol(emb: Column, cell: Column): Column =
+  def pqrCol(emb: Column, cell: Column): Column = {
+    requireTier(pqrEnabled, "pqr")
     colOf(graft.expressions.VecPqrEncode(expOf(emb),
       expOf(cell.cast("int")), pqrBooks, sub, ivfCentroids))
+  }
 
   /** Rotated embedding R·x (codegen matvec kernel) — the OPQ space
     * every opq code lives in. R is orthogonal, so L2 distances are
@@ -248,19 +320,25 @@ final class QuantModel(
   // ---------------------------------------------- query prep (driver)
 
   /** SQ8-encode a query vector (same formula as [[sq8Col]]). */
-  def sq8Encode(q: Array[Double]): Array[Long] =
+  def sq8Encode(q: Array[Double]): Array[Long] = {
+    requireTier(sq8Enabled, "sq8/i4")
     Array.tabulate(dim)(i => Math.round((q(i) - mins(i)) * scales(i)))
+  }
 
   /** Asymmetric-distance lookup table: lut(j)(c) = ||q_j − centroid_jc||². */
-  def pqLut(q: Array[Double]): Array[Array[Double]] =
+  def pqLut(q: Array[Double]): Array[Array[Double]] = {
+    requireTier(pqEnabled, "pq")
     lutFor(q, pqBooks)
+  }
 
   /** Residual-ADC lookup table for one probed cell: the query's residual
     * against THAT cell's coarse centroid, against the residual books.
     * One nprobe-sized family of LUTs per query — still driver math.
     */
-  def pqrLut(q: Array[Double], cell: Int): Array[Array[Double]] =
+  def pqrLut(q: Array[Double], cell: Int): Array[Array[Double]] = {
+    requireTier(pqrEnabled, "pqr")
     lutFor(Array.tabulate(dim)(i => q(i) - ivfCentroids(cell)(i)), pqrBooks)
+  }
 
   private def lutFor(q: Array[Double],
                      books: Array[Array[Array[Double]]]): Array[Array[Double]] =
@@ -308,6 +386,7 @@ final class QuantModel(
   def save(path: String): Unit = {
     val json = s"""{"pqSubspaces":${cfg.pqSubspaces},"pqCentroids":${cfg.pqCentroids},""" +
       s""""ivfCells":${cfg.ivfCells},"sampleCap":${cfg.sampleCap},"seed":${cfg.seed},""" +
+      s""""tiers":"${cfg.tiers.toSeq.sorted.mkString(",")}",""" +
       s""""dim":$dim,"mins":${arr(mins)},"scales":${arr(scales)},""" +
       s""""ivf_flat":${arr(ivfCentroids.flatten)},"books_flat":${arr(pqBooks.flatten.flatten)},""" +
       s""""booksr_flat":${arr(pqrBooks.flatten.flatten)},""" +
@@ -335,18 +414,29 @@ object QuantModel {
     */
   def train(df: DataFrame, cfg: QuantConfig,
             idCol: String = "id", embCol: String = "embedding"): QuantModel = {
+    import QuantTier._
     val dim = df.select(size(col(embCol))).head.getInt(0)
-    val st = df.select(posexplode(col(embCol)).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(min(col("x").cast("double")).as("mn"),
-        max(col("x").cast("double")).as("mx"))
-      .orderBy("i").collect()
-    require(st.length == dim, s"ragged embedding column: ${st.length} dims vs $dim")
-    val mins = st.map(_.getDouble(1))
-    val scales = st.map { r =>
-      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
-      if (mx > mn) 255.0 / (mx - mn) else 0.0
-    }
+    // SQ8 min/max stats: one distributed pass, needed by the sq8 AND
+    // i4 tiers (i4 codes are the SQ8 grid's top nibbles). Unselected
+    // tiers skip the pass entirely — at corpus scale it is a full
+    // column read.
+    val (mins, scales) =
+      if (!cfg.tiers(Sq8) && !cfg.tiers(Int4))
+        (Array.empty[Double], Array.empty[Double])
+      else {
+        val st = df.select(posexplode(col(embCol)).as(Seq("i", "x")))
+          .groupBy("i")
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+          .orderBy("i").collect()
+        require(st.length == dim,
+          s"ragged embedding column: ${st.length} dims vs $dim")
+        (st.map(_.getDouble(1)),
+          st.map { r =>
+            val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+            if (mx > mn) 255.0 / (mx - mn) else 0.0
+          })
+      }
     val slim = df.select(col(idCol).cast("long").as("id"),
       col(embCol).cast("array<double>").as("e"))
     val n = slim.count()
@@ -357,24 +447,31 @@ object QuantModel {
     // sample — the FAISS convention, same as the PQ books) so IVF
     // cells are real Voronoi regions and residuals against them are
     // small; the trained centroids are injected into the DuckDB
-    // oracles as literals, like the books.
+    // oracles as literals, like the books. Always trained: `cell` is
+    // the partition column regardless of tier selection.
     val ivf = fitSub(sample, cfg.ivfCells, cfg.seed + 2000)
     val sub = dim / cfg.pqSubspaces
-    val books = Array.tabulate(cfg.pqSubspaces)(j =>
-      fitSub(sample.map(_.slice(j * sub, (j + 1) * sub)),
-        cfg.pqCentroids, cfg.seed + j))
+    val books =
+      if (!cfg.tiers(Pq)) Array.empty[Array[Array[Double]]]
+      else Array.tabulate(cfg.pqSubspaces)(j =>
+        fitSub(sample.map(_.slice(j * sub, (j + 1) * sub)),
+          cfg.pqCentroids, cfg.seed + j))
     // Residual books train on (vector − nearest coarse centroid) over
     // the same sample; ties go to the lowest cell id, matching
     // ivfCellCol's array_position-first-match rule.
-    val resSample = sample.map { p =>
-      val c = ivf.minBy(cc => graft.functions.VectorFunctions.l2sqS(cc, p))
-      Array.tabulate(dim)(i => p(i) - c(i))
-    }
-    val booksR = Array.tabulate(cfg.pqSubspaces)(j =>
-      fitSub(resSample.map(_.slice(j * sub, (j + 1) * sub)),
-        cfg.pqCentroids, cfg.seed + 1000 + j))
+    val booksR =
+      if (!cfg.tiers(Pqr)) Array.empty[Array[Array[Double]]]
+      else {
+        val resSample = sample.map { p =>
+          val c = ivf.minBy(cc => graft.functions.VectorFunctions.l2sqS(cc, p))
+          Array.tabulate(dim)(i => p(i) - c(i))
+        }
+        Array.tabulate(cfg.pqSubspaces)(j =>
+          fitSub(resSample.map(_.slice(j * sub, (j + 1) * sub)),
+            cfg.pqCentroids, cfg.seed + 1000 + j))
+      }
     val (rot, booksO) =
-      if (cfg.opq) trainOpq(sample, cfg, dim)
+      if (cfg.tiers(Opq)) trainOpq(sample, cfg, dim)
       else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
     new QuantModel(cfg, dim, mins, scales, ivf, books, booksR, rot, booksO)
   }
@@ -523,14 +620,26 @@ object QuantModel {
       else body.split(",").map(_.trim.toDouble)
     }
     // OPQ fields are absent from pre-r19 model files and empty when
-    // trained with opq = false — both load as a model without the tier
+    // trained without the tier — both load as a model without it
     def optNums(key: String): Array[Double] =
       if (s.contains("\"" + key + "\":")) nums(key) else Array.empty
     val opqTrained = optNums("opq_rot_flat").nonEmpty
+    // `tiers` is absent from pre-r20 model files: those always
+    // trained/encoded every tier (opq from r19, by its arrays).
+    // Parsed directly, not via field() — the quoted value contains
+    // commas, field()'s terminator.
+    val tiers =
+      if (s.contains("\"tiers\":\"")) {
+        val i = s.indexOf("\"tiers\":\"") + 9
+        s.substring(i, s.indexOf('"', i))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
+      else if (opqTrained) QuantTier.All
+      else QuantTier.All - QuantTier.Opq
     val cfg = QuantConfig(
       field("pqSubspaces").trim.toInt, field("pqCentroids").trim.toInt,
       field("ivfCells").trim.toInt, field("sampleCap").trim.toInt,
-      field("seed").trim.toLong, opq = opqTrained)
+      field("seed").trim.toLong, tiers = tiers)
     val dim = field("dim").trim.toInt
     val sub = dim / cfg.pqSubspaces
     val ivf = nums("ivf_flat").grouped(dim).toArray

@@ -75,6 +75,15 @@ final class QuantIndex(
 
   def indexDf: DataFrame = resident.getOrElse(logDf)
 
+  /** Friendly refusal for searches over an unselected tier: the code
+    * column is simply absent from the index schema.
+    */
+  private def requireCol(c: String, tier: String): Unit =
+    require(indexDf.columns.contains(c),
+      s"$path lacks the '$c' column — the '$tier' tier was not " +
+        "selected at build time; rebuild with the tier in " +
+        "QuantConfig.tiers")
+
   /** Pin the index in executor memory for interactive serving (the
     * analogue of the reference's always-resident FAISS index): all
     * searches then scan the in-memory columnar form — column pruning
@@ -95,20 +104,24 @@ final class QuantIndex(
     * Carrying `cell` lets the re-rank prune to the partitions the
     * survivors actually live in.
     */
-  def coarseSq8(q: Array[Double], n: Int): DataFrame =
+  def coarseSq8(q: Array[Double], n: Int): DataFrame = {
+    requireCol("sq8", graft.store.QuantTier.Sq8)
     indexDf.select(col("id"), col("cell"),
         model.sq8AdcCol(col("sq8"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
+  }
 
   /** (id, cell, adc) coarse candidates by PQ asymmetric distance: the query's
     * M×K lookup table is computed once on the driver and folded into a
     * codegen'd projection — per row, M `element_at`s + adds. The scan
     * reads (id, pq) only.
     */
-  def coarsePq(q: Array[Double], n: Int): DataFrame =
+  def coarsePq(q: Array[Double], n: Int): DataFrame = {
+    requireCol("pq", graft.store.QuantTier.Pq)
     indexDf.select(col("id"), col("cell"),
         model.pqAdcCol(col("pq"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
+  }
 
   /** (id, cell, adc) coarse candidates by integer INT4 code distance —
     * the 8×-compression tier between SQ8 (4×) and BQ (32×): the scan
@@ -130,12 +143,14 @@ final class QuantIndex(
     * (id, sig), 1/32 of the vector bytes, and the distance is one
     * popcount-of-xor per 64 dims.
     */
-  def coarseBitq(q: Array[Double], n: Int): DataFrame =
+  def coarseBitq(q: Array[Double], n: Int): DataFrame = {
+    requireCol("sig", graft.store.QuantTier.Bitq)
     indexDf.select(col("id"), col("cell"),
       VF.hamming64(col("sig"),
         org.apache.spark.sql.functions.typedLit(VF.signPackS(q)))
         .as("ham"))
       .orderBy(col("ham"), col("id")).limit(n)
+  }
 
   /** Exact squared-L2 for a bounded id set (the coarse survivors): the
     * only stage that reads the float `embedding` column, under an id
@@ -289,6 +304,7 @@ final class QuantIndex(
     * point at 100 TB: 2/16 of the rows × ~1/16 of the bytes per row.
     */
   def coarseIvfPq(q: Array[Double], nprobe: Int, n: Int): DataFrame = {
+    requireCol("pq", graft.store.QuantTier.Pq)
     val cells = model.ivfNearestCells(q, nprobe).map(Int.box)
     indexDf.where(col("cell").isin(cells: _*))
       .select(col("id"), col("cell"), model.pqAdcCol(col("pq"), q).as("adc"))
@@ -311,6 +327,7 @@ final class QuantIndex(
     * each codebook only spans a cell-sized neighborhood.
     */
   def coarseIvfPqResidual(q: Array[Double], nprobe: Int, n: Int): DataFrame = {
+    requireCol("pqr", graft.store.QuantTier.Pqr)
     val cells = model.ivfNearestCells(q, nprobe)
     val luts: Seq[Seq[Seq[Double]]] =
       cells.map(c => model.pqrLut(q, c).map(_.toSeq).toSeq)
@@ -429,12 +446,11 @@ final class QuantIndex(
     * overwrite.
     */
   def upsert(df: DataFrame, idCol: String = "id",
-             embCol: String = "embedding"): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val dedupedIn = df.withColumn("__seq", monotonically_increasing_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__seq").desc)))
-      .where(col("__rn") === 1).drop("__rn", "__seq")
+             embCol: String = "embedding",
+             seqCol: Option[String] = None): Unit = {
+    // shared in-batch dedup: `seqCol` highest-wins (deterministic for
+    // any partition layout), else positional last-wins
+    val dedupedIn = Dedup.lastWins(df, idCol, seqCol)
     val incoming = QuantIndex.encode(dedupedIn, model, idCol, embCol)
       .localCheckpoint(true)
     val (log, cur) = pinned()
@@ -473,7 +489,11 @@ final class QuantIndex(
     val (ups, dels) = FeedSync.net(feed, idCol, embCol)
     val nUp = ups.count()
     if (nUp > 0) upsert(ups, idCol, embCol)
-    val nDel = delete(dels, idCol) // distributed: ids never hit the driver
+    // zero-delete windows (the common streaming case) skip the full
+    // distributed-delete machinery — cheap probe on the checkpointed
+    // frame (r13 ADVICE #5)
+    val nDel = if (dels.isEmpty) 0L
+      else delete(dels, idCol) // distributed: ids never hit the driver
     (nUp, nDel)
   }
 
@@ -658,6 +678,139 @@ final class QuantIndex(
     Some((k, body.split(",").map(_.trim.toDouble).toSeq))
   }
 
+  // ----------------- recall vs coarseN (the ADC tiers' other knob)
+
+  /** Mean recall@k of the TWO-STAGE search per re-rank budget
+    * `coarseN`, for one ADC tier (pq or opq), over a query panel —
+    * ONE corpus scan (the e18/recallByDepth shape). The re-rank is
+    * exact, so a two-stage search's only loss is a true neighbor
+    * missing from the coarse top-coarseN: recall(coarseN) = |exact
+    * top-k ∩ ADC top-coarseN| / k. Each panel query's M×K LUT is
+    * driver math broadcast into the scan (exactly what the real
+    * search does), every requested depth is a prefix-slice of ONE
+    * top-max(depths) aggregate.
+    */
+  private def adcRecallByDepth(panel: Seq[Array[Double]], k: Int,
+      tier: String, depths: Seq[Int]): Seq[Double] = {
+    require(panel.nonEmpty, "empty audit panel")
+    require(depths.nonEmpty && depths.forall(_ >= 1), "bad depth list")
+    val (codeCol, lutOf) = tier match {
+      case QuantTier.Pq =>
+        requireCol("pq", QuantTier.Pq)
+        ("pq", (q: Array[Double]) => model.pqLut(q))
+      case QuantTier.Opq =>
+        requireCol("opq", QuantTier.Opq)
+        ("opq", (q: Array[Double]) => model.opqLut(q))
+      case t => throw new IllegalArgumentException(
+        s"no ADC coarseN curve for tier '$t' (supported: pq, opq)")
+    }
+    val kk = math.max(1, k)
+    val maxDepth = depths.max
+    val sess = spark
+    import sess.implicits._
+    val pdf = panel.zipWithIndex.map { case (q, i) =>
+      (i.toLong, q.toSeq, lutOf(q).map(_.toSeq).toSeq)
+    }.toDF("qid", "qe", "lut")
+    val adc = (0 until model.cfg.pqSubspaces).map(j =>
+      element_at(element_at(col("lut"), j + 1),
+        element_at(col(codeCol), j + 1))).reduce(_ + _)
+    val scored = indexDf.crossJoin(broadcast(pdf))
+      .select(col("qid"), col("id"),
+        VF.l2sq(col("embedding"), col("qe")).as("dd"), adc.as("adc"))
+    val perQuery = scored.groupBy("qid").agg(
+      graft.functions.TopKAgg(col("id"), col("dd"), kk).as("ex"),
+      graft.functions.TopKAgg(col("id"), col("adc"), maxDepth).as("cand"))
+      .select(depths.map { p =>
+        (size(array_intersect(
+          expr("transform(ex, x -> x._1)"),
+          expr(s"transform(slice(cand, 1, $p), x -> x._1)"))).cast("double") /
+          size(col("ex"))).as(s"r_$p")
+      }: _*)
+    val row = perQuery.agg(
+      avg(col(s"r_${depths.head}")),
+      depths.tail.map(p => avg(col(s"r_$p"))): _*).head
+    depths.indices.map(row.getDouble)
+  }
+
+  /** Default audit grid for [[auditAdcRecallCurve]]: log-ish steps to
+    * 4× the conventional 100 budget.
+    */
+  private val AdcDepths = Seq(10, 25, 50, 100, 200, 400)
+
+  /** Measure the recall-vs-coarseN curve for one ADC tier and persist
+    * it INSIDE the current snapshot's data directory
+    * (`_adc_recall_curve_<tier>.json`) — the coarseN twin of
+    * [[auditRecallCurve]]'s nprobe curve (r13 verdict task #6): a
+    * retrain's fresh snapshot has no curve, and add/delete/upsert
+    * drop it explicitly, so [[coarseNForRecall]] can never serve a
+    * stale measurement. Returns depth → mean recall@k.
+    */
+  def auditAdcRecallCurve(panel: Seq[Array[Double]], k: Int = 10,
+      tier: String = QuantTier.Pq,
+      depths: Seq[Int] = AdcDepths): Seq[(Int, Double)] = {
+    val kk = math.max(1, k)
+    val ds = depths.distinct.sorted
+    val curve = ds.zip(adcRecallByDepth(panel, kk, tier, ds))
+    val json = s"""{"k":$kk,"panel":${panel.size},""" +
+      s""""depths":${ds.mkString("[", ",", "]")},""" +
+      s""""recall":${curve.map(c => f"${c._2}%.17e").mkString("[", ",", "]")}}"""
+    graft.util.FsIo.writeString(adcCurvePath(tier), json)
+    curve
+  }
+
+  private def adcCurvePath(tier: String): String =
+    s"$dataDir/_adc_recall_curve_$tier.json"
+
+  /** The persisted measured coarseN curve for `tier`:
+    * (k, depth → recall), if [[auditAdcRecallCurve]] has run for this
+    * snapshot.
+    */
+  def adcRecallCurve(tier: String): Option[(Int, Seq[(Int, Double)])] = {
+    val fp = adcCurvePath(tier)
+    if (!graft.util.FsIo.exists(fp)) return None
+    val s = graft.util.FsIo.readString(fp)
+    def arr(key: String): Seq[String] = {
+      val i = s.indexOf("\"" + key + "\":[") + key.length + 4
+      s.substring(i, s.indexOf(']', i)).split(",").map(_.trim).toSeq
+    }
+    val k = s.substring(s.indexOf("\"k\":") + 4,
+      s.indexWhere(c => c == ',' || c == '}', s.indexOf("\"k\":") + 4)).trim.toInt
+    Some((k, arr("depths").map(_.toInt).zip(arr("recall").map(_.toDouble))))
+  }
+
+  /** Smallest MEASURED re-rank budget whose recall meets the target,
+    * for one ADC tier; None when no persisted point reaches it (fresh
+    * build, post-mutation, post-retrain, or target above the curve) —
+    * the caller should fall back to exact search rather than
+    * under-deliver (the [[nprobeForRecall]] convention, where the
+    * degenerate answer is likewise "probe everything").
+    */
+  def coarseNForRecall(minRecall: Double,
+      tier: String = QuantTier.Pq): Option[Int] =
+    adcRecallCurve(tier).flatMap { case (_, curve) =>
+      curve.find(_._2 >= minRecall).map(_._1)
+    }
+
+  /** Recall-targeted two-stage ADC search: the re-rank budget comes
+    * from the persisted measured curve instead of the hand-tuned 100
+    * (r13 verdict task #6). No measured point meets the target ⇒
+    * exact scan (never under-deliver); returns (result, the coarseN
+    * used — −1 for the exact fallback).
+    */
+  def searchAdcAtRecall(q: Array[Double], k: Int, minRecall: Double,
+      tier: String = QuantTier.Pq): (DataFrame, Int) =
+    coarseNForRecall(minRecall, tier) match {
+      case Some(n) =>
+        val df = tier match {
+          case QuantTier.Opq => searchOpq(q, k, coarseN = n)
+          case _ => searchPq(q, k, coarseN = n)
+        }
+        (df, n)
+      case None =>
+        (indexDf.select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
+          .orderBy(col("dist"), col("id")).limit(math.max(1, k)), -1)
+    }
+
   /** Smallest nprobe whose MEASURED recall meets the target —
     * conservative by construction: with no persisted audit (fresh
     * build, post-mutation, post-retrain), or a target above every
@@ -679,12 +832,16 @@ final class QuantIndex(
   def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame =
     searchIvf(q, k, nprobeForRecall(minRecall))
 
-  /** Drop the persisted recall curve: it was measured against a
-    * specific corpus, so any mutation makes it stale (a stale curve
-    * would make [[nprobeForRecall]] silently optimistic).
+  /** Drop the persisted recall curves (nprobe AND the per-tier
+    * coarseN curves): they were measured against a specific corpus,
+    * so any mutation makes them stale (a stale curve would make
+    * [[nprobeForRecall]]/[[coarseNForRecall]] silently optimistic).
     */
-  private def invalidateRecallCurve(): Unit =
+  private def invalidateRecallCurve(): Unit = {
     graft.util.FsIo.delete(s"$dataDir/_recall_curve.json")
+    Seq(QuantTier.Pq, QuantTier.Opq)
+      .foreach(t => graft.util.FsIo.delete(adcCurvePath(t)))
+  }
 
   private def invalidateResident(): Unit = resident.foreach { df =>
     df.unpersist()
@@ -706,19 +863,30 @@ object QuantIndex {
     */
   private def encode(df: DataFrame, model: QuantModel,
                      idCol: String, embCol: String): DataFrame = {
-    val base = df
+    import QuantTier._
+    val tiers = model.cfg.tiers
+    var out = df
       .select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
-      .withColumn("sq8", model.sq8Col(col("embedding")))
-      .withColumn("i4", VF.nibblePack(col("sq8")))
-      .withColumn("pq", model.pqCol(col("embedding")))
-      .withColumn("sig", VF.signPack(col("embedding")))
-      .withColumn("cell", model.ivfCellCol(col("embedding")))
-      .withColumn("pqr", model.pqrCol(col("embedding"), col("cell")))
-    // OPQ codes (rotate-then-PQ) only when the tier was trained —
-    // indexes built with QuantConfig(opq = false) skip the per-row
-    // dim×dim rotation at encode time
-    if (model.opqEnabled) base.withColumn("opq", model.opqCol(col("embedding")))
-    else base
+    // Each tier's encode pass and stored column exists only when
+    // SELECTED (r13 verdict task #1: an unused tier at 100 TB is a
+    // full corpus encode plus a permanent column). `cell` is always
+    // present — it is the partition column.
+    if (tiers(Sq8))
+      out = out.withColumn("sq8", model.sq8Col(col("embedding")))
+    if (tiers(Int4)) // i4 derives from the SQ8 grid; when sq8 itself
+      out = out.withColumn("i4", VF.nibblePack( // is unselected the
+        if (tiers(Sq8)) col("sq8") // codes are computed transiently
+        else model.sq8Col(col("embedding")))) // and never stored
+    if (tiers(Pq))
+      out = out.withColumn("pq", model.pqCol(col("embedding")))
+    if (tiers(Bitq))
+      out = out.withColumn("sig", VF.signPack(col("embedding")))
+    out = out.withColumn("cell", model.ivfCellCol(col("embedding")))
+    if (tiers(Pqr))
+      out = out.withColumn("pqr", model.pqrCol(col("embedding"), col("cell")))
+    if (tiers(Opq) && model.opqEnabled)
+      out = out.withColumn("opq", model.opqCol(col("embedding")))
+    out
   }
 
   /** Train the quantizers (one distributed stats pass + a bounded
@@ -729,16 +897,52 @@ object QuantIndex {
   def build(spark: SparkSession, df: DataFrame, path: String,
             cfg: QuantConfig = QuantConfig(),
             idCol: String = "id", embCol: String = "embedding"): QuantIndex = {
+    val t0 = System.nanoTime()
     val model = QuantModel.train(df, cfg, idCol, embCol)
+    val t1 = System.nanoTime()
     val out = encode(df, model, idCol, embCol)
     out.repartition(cfg.ivfCells, col("cell"))
       .sortWithinPartitions("cell", "id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val t2 = System.nanoTime()
+    lastBuild = Seq("train" -> (t1 - t0) / 1e9, "encode" -> (t2 - t1) / 1e9)
     val files = FileLog.listDataFiles(spark, path)
     FileLog.commit(spark, path, files, out.schema.toDDL,
       zones = FileLog.collectZones(spark, files, ZoneCols))
     model.save(s"$path/_quant_model.json")
     new QuantIndex(spark, path, model)
+  }
+
+  @volatile private var lastBuild: Seq[(String, Double)] = Seq.empty
+
+  /** Phase decomposition of the most recent [[build]] in this JVM
+    * (bench telemetry): `train` = the driver-side model fit (stats
+    * pass + k-means/OPQ over the bounded sample), `encode` = the
+    * distributed encode + partitioned write. Attributes a build-cost
+    * move to the phase that caused it (r13 verdict task #1).
+    */
+  def lastBuildPhases: Seq[(String, Double)] = lastBuild
+
+  /** Per-column compressed bytes (MB) of an index directory, from the
+    * parquet FOOTERS (metadata-only I/O): what each code tier
+    * actually costs on disk. Top-level column name → summed
+    * compressed size across the snapshot's live files.
+    */
+  def columnMb(spark: SparkSession, dataDir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files =
+      if (FileLog.exists(dataDir)) FileLog.read(dataDir).files
+      else FileLog.listDataFiles(spark, dataDir)
+    files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.toSeq.flatMap(_.getColumns.asScala
+        .map(c => c.getPath.toDotString.split("\\.").head ->
+          c.getTotalSize))
+      finally r.close()
+    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum / 1e6 }
   }
 
   /** Zone-mapped columns recorded in every index commit: per-file id

@@ -315,15 +315,14 @@ final class VectorStore(
     * driver.
     */
   def upsert(df: DataFrame, idCol: String = "id",
-             embCol: String = "embedding"): Unit = {
-    // Dedup ids WITHIN the batch (keep the last occurrence in row
-    // order) — otherwise a batch containing an id twice writes both
-    // rows, breaking the replaces-existing-ids invariant.
-    import org.apache.spark.sql.expressions.Window
-    val dedupedIn = df.withColumn("__seq", monotonically_increasing_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__seq").desc)))
-      .where(col("__rn") === 1).drop("__rn", "__seq")
+             embCol: String = "embedding",
+             seqCol: Option[String] = None): Unit = {
+    // Dedup ids WITHIN the batch — otherwise a batch containing an id
+    // twice writes both rows, breaking the replaces-existing-ids
+    // invariant. With `seqCol` the highest sequence value wins
+    // (deterministic for any partition layout); without it, last
+    // occurrence in positional order (see [[Dedup.lastWins]]).
+    val dedupedIn = Dedup.lastWins(df, idCol, seqCol)
     val incoming = VectorStore.bucketize(dedupedIn, model, idCol, embCol)
       .localCheckpoint(true)
     val (log, cur) = pinned()
@@ -370,7 +369,12 @@ final class VectorStore(
     val (ups, dels) = FeedSync.net(feed, idCol, embCol)
     val nUp = ups.count()
     if (nUp > 0) upsert(ups, idCol, embCol)
-    val nDel = delete(dels, idCol) // distributed: ids never hit the driver
+    // emptiness probe over the already-checkpointed deletes frame: the
+    // common streaming window carries zero deletes, and the full
+    // distributed-delete machinery (distinct + checkpoint + whole-index
+    // semi-join) should not run for it (r13 ADVICE #5)
+    val nDel = if (dels.isEmpty) 0L
+      else delete(dels, idCol) // distributed: ids never hit the driver
     (nUp, nDel)
   }
 

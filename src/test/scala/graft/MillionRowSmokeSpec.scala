@@ -107,7 +107,7 @@ class MillionRowSmokeSpec extends AnyFunSuite {
 
   test("1M-vector quant index: byte crossover and pruned wall-clock win") {
     val dir = graft.util.TempDirs.create("graft_1m").toString
-    val idx = QuantIndex.build(spark, corpus, s"$dir/index", QuantConfig(opq = false))
+    val idx = QuantIndex.build(spark, corpus, s"$dir/index", QuantConfig(tiers = graft.store.QuantTier.All - graft.store.QuantTier.Opq))
     assert(idx.indexDf.count() == N)
 
     val q = corpus.where(col("id") === 123456)
@@ -164,7 +164,7 @@ class MillionRowSmokeSpec extends AnyFunSuite {
     // maintenance semantics don't need the full 1M corpus — 100k keeps
     // the 10-add loop inside the CI budget with identical write shapes
     val base = 100000L
-    val idx = QuantIndex.build(spark, gen(0, base), s"$dir/index", QuantConfig(opq = false))
+    val idx = QuantIndex.build(spark, gen(0, base), s"$dir/index", QuantConfig(tiers = graft.store.QuantTier.All - graft.store.QuantTier.Opq))
     val files0 = graft.store.VectorStore.countDataFiles(spark, s"$dir/index")
 
     (0 until 10).foreach { i =>
@@ -200,7 +200,7 @@ class MillionRowSmokeSpec extends AnyFunSuite {
   test("zone-pruned re-rank plans only candidate-holding files (2M, compacted)") {
     import graft.store.FileLog
     val dir = graft.util.TempDirs.create("graft_1m_zones").toString
-    val idx = QuantIndex.build(spark, corpus, s"$dir/index", QuantConfig(opq = false))
+    val idx = QuantIndex.build(spark, corpus, s"$dir/index", QuantConfig(tiers = graft.store.QuantTier.All - graft.store.QuantTier.Opq))
     // ~500 id-ranged files (2M / 4k): the regime where the bound that
     // matters shows — planned files ≤ CANDIDATE count (100), however
     // many files the table holds

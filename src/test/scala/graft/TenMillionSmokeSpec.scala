@@ -55,7 +55,7 @@ class TenMillionSmokeSpec extends AnyFunSuite {
   test("QuantIndex at 10M: build, byte crossover, audit cost, compact") {
     val dir = graft.util.TempDirs.create("graft_10m_qi").toString
     val (idx, tBuild) = timed(
-      QuantIndex.build(spark, gen(0, N), s"$dir/index", QuantConfig(opq = false)))
+      QuantIndex.build(spark, gen(0, N), s"$dir/index", QuantConfig(tiers = graft.store.QuantTier.All - graft.store.QuantTier.Opq)))
     info(f"build: $tBuild%.1fs for $N%,d x $Dim-D")
     assert(idx.indexDf.count() == N)
 
