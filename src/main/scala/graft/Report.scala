@@ -245,7 +245,7 @@ object Report {
         // past 1.3× on a median is a real regression/improvement
         val moved = secs.toSeq.flatMap { case (k, v) =>
           prev.get(k).collect {
-            case p if math.max(p, v) >= 0.3 && p > 0 &&
+            case p if math.min(p, v) >= 0.3 &&
                 math.max(v / p, p / v) > 1.3 =>
               (k, p, v, v / p)
           }

@@ -192,7 +192,7 @@ final class QuantModel(
     * same metric as the plain tiers.
     */
   def opqRotateCol(emb: Column): Column = {
-    require(opqEnabled, "OPQ tier not trained (QuantConfig.opq = false)")
+    requireTier(opqEnabled, "opq")
     colOf(graft.expressions.VecMatVec(expOf(emb), opqRot))
   }
 
@@ -202,7 +202,7 @@ final class QuantModel(
     * than [[pqCol]] — the e15 audit prices exactly that gap.
     */
   def opqCol(emb: Column): Column = {
-    require(opqEnabled, "OPQ tier not trained (QuantConfig.opq = false)")
+    requireTier(opqEnabled, "opq")
     colOf(graft.expressions.VecPqEncode(
       expOf(opqRotateCol(emb)), opqBooks, sub))
   }

@@ -129,9 +129,7 @@ final class QuantIndex(
     * integer math over top-nibble codes — still engine-exact.
     */
   def coarseInt4(q: Array[Double], n: Int): DataFrame = {
-    require(indexDf.columns.contains("i4"),
-      s"$path lacks the 'i4' column — index built by an older graft " +
-        "version; rebuild it with QuantIndex.build")
+    requireCol("i4", QuantTier.Int4)
     indexDf.select(col("id"), col("cell"),
         VF.nibbleL2(col("i4"),
           typedLit(VF.nibblePackS(model.sq8Encode(q)))).as("adc"))
@@ -272,8 +270,7 @@ final class QuantIndex(
     * rotation decorrelates the subspaces before coding.
     */
   def coarseOpq(q: Array[Double], n: Int): DataFrame = {
-    require(indexDf.columns.contains("opq"),
-      s"$path lacks the 'opq' column — rebuild with QuantConfig(opq = true)")
+    requireCol("opq", QuantTier.Opq)
     indexDf.select(col("id"), col("cell"),
         model.opqAdcCol(col("opq"), q).as("adc"))
       .orderBy(col("adc"), col("id")).limit(n)
@@ -729,6 +726,10 @@ final class QuantIndex(
     val row = perQuery.agg(
       avg(col(s"r_${depths.head}")),
       depths.tail.map(p => avg(col(s"r_$p"))): _*).head
+    // avg over ZERO per-query rows is NULL: surface the diagnosis, not
+    // an unboxing NPE
+    require(!row.isNullAt(0),
+      s"cannot audit recall on an empty index ($path)")
     depths.indices.map(row.getDouble)
   }
 
@@ -779,11 +780,13 @@ final class QuantIndex(
   }
 
   /** Smallest MEASURED re-rank budget whose recall meets the target,
-    * for one ADC tier; None when no persisted point reaches it (fresh
-    * build, post-mutation, post-retrain, or target above the curve) —
-    * the caller should fall back to exact search rather than
-    * under-deliver (the [[nprobeForRecall]] convention, where the
-    * degenerate answer is likewise "probe everything").
+    * for one ADC tier, AT THE CURVE'S OWN k; None when no persisted
+    * point reaches it (fresh build, post-mutation, post-retrain, or
+    * target above the curve) — the caller should fall back to exact
+    * search rather than under-deliver (the [[nprobeForRecall]]
+    * convention, where the degenerate answer is likewise "probe
+    * everything"). Raw curve picker: [[searchAdcAtRecall]] adds the
+    * requested-k guards.
     */
   def coarseNForRecall(minRecall: Double,
       tier: String = QuantTier.Pq): Option[Int] =
@@ -793,23 +796,35 @@ final class QuantIndex(
 
   /** Recall-targeted two-stage ADC search: the re-rank budget comes
     * from the persisted measured curve instead of the hand-tuned 100
-    * (r13 verdict task #6). No measured point meets the target ⇒
-    * exact scan (never under-deliver); returns (result, the coarseN
-    * used — −1 for the exact fallback).
+    * (r13 verdict task #6). Never under-delivers: a request for MORE
+    * results than the curve was audited at (k > the persisted k)
+    * falls back to exact — a recall@10 measurement says nothing
+    * about recall@50; and the chosen budget is clamped to ≥ k so the
+    * re-rank can always fill k rows (recall is non-decreasing in
+    * depth, so clamping UP never drops below the measured point). No
+    * measured point meets the target ⇒ exact scan. Returns (result,
+    * the coarseN used — −1 for the exact fallback).
     */
   def searchAdcAtRecall(q: Array[Double], k: Int, minRecall: Double,
-      tier: String = QuantTier.Pq): (DataFrame, Int) =
-    coarseNForRecall(minRecall, tier) match {
+      tier: String = QuantTier.Pq): (DataFrame, Int) = {
+    val kk = math.max(1, k)
+    val choice = adcRecallCurve(tier) match {
+      case Some((auditedK, curve)) if kk <= auditedK =>
+        curve.find(_._2 >= minRecall).map(c => math.max(c._1, kk))
+      case _ => None // no curve, or audited at a smaller k than asked
+    }
+    choice match {
       case Some(n) =>
         val df = tier match {
-          case QuantTier.Opq => searchOpq(q, k, coarseN = n)
-          case _ => searchPq(q, k, coarseN = n)
+          case QuantTier.Opq => searchOpq(q, kk, coarseN = n)
+          case _ => searchPq(q, kk, coarseN = n)
         }
         (df, n)
       case None =>
         (indexDf.select(col("id"), VF.l2sqLit(col("embedding"), q).as("dist"))
-          .orderBy(col("dist"), col("id")).limit(math.max(1, k)), -1)
+          .orderBy(col("dist"), col("id")).limit(kk), -1)
     }
+  }
 
   /** Smallest nprobe whose MEASURED recall meets the target —
     * conservative by construction: with no persisted audit (fresh

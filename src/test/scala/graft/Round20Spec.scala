@@ -235,6 +235,18 @@ class Round20Spec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(df.collect().map(_.getLong(0)).toSeq == exact)
 
+    // a measured depth below the requested k clamps UP to k (the
+    // re-rank must be able to fill k rows; recall is non-decreasing
+    // in depth so the measured point still holds)
+    val (dfClamp, nClamp) =
+      idx.searchAdcAtRecall(q, 10, curve.head._2, QuantTier.Opq)
+    assert(nClamp == 10 && dfClamp.count() == 10)
+
+    // a request for MORE results than the curve was audited at is NOT
+    // certified by it — exact fallback, never a silent under-fill
+    val (dfBig, nBig) = idx.searchAdcAtRecall(q, 50, 0.01, QuantTier.Opq)
+    assert(nBig == -1 && dfBig.count() == 50)
+
     // a mutation drops the curve → the picker degenerates to None
     // (the caller's exact fallback) instead of serving a stale curve
     idx.delete(Seq(299L))
