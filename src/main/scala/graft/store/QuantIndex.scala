@@ -678,7 +678,7 @@ final class QuantIndex(
   // ----------------- recall vs coarseN (the ADC tiers' other knob)
 
   /** Mean recall@k of the TWO-STAGE search per re-rank budget
-    * `coarseN`, for one ADC tier (pq or opq), over a query panel —
+    * `coarseN`, for one ADC tier (sq8, i4, pq, opq, bitq), over a query panel —
     * ONE corpus scan (the e18/recallByDepth shape). The re-rank is
     * exact, so a two-stage search's only loss is a true neighbor
     * missing from the coarse top-coarseN: recall(coarseN) = |exact
@@ -691,26 +691,61 @@ final class QuantIndex(
       tier: String, depths: Seq[Int]): Seq[Double] = {
     require(panel.nonEmpty, "empty audit panel")
     require(depths.nonEmpty && depths.forall(_ >= 1), "bad depth list")
-    val (codeCol, lutOf) = tier match {
+    val sess = spark
+    import sess.implicits._
+    // Per tier: the query-side payload broadcast with the panel, and
+    // the per-row coarse distance against it — EXACTLY the distance
+    // the tier's real coarse pass computes (LUT ADC for pq/opq,
+    // integer code distance for sq8/i4, Hamming for bitq), so the
+    // curve prices the true candidate sets. Integer distances cast to
+    // double for the shared top-k aggregate — order-preserving (all
+    // values << 2^53). pqr is excluded: its knob is the JOINT
+    // (nprobe, coarseN) pair — the nprobe axis already has e19's
+    // measured curve.
+    def lutPdf(lutOf: Array[Double] => Array[Array[Double]]) =
+      panel.zipWithIndex.map { case (q, i) =>
+        (i.toLong, q.toSeq, lutOf(q).map(_.toSeq).toSeq)
+      }.toDF("qid", "qe", "lut")
+    def lutAdc(codeCol: String): org.apache.spark.sql.Column =
+      (0 until model.cfg.pqSubspaces).map(j =>
+        element_at(element_at(col("lut"), j + 1),
+          element_at(col(codeCol), j + 1))).reduce(_ + _)
+    val (pdf, adc) = tier match {
       case QuantTier.Pq =>
         requireCol("pq", QuantTier.Pq)
-        ("pq", (q: Array[Double]) => model.pqLut(q))
+        (lutPdf(model.pqLut), lutAdc("pq"))
       case QuantTier.Opq =>
         requireCol("opq", QuantTier.Opq)
-        ("opq", (q: Array[Double]) => model.opqLut(q))
+        (lutPdf(model.opqLut), lutAdc("opq"))
+      case QuantTier.Sq8 =>
+        requireCol("sq8", QuantTier.Sq8)
+        (panel.zipWithIndex.map { case (q, i) =>
+          (i.toLong, q.toSeq, model.sq8Encode(q).toSeq)
+        }.toDF("qid", "qe", "qc"),
+          aggregate(zip_with(col("sq8"), col("qc"),
+            (a, b) => (a - b) * (a - b)), lit(0L),
+            (acc, x) => acc + x).cast("double"))
+      case QuantTier.Int4 =>
+        requireCol("i4", QuantTier.Int4)
+        (panel.zipWithIndex.map { case (q, i) =>
+          (i.toLong, q.toSeq,
+            VF.nibblePackS(model.sq8Encode(q)).toSeq)
+        }.toDF("qid", "qe", "qn"),
+          VF.nibbleL2(col("i4"), col("qn")).cast("double"))
+      case QuantTier.Bitq =>
+        requireCol("sig", QuantTier.Bitq)
+        (panel.zipWithIndex.map { case (q, i) =>
+          (i.toLong, q.toSeq, VF.signPackS(q).toSeq)
+        }.toDF("qid", "qe", "qs"),
+          VF.hamming64(col("sig"), col("qs")).cast("double"))
       case t => throw new IllegalArgumentException(
-        s"no ADC coarseN curve for tier '$t' (supported: pq, opq)")
+        s"no ADC coarseN curve for tier '$t' " +
+          "(supported: sq8, i4, pq, opq, bitq; pqr's knob is the " +
+          "joint (nprobe, coarseN) pair — audit nprobe via " +
+          "auditRecallCurve)")
     }
     val kk = math.max(1, k)
     val maxDepth = depths.max
-    val sess = spark
-    import sess.implicits._
-    val pdf = panel.zipWithIndex.map { case (q, i) =>
-      (i.toLong, q.toSeq, lutOf(q).map(_.toSeq).toSeq)
-    }.toDF("qid", "qe", "lut")
-    val adc = (0 until model.cfg.pqSubspaces).map(j =>
-      element_at(element_at(col("lut"), j + 1),
-        element_at(col(codeCol), j + 1))).reduce(_ + _)
     val scored = indexDf.crossJoin(broadcast(pdf))
       .select(col("qid"), col("id"),
         VF.l2sq(col("embedding"), col("qe")).as("dd"), adc.as("adc"))
@@ -817,6 +852,9 @@ final class QuantIndex(
       case Some(n) =>
         val df = tier match {
           case QuantTier.Opq => searchOpq(q, kk, coarseN = n)
+          case QuantTier.Sq8 => searchSq8(q, kk, coarseN = n)
+          case QuantTier.Int4 => searchInt4(q, kk, coarseN = n)
+          case QuantTier.Bitq => searchBitq(q, kk, coarseN = n)
           case _ => searchPq(q, kk, coarseN = n)
         }
         (df, n)
@@ -854,7 +892,7 @@ final class QuantIndex(
     */
   private def invalidateRecallCurve(): Unit = {
     graft.util.FsIo.delete(s"$dataDir/_recall_curve.json")
-    Seq(QuantTier.Pq, QuantTier.Opq)
+    (QuantTier.All - QuantTier.Pqr)
       .foreach(t => graft.util.FsIo.delete(adcCurvePath(t)))
   }
 

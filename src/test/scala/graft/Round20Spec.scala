@@ -256,6 +256,31 @@ class Round20Spec extends AnyFunSuite {
     assert(n2 == -1 && df2.count() == 10) // exact fallback
   }
 
+  test("adc recall curve covers the integer tiers (sq8/i4/bitq) and " +
+      "drives their targeted searches; pqr refuses with the joint-knob hint") {
+    val idx = QuantIndex.build(spark, embRows(300),
+      fresh("adc_int") + "/index", QuantConfig())
+    val panel = (0L until 5L)
+      .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0L)
+    val exact = idx.indexDf.select(col("id"),
+        graft.functions.VectorFunctions.l2sqLit(col("embedding"), q).as("dist"))
+      .orderBy(col("dist"), col("id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    Seq(QuantTier.Sq8, QuantTier.Int4, QuantTier.Bitq).foreach { tier =>
+      val curve = idx.auditAdcRecallCurve(panel, k = 10, tier = tier,
+        depths = Seq(10, 50, 300))
+      assert(curve.map(_._2) == curve.map(_._2).sorted, s"tier $tier")
+      assert(curve.last._2 == 1.0, s"tier $tier") // 300 of 300 = exact
+      val (df, n) = idx.searchAdcAtRecall(q, 10, 1.0, tier)
+      assert(n == curve.find(_._2 >= 1.0).get._1, s"tier $tier")
+      assert(df.collect().map(_.getLong(0)).toSeq == exact, s"tier $tier")
+    }
+    val e = intercept[IllegalArgumentException](
+      idx.auditAdcRecallCurve(panel, 10, QuantTier.Pqr))
+    assert(e.getMessage.contains("nprobe"))
+  }
+
   // --------------------------- 3c. operator catalog completeness
 
   test("docs/OPERATORS.md names every registered query id") {
