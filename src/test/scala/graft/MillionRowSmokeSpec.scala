@@ -157,6 +157,22 @@ class MillionRowSmokeSpec extends AnyFunSuite {
       f"pruned IVF search ($tIvf%.3fs) must beat the exact scan ($tExact%.3fs)")
     assert(tIvfpq < tExact,
       f"two-stage IVFPQ ($tIvfpq%.3fs) must beat the exact scan ($tExact%.3fs)")
+
+    // the coarseN recall audit at 1M: ONE corpus scan for the whole
+    // (panel × depths) grid — completes, monotone, and its deepest
+    // point dominates (timing reported, not asserted: wall asserts on
+    // shared hosts flake; the crossover asserts above already pin the
+    // scan economics)
+    val panel = (0L until 5L).map(i =>
+      corpus.where(col("id") === i * 1000)
+        .head.getSeq[Float](1).map(_.toDouble).toArray)
+    val t0 = System.nanoTime()
+    val curve = idx.auditAdcRecallCurve(panel, k = 10,
+      tier = graft.store.QuantTier.Pq, depths = Seq(10, 100, 400))
+    val tAudit = (System.nanoTime() - t0) / 1e9
+    info(f"adc audit: ${curve.map(_._2).mkString(", ")} in $tAudit%.1fs")
+    assert(curve.map(_._2) == curve.map(_._2).sorted)
+    assert(curve.last._2 >= curve.head._2)
   }
 
   test("10 incremental adds fragment files; compact() restores the layout") {

@@ -54,8 +54,15 @@ class TenMillionSmokeSpec extends AnyFunSuite {
 
   test("QuantIndex at 10M: build, byte crossover, audit cost, compact") {
     val dir = graft.util.TempDirs.create("graft_10m_qi").toString
+    // Tier-selective build (r20): this smoke searches ivf + ivfpq, so
+    // it selects ONLY the pq tier — pricing exactly what it uses and
+    // validating at 10M that an unselected tier costs nothing (the 1M
+    // smoke keeps the full no-opq tier set for encode coverage). The
+    // stats pass + 4 extra encode passes the old all-tiers build paid
+    // here were dead weight for this test's assertions.
     val (idx, tBuild) = timed(
-      QuantIndex.build(spark, gen(0, N), s"$dir/index", QuantConfig(tiers = graft.store.QuantTier.All - graft.store.QuantTier.Opq)))
+      QuantIndex.build(spark, gen(0, N), s"$dir/index",
+        QuantConfig(tiers = Set(graft.store.QuantTier.Pq))))
     info(f"build: $tBuild%.1fs for $N%,d x $Dim-D")
     assert(idx.indexDf.count() == N)
 
