@@ -362,7 +362,15 @@ final class QuantModel(
     * query — the coarse candidate metric. Scans codes only.
     */
   def sq8AdcCol(codes: Column, q: Array[Double]): Column =
-    aggregate(zip_with(codes, typedlit(sq8Encode(q).toSeq),
+    sq8AdcCol(codes, typedlit(sq8Encode(q).toSeq))
+
+  /** Column-vs-column form of [[sq8AdcCol]] (the query codes arrive
+    * as a column — e.g. broadcast with an audit panel). The literal
+    * form delegates here, so the audit's distance and the search's
+    * distance are DEFINITIONALLY the same expression.
+    */
+  def sq8AdcCol(codes: Column, qCodes: Column): Column =
+    aggregate(zip_with(codes, qCodes,
       (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
 
   /** PQ asymmetric distance: 8 LUT lookups + adds per row, no vector

@@ -722,9 +722,7 @@ final class QuantIndex(
         (panel.zipWithIndex.map { case (q, i) =>
           (i.toLong, q.toSeq, model.sq8Encode(q).toSeq)
         }.toDF("qid", "qe", "qc"),
-          aggregate(zip_with(col("sq8"), col("qc"),
-            (a, b) => (a - b) * (a - b)), lit(0L),
-            (acc, x) => acc + x).cast("double"))
+          model.sq8AdcCol(col("sq8"), col("qc")).cast("double"))
       case QuantTier.Int4 =>
         requireCol("i4", QuantTier.Int4)
         (panel.zipWithIndex.map { case (q, i) =>
@@ -772,6 +770,12 @@ final class QuantIndex(
     * 4× the conventional 100 budget.
     */
   private val AdcDepths = Seq(10, 25, 50, 100, 200, 400)
+
+  /** The tiers the coarseN curve can certify (pqr's knob is the joint
+    * (nprobe, coarseN) pair — e19's measured curve owns the nprobe
+    * axis).
+    */
+  private val AdcTiers: Set[String] = QuantTier.All - QuantTier.Pqr
 
   /** Measure the recall-vs-coarseN curve for one ADC tier and persist
     * it INSIDE the current snapshot's data directory
@@ -842,6 +846,13 @@ final class QuantIndex(
     */
   def searchAdcAtRecall(q: Array[Double], k: Int, minRecall: Double,
       tier: String = QuantTier.Pq): (DataFrame, Int) = {
+    // uncertifiable tiers fail loudly like the audit does — otherwise
+    // a pqr/typo'd tier silently degrades EVERY query to a full exact
+    // scan, indistinguishable from "curve not yet measured"
+    require(AdcTiers(tier),
+      s"no ADC coarseN curve for tier '$tier' " +
+        "(supported: sq8, i4, pq, opq, bitq; pqr's knob is the joint " +
+        "(nprobe, coarseN) pair — audit nprobe via auditRecallCurve)")
     val kk = math.max(1, k)
     val choice = adcRecallCurve(tier) match {
       case Some((auditedK, curve)) if kk <= auditedK =>
