@@ -638,11 +638,31 @@ object Bench {
       "e1_ann_cosine_topk", "d1_dedup_exact", "s1_stream_tumble")
     val headline = quantBuild ++ knn.toSeq ++ groups ++
       perQuery.filter { case (n, _) => flagship(n) }
-    val headGauges = gauges.toSeq
+    // The DRIVER captures only the last ~2000 chars of stdout (the
+    // round-1 lesson: an oversized line truncates from the FRONT and
+    // parses as null). The r13 line sat at 1918 of ~1918 available;
+    // r20's full gauge set (33 entries) would overflow it — so the
+    // HEADLINE carries a fixed whitelist of the most-cited gauges
+    // (~1.8 KB total line) and the detail file carries everything.
+    val headGaugeNames: Seq[String] =
+      Seq("knn_pruned_recall_at10", "knn_pruned_recall_at10_p1",
+        "knn_pruned_recall_at10_pq", "knn_pruned_recall_at10_opq") ++
+        (for (t <- Seq("pq", "opq"); n <- Seq(25, 100, 400))
+          yield s"knn_recall_at10_${t}_c$n") ++
+        Seq("index_mb_mod3", "index_mb_mod16", "index_mb_mt4x16")
+    val headGauges = {
+      val m = gauges.toMap
+      headGaugeNames.flatMap(n => m.get(n).map(n -> _))
+    }
     // Stop Spark BEFORE printing so nothing it logs at shutdown can
     // land after the JSON line (the driver parses the last line).
     spark.stop()
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headline)},"gauges":${jsonMap(headGauges)},"sf":"$sfDir","detail":"$detailPath"}""")
+    val headLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(headline)},"gauges":${jsonMap(headGauges)},"sf":"$sfDir","detail":"$detailPath"}"""
+    if (headLine.length > 1900) // truncation budget tripwire (stderr)
+      System.err.println(s"[bench] headline line ${headLine.length} B " +
+        "risks the driver's ~2000-char stdout-tail capture — trim the " +
+        "headline maps (full data is in the detail file)")
+    println(headLine)
   }
 }
