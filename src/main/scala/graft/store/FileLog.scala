@@ -75,8 +75,42 @@ final class SnapshotVacuumedException(msg: String, cause: Throwable)
   * The `_files.json` pointer is only a cache: [[read]] always prefers
   * the newest immutable version file, so a stale or mid-swap pointer
   * (two winners swapping it out of order) is harmless.
+  *
+  * ==Delta-action records (round 21)==
+  *
+  * A version file is one of two record shapes:
+  *
+  *  - a CHECKPOINT: the full snapshot (`files` + per-file zones/rows),
+  *    exactly the pre-round-21 shape — every legacy log reads
+  *    unchanged, and every legacy version file IS a checkpoint;
+  *  - a DELTA: only the commit's CHANGES against its predecessor
+  *    (`add`/`remove` file lists, changed zone/row entries, the new
+  *    schema/watermark) plus the version of the checkpoint its chain
+  *    starts at.
+  *
+  * Why: with full snapshots, every commit — including every streaming
+  * micro-batch — wrote O(table-files) metadata bytes, so a long-running
+  * sink's cumulative log IO was quadratic in batch count and a 10⁶-file
+  * table paid ~100 MB of JSON per commit (the r14 verdict's one
+  * remaining scale-killer). With deltas, a commit writes O(batch)
+  * bytes; a full checkpoint is still written every
+  * [[checkpointInterval]] commits (and whenever a delta would not be
+  * smaller, e.g. whole-table rewrites and tiny tables), bounding a
+  * read's materialization at one checkpoint + < interval delta files —
+  * the Delta-log `_last_checkpoint` + action-suffix shape. CAS
+  * semantics, the grace window, time travel, the `dataChange` flag and
+  * batch-id watermarks are unchanged: the record SHAPE changed, not the
+  * commit protocol.
   */
 object FileLog {
+
+  /** Commits between full checkpoints (and the upper bound on the
+    * number of files a cold [[read]] materializes through). Tunable
+    * for soak tests via `-Dgraft.log.checkpointInterval=N`.
+    */
+  def checkpointInterval: Int =
+    sys.props.get("graft.log.checkpointInterval").map(_.toInt)
+      .filter(_ >= 1).getOrElse(20)
 
   /** Default vacuum grace: retired files and superseded version logs
     * younger than this survive reclamation, so in-flight readers of a
@@ -114,12 +148,20 @@ object FileLog {
     *                  rewrite to prove it row-neutral. Absent in
     *                  pre-round-18 logs ⇒ true (conservative: the feed
     *                  diffs the version instead of skipping it).
+    * @param checkpoint the version of the full-snapshot record this
+    *                  state's delta chain starts at (= `version` when
+    *                  this version IS a checkpoint; 0 = unknown, e.g. a
+    *                  directly constructed adoption state — the next
+    *                  commit then writes a checkpoint). Lets a
+    *                  committer decide delta-vs-checkpoint without
+    *                  re-reading the log.
     */
   final case class State(files: Seq[String], schemaDdl: String,
       version: Int = 0, batchId: Long = -1L,
       zones: Map[String, Map[String, Zone]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      dataChange: Boolean = true)
+      dataChange: Boolean = true,
+      checkpoint: Int = 0)
 
   /** What a writer asks to commit — the payload half of [[State]]
     * (version is assigned by the CAS loop).
@@ -180,65 +222,184 @@ object FileLog {
     * list, exactly as before.
     */
   def read(dir: String): State = {
-    val ptr =
-      try Some(parse(FsIo.readString(currentPath(dir))))
-      catch { case _: java.io.IOException => None }
-    ptr match {
-      case Some(st) if st.version > 0 &&
-          FsIo.exists(versionPath(dir, st.version)) =>
-        var v = st.version
-        while (FsIo.exists(versionPath(dir, v + 1))) v += 1
-        if (v == st.version) st
-        else
-          // A grace-0 vacuum can reclaim v between the exists probe
-          // and this read (a commit landed at v+1 and was itself
-          // vacuumed past). Degrade to the listing path, which already
-          // carries the FileNotFound → pointer fallback — the same
-          // graceful contract the slow path has (r13 ADVICE #1).
-          try readVersion(dir, v)
-          catch {
-            case _: java.io.FileNotFoundException => readByListing(dir, ptr)
-          }
-      case _ => readByListing(dir, ptr)
+    // Bounded retry around the whole resolve+materialize: a grace-0
+    // vacuum can reclaim any link of a delta chain between the exists
+    // probe and the chain read (the same race the pre-delta fast path
+    // degraded to a listing for). Every retry re-resolves from the
+    // pointer, which vacuum re-points and every commit rewrites, so a
+    // handful of attempts converge under any realistic storm; a chain
+    // broken for a NON-race reason (manual deletion) surfaces the raw
+    // FileNotFound after the retries, which [[classified]] then types.
+    var attempts = 0
+    while (true) {
+      try return readOnce(dir)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempts += 1
+          if (attempts > 20) throw e
+      }
     }
+    sys.error("unreachable")
   }
 
-  private def readByListing(dir: String, ptr: Option[State]): State =
+  private def readOnce(dir: String): State = {
+    val ptr =
+      try Some(parseRecord(FsIo.readString(currentPath(dir))))
+      catch { case _: java.io.IOException => None }
+    val ptrV = ptr.map(recordVersion).getOrElse(0)
+    if (ptrV > 0 && FsIo.exists(versionPath(dir, ptrV))) {
+      var v = ptrV
+      while (FsIo.exists(versionPath(dir, v + 1))) v += 1
+      ptr match {
+        // pointer IS the newest record and a full snapshot: zero IO
+        case Some(Snap(st)) if v == ptrV =>
+          st.copy(checkpoint = st.version)
+        case _ => readVersion(dir, v)
+      }
+    } else readByListing(dir, ptr)
+  }
+
+  private def readByListing(dir: String, ptr: Option[Record]): State =
     versions(dir).lastOption match {
       case Some(v) =>
         try readVersion(dir, v)
         catch {
           // lost the race to a concurrent vacuum dropping v: the
-          // pointer is rewritten by every commit and always parseable
-          case _: java.io.FileNotFoundException =>
-            ptr.getOrElse(parse(FsIo.readString(currentPath(dir))))
+          // pointer is rewritten by every commit — if it is a full
+          // snapshot it can stand alone; a delta pointer cannot, so
+          // rethrow into [[read]]'s retry loop
+          case e: java.io.FileNotFoundException =>
+            ptr match {
+              case Some(Snap(st)) => st.copy(checkpoint = st.version)
+              case _ => throw e
+            }
         }
-      case None => ptr.getOrElse(parse(FsIo.readString(currentPath(dir))))
+      case None => ptr match {
+        case Some(Snap(st)) => st.copy(checkpoint = st.version)
+        case Some(_: Delta) => throw new java.io.FileNotFoundException(
+          s"log under $dir has a delta pointer but no version files")
+        case None => // unlogged dir or pointer appeared since: re-read
+          parseRecord(FsIo.readString(currentPath(dir))) match {
+            case Snap(st) => st.copy(checkpoint = st.version)
+            case _: Delta => throw new java.io.FileNotFoundException(
+              s"log under $dir has a delta pointer but no version files")
+          }
+      }
     }
 
+  /** State at version `v`: a checkpoint record reads directly; a delta
+    * record materializes by reading its chain's checkpoint and applying
+    * every delta up to `v` — at most [[checkpointInterval]] small file
+    * reads, never a directory listing.
+    */
   def readVersion(dir: String, v: Int): State =
-    parse(FsIo.readString(versionPath(dir, v))).copy(version = v)
+    parseRecord(FsIo.readString(versionPath(dir, v))) match {
+      case Snap(st) => st.copy(version = v, checkpoint = v)
+      case d: Delta =>
+        var st = parseRecord(FsIo.readString(versionPath(dir, d.checkpoint))) match {
+          case Snap(s) =>
+            s.copy(version = d.checkpoint, checkpoint = d.checkpoint)
+          case _: Delta => throw new IllegalStateException(
+            s"version ${d.checkpoint} of $dir is named as a checkpoint " +
+              s"by the delta at version $v but is itself a delta record — " +
+              "corrupt log")
+        }
+        var i = d.checkpoint + 1
+        while (i <= v) {
+          st = parseRecord(FsIo.readString(versionPath(dir, i))) match {
+            case Snap(s) => s.copy(version = i, checkpoint = i)
+            case dd: Delta => applyDelta(st, dd)
+          }
+          i += 1
+        }
+        st
+    }
 
-  private def parse(text: String): State = {
+  /** One version record: a full snapshot or a delta against its
+    * predecessor (see the object doc's "Delta-action records").
+    */
+  private sealed trait Record
+  private final case class Snap(st: State) extends Record
+  private final case class Delta(version: Int, checkpoint: Int,
+      add: Seq[String], remove: Seq[String], schemaDdl: String,
+      batchId: Long, zones: Map[String, Map[String, Zone]],
+      rows: Map[String, Long], zoneDrop: Seq[String],
+      rowDrop: Seq[String], dataChange: Boolean) extends Record
+
+  private def recordVersion(r: Record): Int = r match {
+    case Snap(st) => st.version
+    case d: Delta => d.version
+  }
+
+  /** Apply a delta to its predecessor's state. Exactness contract
+    * (pinned by the soak spec): for every commit,
+    * `applyDelta(prev, renderDelta(prev, c, v))` reconstructs the state
+    * a full-snapshot record of `c` would have described, field for
+    * field — schema/batchId/dataChange verbatim, file set and zone/row
+    * maps via add/remove/drop difference lists.
+    */
+  private def applyDelta(prev: State, d: Delta): State = {
+    val rm = d.remove.toSet
+    State(
+      files = ((prev.files.toSet -- rm) ++ d.add).toSeq.sorted,
+      schemaDdl = d.schemaDdl,
+      version = d.version,
+      batchId = d.batchId,
+      zones = prev.zones -- rm -- d.zoneDrop ++ d.zones,
+      rows = prev.rows -- rm -- d.rowDrop ++ d.rows,
+      dataChange = d.dataChange,
+      checkpoint = d.checkpoint)
+  }
+
+  private def parseRecord(text: String): Record = {
     val m = Json.parse(text).asInstanceOf[Map[String, Any]]
-    def longOf(k: String, dflt: Long): Long =
-      m.get(k).map(Json.asLong).getOrElse(dflt)
-    val zones = m.get("zones").map(_.asInstanceOf[Map[String, Any]].map {
+    if (m.contains("files")) Snap(parseState(m))
+    else {
+      def longOf(k: String, dflt: Long): Long =
+        m.get(k).map(Json.asLong).getOrElse(dflt)
+      def strs(k: String): Seq[String] =
+        m.get(k).map(_.asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]))
+          .getOrElse(Vector.empty)
+      Delta(
+        version = longOf("version", 0L).toInt,
+        checkpoint = longOf("checkpoint", 0L).toInt,
+        add = strs("add"),
+        remove = strs("remove"),
+        schemaDdl = m.getOrElse("schema", "").asInstanceOf[String],
+        batchId = longOf("batch_id", -1L),
+        zones = parseZones(m),
+        rows = parseRows(m),
+        zoneDrop = strs("zones_drop"),
+        rowDrop = strs("rows_drop"),
+        dataChange = m.get("data_change").forall(_.asInstanceOf[Boolean]))
+    }
+  }
+
+  private def parseZones(m: Map[String, Any]): Map[String, Map[String, Zone]] =
+    m.get("zones").map(_.asInstanceOf[Map[String, Any]].map {
       case (f, zs) => f -> zs.asInstanceOf[Map[String, Any]].map {
         case (c, z) => c -> Zone.fromJson(z.asInstanceOf[Vector[Any]])
       }
     }).getOrElse(Map.empty[String, Map[String, Zone]])
-    val rows = m.get("rows").map(_.asInstanceOf[Map[String, Any]].map {
+
+  private def parseRows(m: Map[String, Any]): Map[String, Long] =
+    m.get("rows").map(_.asInstanceOf[Map[String, Any]].map {
       case (f, n) => f -> Json.asLong(n)
     }).getOrElse(Map.empty[String, Long])
+
+  private def parseState(m: Map[String, Any]): State = {
+    def longOf(k: String, dflt: Long): Long =
+      m.get(k).map(Json.asLong).getOrElse(dflt)
+    val version = longOf("version", 0L).toInt
     State(m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
       m("schema").asInstanceOf[String],
-      version = longOf("version", 0L).toInt,
+      version = version,
       batchId = longOf("batch_id", -1L),
-      zones = zones,
-      rows = rows,
+      zones = parseZones(m),
+      rows = parseRows(m),
       dataChange = m.get("data_change")
-        .forall(_.asInstanceOf[Boolean])) // absent (pre-r18 log) = true
+        .forall(_.asInstanceOf[Boolean]), // absent (pre-r18 log) = true
+      checkpoint = version) // a full snapshot is its own checkpoint
   }
 
   private def render(c: Commit, version: Int): String = {
@@ -259,6 +420,64 @@ object FileLog {
       if (c.dataChange) withRows // logs agree that absent means true
       else withRows + ("data_change" -> false)
     Json.write(withChange)
+  }
+
+  /** Pick the record shape for a commit that knows its predecessor:
+    * a DELTA when the chain is short enough and the delta is actually
+    * smaller than a snapshot; a full CHECKPOINT otherwise (first
+    * commit, adoption states with no known chain, every
+    * [[checkpointInterval]]-th version, whole-table rewrites, tiny
+    * tables). Writers that never read their predecessor
+    * ([[commit]]/[[commitAt]]) always render checkpoints.
+    */
+  private def renderRecord(prev: Option[State], c: Commit,
+      next: Int): String =
+    prev match {
+      case Some(p) if p.version == next - 1 && p.checkpoint > 0 &&
+          next - p.checkpoint < checkpointInterval =>
+        renderDelta(p, c, next).getOrElse(render(c, next))
+      case _ => render(c, next)
+    }
+
+  /** Delta record against `prev`, or None when it would not be smaller
+    * than a full snapshot (by changed-file count — the proxy for the
+    * dominant bytes, the file paths and their zone maps).
+    */
+  private def renderDelta(prev: State, c: Commit,
+      next: Int): Option[String] = {
+    val nextFiles = c.files.distinct.sorted.toVector
+    val prevSet = prev.files.toSet
+    val nextSet = nextFiles.toSet
+    val add = nextFiles.filterNot(prevSet)
+    val remove = prev.files.filterNot(nextSet).sorted.toVector
+    // A delta must be SMALLER than the snapshot it replaces: a
+    // whole-table rewrite's remove-list, or an emptied table, render
+    // as (small) checkpoints instead.
+    if (nextFiles.isEmpty || add.size + remove.size >= nextFiles.size)
+      return None
+    val removeSet = remove.toSet
+    val zAdd = c.zones.filter { case (f, zs) =>
+      !prev.zones.get(f).contains(zs) }
+    val zDrop = prev.zones.keysIterator
+      .filter(f => !removeSet(f) && !c.zones.contains(f)).toVector.sorted
+    val rAdd = c.rows.filter { case (f, n) =>
+      !prev.rows.get(f).contains(n) }
+    val rDrop = prev.rows.keysIterator
+      .filter(f => !removeSet(f) && !c.rows.contains(f)).toVector.sorted
+    var m = scala.collection.immutable.ListMap[String, Any](
+      "version" -> next.toLong,
+      "checkpoint" -> prev.checkpoint.toLong,
+      "schema" -> c.schemaDdl,
+      "add" -> add,
+      "remove" -> remove)
+    if (c.batchId >= 0) m += ("batch_id" -> c.batchId)
+    if (zAdd.nonEmpty) m += ("zones" -> zAdd.map { case (f, zs) =>
+      f -> zs.map { case (col, z) => col -> z.jsonParts } })
+    if (zDrop.nonEmpty) m += ("zones_drop" -> zDrop)
+    if (rAdd.nonEmpty) m += ("rows" -> rAdd)
+    if (rDrop.nonEmpty) m += ("rows_drop" -> rDrop)
+    if (!c.dataChange) m += ("data_change" -> false)
+    Some(Json.write(m))
   }
 
   /** Commit a new live file set, unconditionally (retries a lost CAS
@@ -309,7 +528,7 @@ object FileLog {
           // Round17 racing-refresh battery). Targeting cur+1 turns
           // that interleaving into a CAS loss → re-read and re-merge.
           val next = cur.map(_.version).getOrElse(0) + 1
-          val json = render(c, next)
+          val json = renderRecord(cur, c, next)
           if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
             FsIo.writeStringAtomic(currentPath(dir), json)
             return next
@@ -432,7 +651,7 @@ object FileLog {
       // CAS at exactly cur.version + 1 (see transact): an interloper
       // landing after our read makes this CAS fail → re-examine
       val next = cur.version + 1
-      val json = render(
+      val json = renderRecord(Some(cur),
         Commit(files, mergedDdl, batchId, zones, rows, dataChange), next)
       if (FsIo.writeStringExclusive(versionPath(dir, next), json)) {
         FsIo.writeStringAtomic(currentPath(dir), json)
@@ -631,14 +850,47 @@ object FileLog {
     val vs = versions(dir)
     val now = System.currentTimeMillis()
     val (dropByCount, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
-    val (drop, keptByAge) = dropByCount.partition { v =>
+    val (dropCand, keptByAge) = dropByCount.partition { v =>
       graceMs <= 0L ||
         now - fs.getFileStatus(new Path(versionPath(dir, v)))
           .getModificationTime > graceMs
     }
+    // Versions promised readable (pin their data files): newest-K by
+    // count plus young-by-grace, exactly as before. Version RECORDS
+    // additionally survive down to the oldest such version's checkpoint
+    // base — a delta chain is only materializable with every link from
+    // its checkpoint up, so dropping a mid-chain record would break
+    // every newer survivor. Those chain-only records do NOT pin data
+    // files: reading a version below the readable set can still hit
+    // vacuumed files and surfaces as [[SnapshotVacuumedException]],
+    // the same contract as a dropped snapshot.
     val survivors = keptByAge ++ keep
-    val referenced = (survivors.flatMap(v => readVersion(dir, v).files) ++
-      read(dir).files).toSet
+    val chainFloor = survivors.headOption.map { v0 =>
+      parseRecord(FsIo.readString(versionPath(dir, v0))) match {
+        case Snap(_) => v0
+        case d: Delta => d.checkpoint
+      }
+    }.getOrElse(0)
+    val drop = dropCand.filter(_ < chainFloor)
+    // Replay the retained record range once, newest-checkpoint-first,
+    // unioning live files over the READABLE versions only — O(retained
+    // records) small reads instead of O(survivors × chain) chain walks.
+    val readable = survivors.toSet
+    var referenced = Set.empty[String]
+    var prevState: Option[State] = None
+    vs.filter(_ >= chainFloor).foreach { v =>
+      val st = prevState match {
+        case Some(p) if p.version == v - 1 =>
+          parseRecord(FsIo.readString(versionPath(dir, v))) match {
+            case Snap(s) => s.copy(version = v, checkpoint = v)
+            case d: Delta => applyDelta(p, d)
+          }
+        case _ => readVersion(dir, v)
+      }
+      if (readable(v)) referenced ++= st.files
+      prevState = Some(st)
+    }
+    referenced ++= read(dir).files
     drop.foreach(v => FsIo.delete(versionPath(dir, v)))
     val orphans = listDataFiles(spark, dir).filterNot(referenced.contains)
       .filter { f =>
@@ -678,7 +930,7 @@ object FileLog {
     survivors.lastOption.foreach { newest =>
       val ptrLive =
         try FsIo.exists(versionPath(dir,
-          parse(FsIo.readString(currentPath(dir))).version))
+          recordVersion(parseRecord(FsIo.readString(currentPath(dir))))))
         catch { case _: java.io.IOException => false }
       if (!ptrLive)
         FsIo.writeStringAtomic(currentPath(dir),

@@ -152,7 +152,14 @@ object FsIo {
         }
     }
 
-  def readString(path: String): String = localOf(path) match {
+  /** Sidecar reads performed by [[readString]] — test telemetry for
+    * the log's bounded-materialization claim (a cold [[graft.store
+    * .FileLog.read]] touches at most checkpoint-interval records),
+    * harmless in production.
+    */
+  private[graft] val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def readString(path: String): String = { reads.incrementAndGet(); localOf(path) } match {
     case Some(p) =>
       try new String(java.nio.file.Files.readAllBytes(p), Utf8)
       catch { // keep the Hadoop-path exception type for callers

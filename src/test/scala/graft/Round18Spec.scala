@@ -104,16 +104,25 @@ class Round18Spec extends AnyFunSuite {
 
   test("a vacuumed feed version raises the typed retention error") {
     val dir = fresh("vac")
-    ManifestScan.appendBatch(spark, dir, batch(1 to 3, "a"), Cols, 0L) // v1
-    ManifestScan.appendBatch(spark, dir, batch(4 to 6, "b"), Cols, 1L) // v2
-    ManifestScan.appendBatch(spark, dir, batch(7 to 9, "c"), Cols, 2L) // v3
-    ManifestScan.vacuum(spark, dir, retainLast = 2) // drops v1
+    // Enough versions that vacuum can DROP early records: the delta
+    // log retains records down to the oldest survivor's checkpoint
+    // (r21), so a record only disappears once it falls below that
+    // chain floor — push the log past one checkpoint interval.
+    val n = graft.store.FileLog.checkpointInterval + 4
+    (1 to n).foreach { i =>
+      ManifestScan.appendBatch(spark, dir,
+        batch(i * 3 to i * 3 + 2, "g"), Cols, i - 1L) // v_i
+    }
+    ManifestScan.vacuum(spark, dir, retainLast = 2)
+    assert(!graft.util.FsIo.exists(s"$dir/_files.v1.json"),
+      "v1's record must fall below the survivors' chain floor")
     val e = intercept[SnapshotVacuumedException] {
-      ManifestScan.changes(spark, dir, 0, 3).count()
+      ManifestScan.changes(spark, dir, 0, n).count()
     }
     assert(e.getMessage.contains("change feed"))
     // the still-retained tail remains readable
-    assert(feedRows(dir, 2, 3).map(_._1) == Set(7L, 8L, 9L))
+    assert(feedRows(dir, n - 1, n).map(_._1) ==
+      Set(n * 3L, n * 3L + 1, n * 3L + 2))
   }
 
   // ------------------------------------------- zone-pruned delete

@@ -1,0 +1,203 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{FileLog, Zone}
+import graft.util.FsIo
+
+/** Round-21 delta-action commit log batteries (the r14 verdict's one
+  * remaining scale-killer: every version file was a FULL snapshot, so
+  * every commit — including every streaming micro-batch — wrote
+  * O(table-files) metadata and a long-running sink's cumulative log IO
+  * was quadratic in batch count).
+  *
+  *  1. SOAK: a 600-commit micro-batch-shaped append stream keeps
+  *     per-commit record bytes O(batch) — flat while the table grows
+  *     300× — with periodic checkpoints carrying the O(table) cost at
+  *     1/interval amortization.
+  *  2. Exactness: the state materialized through a delta chain equals
+  *     the state a full snapshot would have described, at the head and
+  *     at arbitrary time-travel versions, including zones/rows/
+  *     watermark/schema.
+  *  3. Bounded cold-read: a cold [[FileLog.read]] after the soak
+  *     touches at most checkpoint-interval+2 sidecar records and never
+  *     lists the directory.
+  *  4. Vacuum: chain records below the readable window are retained
+  *     exactly down to the oldest survivor's checkpoint (contiguity of
+  *     the record suffix preserved), drops land below it, and reads/
+  *     time travel over the survivors keep working.
+  */
+class Round21Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fresh(tag: String): String =
+    graft.util.TempDirs.create(s"graft_r21_$tag").toString
+
+  private def vBytes(dir: String, v: Int): Long =
+    java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/_files.v$v.json"))
+
+  /** One micro-batch-shaped commit: append `perBatch` files with a
+    * zone and a row count each, bump the watermark.
+    */
+  private def appendCommit(dir: String, i: Int, perBatch: Int): Unit = {
+    FileLog.transact(spark, dir) { cur =>
+      val newFiles = (0 until perBatch).map(j => f"$dir/part-b$i%05d-$j.parquet")
+      val c = cur
+      Some(FileLog.Commit(
+        c.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+        "id BIGINT,grp STRING",
+        batchId = i.toLong,
+        zones = c.map(_.zones).getOrElse(Map.empty) ++
+          newFiles.map(f => f -> Map[String, Zone](
+            "id" -> Zone.I64(i.toLong * 10, i.toLong * 10 + 9))),
+        rows = c.map(_.rows).getOrElse(Map.empty) ++
+          newFiles.map(f => f -> 10L)))
+    }
+    ()
+  }
+
+  test("soak: 600 micro-batch commits write O(batch) bytes per record " +
+      "while the table grows 300x") {
+    val dir = fresh("soak")
+    val n = 600
+    val perBatch = 2
+    (1 to n).foreach(i => appendCommit(dir, i, perBatch))
+
+    val interval = FileLog.checkpointInterval
+    val sizes = (1 to n).map(v => v -> vBytes(dir, v)).toMap
+    // classify records by shape (a checkpoint carries "files")
+    def isCheckpoint(v: Int): Boolean =
+      FsIo.readString(s"$dir/_files.v$v.json").contains("\"files\"")
+    val (ckpts, deltas) = (1 to n).partition(isCheckpoint)
+    assert(ckpts.size >= n / interval - 1 && ckpts.size <= n / interval + 2,
+      s"expected ~${n / interval} checkpoints, got ${ckpts.size}")
+    assert(ckpts.contains(1), "the first commit must be a checkpoint")
+
+    // O(batch) claim: an early delta and a late delta are the same
+    // size even though the table grew 300x in between. Allow 2x for
+    // path-length jitter; the pre-delta behavior would be ~300x.
+    val early = deltas.filter(v => v > 5 && v <= 60).map(sizes)
+    val late = deltas.filter(_ > n - 50).map(sizes)
+    assert(early.nonEmpty && late.nonEmpty)
+    val earlyMed = early.sorted.apply(early.size / 2)
+    val lateMed = late.sorted.apply(late.size / 2)
+    assert(lateMed <= earlyMed * 2,
+      s"late delta records ($lateMed B) should match early ones " +
+        s"($earlyMed B) — per-commit bytes must be O(batch), not O(table)")
+    // and the late checkpoint really is O(table): the amortized cost
+    // the deltas avoid paying per commit
+    val lastCkpt = ckpts.max
+    assert(sizes(lastCkpt) > lateMed * 20,
+      s"checkpoint at v$lastCkpt (${sizes(lastCkpt)} B) should dwarf a " +
+        s"delta ($lateMed B) — otherwise the soak proves nothing")
+
+    // cumulative log bytes: deltas keep the stream's total metadata IO
+    // linear in batch count; full snapshots would have been quadratic
+    // (sum of growing snapshots ~ n/2 * finalSnapshot)
+    val total = sizes.values.sum
+    val fullSnapshotEstimate = n.toLong / 2 * sizes(lastCkpt)
+    assert(total < fullSnapshotEstimate / 5,
+      s"cumulative log bytes ($total) should be far below the " +
+        s"full-snapshot regime (~$fullSnapshotEstimate)")
+  }
+
+  test("exactness: delta-chain materialization equals the committed " +
+      "state at head and at time-travel versions") {
+    val dir = fresh("exact")
+    (1 to 47).foreach(i => appendCommit(dir, i, 2))
+    val head = FileLog.read(dir)
+    assert(head.version == 47)
+    assert(head.batchId == 47L)
+    assert(head.files.size == 94)
+    assert(head.rows.size == 94 && head.rows.values.forall(_ == 10L))
+    assert(head.zones.size == 94)
+    assert(head.zones(f"$dir/part-b${33}%05d-1.parquet")("id") ==
+      Zone.I64(330L, 339L))
+    assert(head.schemaDdl == "id BIGINT,grp STRING")
+    // time travel to a mid-chain version reconstructs that snapshot
+    val mid = FileLog.readVersion(dir, 31)
+    assert(mid.version == 31 && mid.batchId == 31L && mid.files.size == 62)
+    assert(mid.files.forall(f => !f.contains("part-b00032")))
+    assert(mid.zones.size == 62 && mid.rows.size == 62)
+    // a checkpoint version reads directly
+    val ckptV = (1 to 47).filter(v =>
+      FsIo.readString(s"$dir/_files.v$v.json").contains("\"files\"")).max
+    val atCkpt = FileLog.readVersion(dir, ckptV)
+    assert(atCkpt.files.size == ckptV * 2 && atCkpt.checkpoint == ckptV)
+
+    // a REWRITE mid-stream (delete one early file) flows through the
+    // delta exactly: removed file, its zones and rows all gone
+    val victim = head.files.head
+    FileLog.commitRewrite(spark, dir, head, removed = Set(victim),
+      added = Seq.empty, schemaDdl = head.schemaDdl,
+      readSet = Some(Set(victim)))
+    val after = FileLog.read(dir)
+    assert(after.version == 48 && after.files.size == 93)
+    assert(!after.files.contains(victim))
+    assert(!after.zones.contains(victim) && !after.rows.contains(victim))
+    assert(after.batchId == 47L, "rewrite must carry the watermark")
+  }
+
+  test("bounded cold-read: head resolve touches <= interval+3 records " +
+      "and never lists") {
+    val dir = fresh("coldread")
+    (1 to 200).foreach(i => appendCommit(dir, i, 1))
+    val listingsBefore = FileLog.listings.get()
+    val readsBefore = FsIo.reads.get()
+    val st = FileLog.read(dir)
+    val readCost = FsIo.reads.get() - readsBefore
+    assert(st.version == 200 && st.files.size == 200)
+    assert(FileLog.listings.get() == listingsBefore,
+      "cold read listed the directory")
+    assert(readCost <= FileLog.checkpointInterval + 3,
+      s"cold read touched $readCost records — materialization must be " +
+        "bounded by the checkpoint interval")
+  }
+
+  test("vacuum: retains the chain down to the oldest survivor's " +
+      "checkpoint, drops below it, reads keep working") {
+    val dir = fresh("vac")
+    (1 to 50).foreach(i => appendCommit(dir, i, 1))
+    // survivors by count: v48..v50 (deltas); their chain floor is the
+    // newest checkpoint <= 48
+    FileLog.vacuum(spark, dir, retainLast = 3)
+    val left = FileLog.versions(spark, dir)
+    val floor = left.min
+    assert(FsIo.readString(s"$dir/_files.v$floor.json").contains("\"files\""),
+      "the oldest retained record must be the chain's checkpoint")
+    assert(left == (floor to 50),
+      "retained records must be a contiguous suffix (plus chain floor)")
+    assert(floor <= 48 && 50 - floor < 2 * FileLog.checkpointInterval)
+    // the promised-readable versions still materialize
+    assert(FileLog.read(dir).version == 50)
+    assert(FileLog.readVersion(dir, 48).files.size == 48)
+    // chain-only records below the readable window still materialize
+    // RECORD-wise (their data files are simply no longer pinned)
+    assert(FileLog.readVersion(dir, floor).files.size == floor)
+  }
+
+  test("a two-writer race on the delta log: both appends land " +
+      "(read-merge-retry preserved across record shapes)") {
+    val dir = fresh("race")
+    (1 to 25).foreach(i => appendCommit(dir, i, 1)) // cross a checkpoint
+    val t = (1 to 2).map { w =>
+      new Thread(() => (1 to 30).foreach { i =>
+        FileLog.transact(spark, dir) { cur =>
+          val c = cur.get
+          Some(FileLog.Commit(c.files :+ s"$dir/w$w-$i.parquet",
+            c.schemaDdl, c.batchId, c.zones, c.rows))
+        }
+      })
+    }
+    t.foreach(_.start()); t.foreach(_.join())
+    val st = FileLog.read(dir)
+    assert(st.version == 85, s"60 raced commits on 25: got v${st.version}")
+    assert(st.files.size == 85, "a raced append erased another writer's file")
+    (1 to 2).foreach { w =>
+      (1 to 30).foreach { i =>
+        assert(st.files.contains(s"$dir/w$w-$i.parquet"))
+      }
+    }
+  }
+}
