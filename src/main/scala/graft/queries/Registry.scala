@@ -34,7 +34,8 @@ object Registry {
       Round17Queries.all ++
       Round18Queries.all ++
       Round19Queries.all ++
-      Round20Queries.all
+      Round20Queries.all ++
+      Round21Queries.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")

@@ -315,6 +315,23 @@ object FileLog {
         st
     }
 
+  /** Newest retained version whose exactly-once batch watermark is
+    * ≤ `batchId` — the "as of streaming batch B" resolve behind the
+    * graftlog reader's `batchAsOf` option. Record-level: a delta
+    * record carries its state's watermark verbatim, so the walk reads
+    * one small file per probed version and never materializes a chain.
+    */
+  def versionForBatch(dir: String, batchId: Long): Option[Int] = {
+    val vs = versions(dir)
+    vs.reverseIterator.find { v =>
+      val bid = parseRecord(FsIo.readString(versionPath(dir, v))) match {
+        case Snap(st) => st.batchId
+        case d: Delta => d.batchId
+      }
+      bid >= 0 && bid <= batchId
+    }
+  }
+
   /** One version record: a full snapshot or a delta against its
     * predecessor (see the object doc's "Delta-action records").
     */

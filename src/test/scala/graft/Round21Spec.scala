@@ -177,6 +177,74 @@ class Round21Spec extends AnyFunSuite {
     assert(FileLog.readVersion(dir, floor).files.size == floor)
   }
 
+  // ------------------------------------------- format("graftlog")
+
+  test("graftlog reader: planned file set equals the zone-surviving " +
+      "list; answers match the direct read") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("reader")
+    val rows = (0L until 400L).map(i => (i, s"g${i % 4}", i * 2))
+    graft.sources.ManifestScan.appendBatch(spark, dir,
+      rows.toDF("id", "grp", "v"),
+      Seq("id", "grp"), 0L,
+      shape = df => df.repartitionByRange(8, org.apache.spark.sql.functions.col("id"))
+        .sortWithinPartitions("id"))
+    val df = spark.read.format("graftlog").load(dir)
+      .where($"id" >= 100L && $"id" <= 149L)
+    val got = df.select($"id", $"v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (100L to 149L).map(i => (i, i * 2)).toSet)
+    val (kept, total) = graft.sources.GraftLogSource.lastPlanned.get()
+    assert(total == 8 && kept >= 1 && kept <= 2,
+      s"a 50-id range over 8 range-clustered files should plan 1-2 " +
+        s"files, planned $kept/$total")
+    // the planned set is EXACTLY the zone-surviving list
+    val st = graft.store.FileLog.read(dir)
+    val surviving = st.files.count { f =>
+      st.zones(f)("id").overlaps(graft.store.ZoneRange.I64R(100L, 149L))
+    }
+    assert(kept == surviving)
+    // string equality predicates prune too (two-sided only)
+    val byGrp = spark.read.format("graftlog").load(dir)
+      .where($"grp" === "g1" && $"id" < 50L)
+    assert(byGrp.count() == 13) // ids 1,5,...,49
+    val (kept2, _) = graft.sources.GraftLogSource.lastPlanned.get()
+    assert(kept2 == 1, s"id<50 should keep exactly the first file, got $kept2")
+  }
+
+  test("graftlog reader: versionAsOf and batchAsOf pin snapshots; " +
+      "evolved columns read as null on old files") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("asof")
+    graft.sources.ManifestScan.appendBatch(spark, dir,
+      Seq((1L, "a"), (2L, "a")).toDF("id", "grp").coalesce(1),
+      Seq("id"), 0L)
+    val v1 = graft.store.FileLog.read(dir).version
+    graft.sources.ManifestScan.appendBatch(spark, dir,
+      Seq((3L, "b", 30L), (4L, "b", 40L)).toDF("id", "grp", "extra")
+        .coalesce(1), Seq("id"), 1L) // widens the schema
+    // current read: evolved schema, old rows null in `extra`
+    val cur = spark.read.format("graftlog").load(dir)
+    assert(cur.columns.toSeq == Seq("id", "grp", "extra"))
+    assert(cur.where($"extra".isNull).select($"id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // versionAsOf: the narrow snapshot, with its own (narrow) schema
+    val asOf = spark.read.format("graftlog")
+      .option("versionAsOf", v1.toString).load(dir)
+    assert(asOf.columns.toSeq == Seq("id", "grp"))
+    assert(asOf.count() == 2)
+    // batchAsOf resolves the exactly-once watermark
+    assert(spark.read.format("graftlog").option("batchAsOf", "0")
+      .load(dir).count() == 2)
+    assert(spark.read.format("graftlog").option("batchAsOf", "7")
+      .load(dir).count() == 4)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftlog").option("batchAsOf", "-5").load(dir)
+    }
+    assert(e.getMessage.contains("batch watermark"))
+  }
+
   test("a two-writer race on the delta log: both appends land " +
       "(read-merge-retry preserved across record shapes)") {
     val dir = fresh("race")
