@@ -39,8 +39,7 @@ object Bench {
     */
   private[graft] def isGauge(n: String): Boolean =
     n.startsWith("index_mb") || n.startsWith("knn_pruned_recall") ||
-      n.contains("_files_") || n.startsWith("quant_phase") ||
-      n.startsWith("quant_col_mb")
+      n.contains("_files_")
 
   /** Query-name prefix → headline group total. Shared with Report so
     * its section-4 group bars always match the bench's group totals.
@@ -597,7 +596,8 @@ object Bench {
     val quiet = math.max(Bench.loadAtStart, loadEnd) < cores * 0.5
     val provenance =
       f""""provenance":{"load_avg_start":${Bench.loadAtStart}%.2f,""" +
-        f""""load_avg_end":$loadEnd%.2f,"cores":$cores,"quiet":$quiet}"""
+        f""""load_avg_end":$loadEnd%.2f,"cores":$cores,"quiet":$quiet,""" +
+        f""""median_threshold_s":$adaptiveThresholdSec%.1f}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
       new java.io.File(sys.props("user.dir"), "BENCH_DETAIL.json").getPath)
     try java.nio.file.Files.write(

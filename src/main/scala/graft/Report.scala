@@ -237,15 +237,24 @@ object Report {
     // ---- 4b. Round-over-round (vs a previous detail file) ----------
     args.drop(2).headOption.foreach { prevPath =>
       try {
-        val prev = parseMap(new String(
-          Files.readAllBytes(Paths.get(prevPath)), "UTF-8"), "queries")
-          .toMap
-        // only rows that are medians in BOTH runs (≥0.3 s each side,
-        // the in-run stabilization threshold) are comparable; a move
-        // past 1.3× on a median is a real regression/improvement
+        val prevText = new String(
+          Files.readAllBytes(Paths.get(prevPath)), "UTF-8")
+        val prev = parseMap(prevText, "queries").toMap
+        // only rows that are medians in BOTH runs are comparable: the
+        // current side's floor is this build's 0.3 s adaptive
+        // threshold; the PREVIOUS side's floor is whatever threshold
+        // THAT run stabilized with (recorded in its provenance since
+        // r21) — a pre-threshold-change file defaults to 2.0 s, so a
+        // 0.3-2.0 s single sample there never reads as a 1.3x move
+        // (r14 ADVICE #2)
+        val prevFloor = {
+          val m = """"median_threshold_s":([0-9.]+)""".r
+            .findFirstMatchIn(prevText)
+          m.map(_.group(1).toDouble).getOrElse(2.0)
+        }
         val moved = secs.toSeq.flatMap { case (k, v) =>
           prev.get(k).collect {
-            case p if math.min(p, v) >= 0.3 &&
+            case p if p >= prevFloor && v >= 0.3 &&
                 math.max(v / p, p / v) > 1.3 =>
               (k, p, v, v / p)
           }

@@ -134,7 +134,7 @@ final class HttpFacade(spark: SparkSession, adapter: StoreAdapter,
     }
     val k = math.max(1, Json.asDouble(body("k")).toInt)
     val probes = body.get("min_recall") match {
-      case Some(r) if r != null => adapter.probesFor(Json.asDouble(r))
+      case Some(r) if r != null => adapter.probesFor(Json.asDouble(r), k)
       case _ => body.get("probes") match {
         case Some(p) if p != null =>
           math.min(adapter.maxProbes,

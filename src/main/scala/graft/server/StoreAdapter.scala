@@ -42,9 +42,12 @@ sealed trait StoreAdapter {
   def maxProbes: Int
 
   /** Smallest probe depth whose MEASURED recall curve meets the
-    * target; conservative (no curve / unreachable target → exact).
+    * target FOR result size `k`; conservative (no curve, unreachable
+    * target, or a curve audited at a different k → exact — recall@10
+    * bounds neither recall@50 nor recall@5 at a fixed depth, r14
+    * ADVICE #1).
     */
-  def probesFor(minRecall: Double): Int
+  def probesFor(minRecall: Double, k: Int): Int
 
   /** (id, dist) top-k frame at the given probe depth. */
   def search(q: Array[Double], k: Int, probes: Int): DataFrame
@@ -69,7 +72,13 @@ object StoreAdapter {
       .agg(coalesce(max("id"), lit(-1L))).head.getLong(0)
     def add(df: DataFrame): Unit = store.add(df)
     def maxProbes: Int = store.model.numBuckets
-    def probesFor(minRecall: Double): Int = store.probesForRecall(minRecall)
+    def probesFor(minRecall: Double, k: Int): Int =
+      store.recallCurve() match {
+        case Some((auditedK, curve)) if auditedK == k =>
+          val i = curve.indexWhere(_ >= minRecall)
+          if (i < 0) maxProbes else i + 1
+        case _ => maxProbes
+      }
     def search(q: Array[Double], k: Int, probes: Int): DataFrame =
       store.search(q, k, probes)
     def nodes(): Map[String, Any] = store.stats().collect().map { r =>
@@ -92,7 +101,13 @@ object StoreAdapter {
       .agg(coalesce(max("id"), lit(-1L))).head.getLong(0)
     def add(df: DataFrame): Unit = idx.add(df)
     def maxProbes: Int = idx.model.cfg.ivfCells
-    def probesFor(minRecall: Double): Int = idx.nprobeForRecall(minRecall)
+    def probesFor(minRecall: Double, k: Int): Int =
+      idx.recallCurve() match {
+        case Some((auditedK, curve)) if auditedK == k =>
+          val i = curve.indexWhere(_ >= minRecall)
+          if (i < 0) maxProbes else i + 1
+        case _ => maxProbes
+      }
     def search(q: Array[Double], k: Int, probes: Int): DataFrame =
       idx.searchIvf(q, k, nprobe = probes)
     def nodes(): Map[String, Any] = {
@@ -120,8 +135,13 @@ object StoreAdapter {
     def add(df: DataFrame): Unit = store.add(df)
     def maxProbes: Int =
       store.model.cfg.numHashTables * store.model.bucketsPerTable
-    def probesFor(minRecall: Double): Int =
-      store.probesForRecall(minRecall).getOrElse(maxProbes)
+    def probesFor(minRecall: Double, k: Int): Int =
+      store.recallCurve() match {
+        case Some((auditedK, curve)) if auditedK == k =>
+          val i = curve.indexWhere(_ >= minRecall)
+          if (i < 0) maxProbes else i + 1
+        case _ => maxProbes
+      }
     def search(q: Array[Double], k: Int, probes: Int): DataFrame =
       if (probes >= maxProbes) store.exact(q, k)
       else store.search(q, k, probes)

@@ -20,9 +20,26 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Dedup {
 
+  /** Once-per-JVM: the fallback-path determinism caveat is worth one
+    * loud line, not one per micro-batch.
+    */
+  private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def lastWins(df: DataFrame, keyCol: String,
       seqCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The multi-partition no-seqCol path picks a winner by physical
+    // position, which depends on the batch's partition layout: warn
+    // once (checking for actual duplicate keys would cost an extra
+    // aggregation per upsert, so the warning is layout-gated only —
+    // r14 ADVICE #3). Batches without duplicate keys are unaffected.
+    if (seqCol.isEmpty && df.rdd.getNumPartitions > 1 &&
+        warned.compareAndSet(false, true))
+      System.err.println(
+        s"[graft] upsert dedup on '$keyCol': multi-partition batch " +
+          "without seqCol — if the batch carries duplicate keys, the " +
+          "surviving row is partition-layout-dependent; pass seqCol " +
+          "for a deterministic winner (warned once per JVM)")
     val withSeq = df.withColumn("__pos", monotonically_increasing_id())
     val order = seqCol match {
       case Some(s) => Seq(col(s).desc, col("__pos").desc)

@@ -194,7 +194,7 @@ final class MultiTableStore(
     val curve = (0 until mp).map(row.getDouble)
     val json = s"""{"k":$kk,"panel":${panel.size},""" +
       s""""recall":${curve.map(d => f"$d%.17e").mkString("[", ",", "]")}}"""
-    graft.util.FsIo.writeString(s"$path/_recall_curve.json", json)
+    graft.util.FsIo.writeStringAtomic(s"$path/_recall_curve.json", json)
     curve
   }
 
@@ -221,14 +221,20 @@ final class MultiTableStore(
     }
 
   /** Recall-targeted kNN: probe depth from the persisted measured
-    * curve; exact search when the curve is missing or the target is
-    * above every measured point.
+    * curve; exact search when the curve is missing, the target is
+    * above every measured point, or the requested k differs from the
+    * audited k (recall@10 bounds neither recall@50 nor recall@5 at a
+    * fixed probe count — r14 ADVICE #1).
     */
-  def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame =
-    probesForRecall(minRecall) match {
-      case Some(p) => search(q, k, p)
-      case None    => exact(q, k)
+  def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame = {
+    val kk = math.max(1, k)
+    recallCurve() match {
+      case Some((auditedK, curve)) if auditedK == kk =>
+        val i = curve.indexWhere(_ >= minRecall)
+        if (i < 0) exact(q, kk) else search(q, kk, i + 1)
+      case _ => exact(q, kk)
     }
+  }
 
   /** Drop the persisted recall curve on corpus mutation — a stale
     * measured curve would make [[probesForRecall]] silently optimistic.

@@ -658,7 +658,9 @@ final class QuantIndex(
     val curve = recallByDepth(panel, kk, 1 to nb)
     val json = s"""{"k":$kk,"panel":${panel.size},""" +
       s""""recall":${curve.map(d => f"$d%.17e").mkString("[", ",", "]")}}"""
-    graft.util.FsIo.writeString(s"$dataDir/_recall_curve.json", json)
+    // atomic: a facade search polling the curve mid-audit must read
+    // the old curve or the new one, never a torn JSON (r14 verdict #3)
+    graft.util.FsIo.writeStringAtomic(s"$dataDir/_recall_curve.json", json)
     curve
   }
 
@@ -794,7 +796,9 @@ final class QuantIndex(
     val json = s"""{"k":$kk,"panel":${panel.size},""" +
       s""""depths":${ds.mkString("[", ",", "]")},""" +
       s""""recall":${curve.map(c => f"${c._2}%.17e").mkString("[", ",", "]")}}"""
-    graft.util.FsIo.writeString(adcCurvePath(tier), json)
+    // atomic for the same reason as auditRecallCurve: concurrent
+    // searchAdcAtRecall readers see old-curve or new-curve, never torn
+    graft.util.FsIo.writeStringAtomic(adcCurvePath(tier), json)
     curve
   }
 
@@ -835,14 +839,16 @@ final class QuantIndex(
 
   /** Recall-targeted two-stage ADC search: the re-rank budget comes
     * from the persisted measured curve instead of the hand-tuned 100
-    * (r13 verdict task #6). Never under-delivers: a request for MORE
-    * results than the curve was audited at (k > the persisted k)
-    * falls back to exact — a recall@10 measurement says nothing
-    * about recall@50; and the chosen budget is clamped to ≥ k so the
-    * re-rank can always fill k rows (recall is non-decreasing in
-    * depth, so clamping UP never drops below the measured point). No
-    * measured point meets the target ⇒ exact scan. Returns (result,
-    * the coarseN used — −1 for the exact fallback).
+    * (r13 verdict task #6). Never under-delivers: the curve certifies
+    * ONLY the k it was audited at — recall@10 says nothing about
+    * recall@50, and not about recall@5 either (at a fixed budget the
+    * misses can concentrate in the top 5, r14 ADVICE #1) — so any
+    * request at k ≠ the persisted k falls back to exact; and the
+    * chosen budget is clamped to ≥ k so the re-rank can always fill k
+    * rows (recall is non-decreasing in depth, so clamping UP never
+    * drops below the measured point). No measured point meets the
+    * target ⇒ exact scan. Returns (result, the coarseN used — −1 for
+    * the exact fallback).
     */
   def searchAdcAtRecall(q: Array[Double], k: Int, minRecall: Double,
       tier: String = QuantTier.Pq): (DataFrame, Int) = {
@@ -855,9 +861,9 @@ final class QuantIndex(
         "(nprobe, coarseN) pair — audit nprobe via auditRecallCurve)")
     val kk = math.max(1, k)
     val choice = adcRecallCurve(tier) match {
-      case Some((auditedK, curve)) if kk <= auditedK =>
+      case Some((auditedK, curve)) if kk == auditedK =>
         curve.find(_._2 >= minRecall).map(c => math.max(c._1, kk))
-      case _ => None // no curve, or audited at a smaller k than asked
+      case _ => None // no curve, or audited at a different k than asked
     }
     choice match {
       case Some(n) =>
@@ -891,10 +897,20 @@ final class QuantIndex(
   /** Recall-targeted IVF kNN: nprobe chosen from the persisted
     * measured curve instead of a hand-tuned constant — the same
     * latency/recall knob [[VectorStore.searchAtRecall]] exposes, on
-    * the quantized layout.
+    * the quantized layout. The curve certifies only its audited k
+    * (recall@10 bounds neither recall@50 nor recall@5 at a fixed
+    * nprobe — r14 ADVICE #1): any other k probes every cell.
     */
-  def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame =
-    searchIvf(q, k, nprobeForRecall(minRecall))
+  def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame = {
+    val kk = math.max(1, k)
+    val nprobe = recallCurve() match {
+      case Some((auditedK, curve)) if auditedK == kk =>
+        val i = curve.indexWhere(_ >= minRecall)
+        if (i < 0) model.cfg.ivfCells else i + 1
+      case _ => model.cfg.ivfCells
+    }
+    searchIvf(q, kk, nprobe)
+  }
 
   /** Drop the persisted recall curves (nprobe AND the per-tier
     * coarseN curves): they were measured against a specific corpus,

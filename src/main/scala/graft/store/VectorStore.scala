@@ -213,8 +213,9 @@ final class VectorStore(
     val json = s"""{"k":$kk,"panel":${panel.size},""" +
       s""""recall":${curve.map(d => f"$d%.17e").mkString("[", ",", "]")}}"""
     // Hadoop FS, not java.nio: this sidecar drives search behavior, so
-    // it must live on the index's filesystem (hdfs://, s3a://, ...).
-    graft.util.FsIo.writeString(s"$path/_recall_curve.json", json)
+    // it must live on the index's filesystem (hdfs://, s3a://, ...);
+    // atomic so a concurrent searchAtRecall reads old-or-new, not torn.
+    graft.util.FsIo.writeStringAtomic(s"$path/_recall_curve.json", json)
     curve
   }
 
@@ -245,11 +246,22 @@ final class VectorStore(
 
   /** Recall-targeted kNN: probe depth chosen from the persisted
     * measured curve instead of a hand-tuned constant. The latency/
-    * recall knob exposed in the unit a user actually wants.
+    * recall knob exposed in the unit a user actually wants. The curve
+    * certifies only its audited k (recall@10 bounds neither recall@50
+    * nor recall@5 at a fixed probe count — r14 ADVICE #1): any other
+    * k probes every bucket.
     */
   def searchAtRecall(q: Array[Double], k: Int, minRecall: Double,
-                     filter: Column = lit(true)): DataFrame =
-    search(q, k, probesForRecall(minRecall), filter)
+                     filter: Column = lit(true)): DataFrame = {
+    val kk = math.max(1, k)
+    val probes = recallCurve() match {
+      case Some((auditedK, curve)) if auditedK == kk =>
+        val i = curve.indexWhere(_ >= minRecall)
+        if (i < 0) model.numBuckets else i + 1
+      case _ => model.numBuckets
+    }
+    search(q, kk, probes, filter)
+  }
 
   /** Delete vectors by id, rewriting ONLY the buckets that contain
     * them — at scale this touches a few partitions, never the whole

@@ -77,11 +77,12 @@ class HttpFacadeSpec extends AnyFunSuite {
       s"""{"query_vector": $qj, "k": 3, "min_recall": 0.5}""")
     assert(c0 == 200 &&
       Json.asLong(obj(b0)("probes")).toInt == fstore.model.numBuckets)
-    // audit the curve, then the facade's choice must equal the store's
-    // and the results must equal searching at that depth directly
+    // audit the curve AT THE REQUEST'S k, then the facade's choice
+    // must equal the store's and the results must equal searching at
+    // that depth directly
     val panel = (0L until 5L)
       .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
-    fstore.auditRecallCurve(panel, k = 10)
+    fstore.auditRecallCurve(panel, k = 3)
     val p = fstore.probesForRecall(0.5)
     val (c1, b1) = post("/search",
       s"""{"query_vector": $qj, "k": 3, "min_recall": 0.5}""")
@@ -90,6 +91,12 @@ class HttpFacadeSpec extends AnyFunSuite {
       .head.map(Json.asLong)
     val want = fstore.search(q, 3, p).collect().map(_.getLong(0)).toVector
     assert(got == want)
+    // a request at a k the curve was NOT audited at is not certified
+    // by it: probe everything instead of under-delivering (r14 ADVICE)
+    val (c1b, b1b) = post("/search",
+      s"""{"query_vector": $qj, "k": 7, "min_recall": 0.5}""")
+    assert(c1b == 200 &&
+      Json.asLong(obj(b1b)("probes")).toInt == fstore.model.numBuckets)
     // explicit probes override, clamped into [1, numBuckets]
     val (c2, b2) = post("/search",
       s"""{"query_vector": $qj, "k": 3, "probes": 99}""")

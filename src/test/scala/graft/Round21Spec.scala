@@ -245,6 +245,80 @@ class Round21Spec extends AnyFunSuite {
     assert(e.getMessage.contains("batch watermark"))
   }
 
+  // --------------------------- recall-curve hardening (r14 items)
+
+  private def embRows(n: Int) =
+    graft.Tables.embeddings(spark, TestSpark.sf)
+      .where(org.apache.spark.sql.functions.col("vec_id") < n)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>").as("embedding"))
+
+  test("curve sidecar writes are atomic: a reader racing the audit " +
+      "loop sees old-curve or new-curve, never a torn parse") {
+    import graft.store.{QuantConfig, QuantIndex, QuantTier}
+    val idx = QuantIndex.build(spark, embRows(200),
+      fresh("curve_race") + "/index", QuantConfig())
+    val panel = (0L until 3L)
+      .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0L)
+    idx.auditAdcRecallCurve(panel, k = 10, tier = QuantTier.Pq,
+      depths = Seq(5, 50, 200))
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val auditor = new Thread(() =>
+      try (1 to 6).foreach { _ =>
+        idx.auditAdcRecallCurve(panel, k = 10, tier = QuantTier.Pq,
+          depths = Seq(5, 50, 200))
+        idx.auditRecallCurve(panel, k = 10)
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      finally stop.set(true))
+    val poller = new Thread(() =>
+      try while (!stop.get()) {
+        // every observed curve must PARSE (old or new — never torn);
+        // the targeted search must never crash on a curve read
+        idx.adcRecallCurve(QuantTier.Pq).foreach { case (k, c) =>
+          assert(k == 10 && c.nonEmpty)
+        }
+        idx.coarseNForRecall(0.5, QuantTier.Pq)
+        val (_, n) = idx.searchAdcAtRecall(q, 10, 0.0, QuantTier.Pq)
+        assert(n == -1 || n >= 10)
+      } catch { case t: Throwable => failure.compareAndSet(null, t) })
+    auditor.start(); poller.start()
+    auditor.join(); poller.join()
+    assert(failure.get() == null,
+      s"racing curve reader crashed: ${failure.get()}")
+  }
+
+  test("recall curves certify only their audited k: any other k " +
+      "falls back to exact/probe-everything on every surface") {
+    import graft.store.{QuantConfig, QuantIndex, QuantTier}
+    val idx = QuantIndex.build(spark, embRows(200),
+      fresh("curve_k") + "/index", QuantConfig())
+    val panel = (0L until 3L)
+      .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0L)
+    idx.auditAdcRecallCurve(panel, k = 10, tier = QuantTier.Pq,
+      depths = Seq(5, 50, 200))
+    idx.auditRecallCurve(panel, k = 10)
+    // k == audited k: certified by the curve
+    val (_, n10) = idx.searchAdcAtRecall(q, 10, 0.0, QuantTier.Pq)
+    assert(n10 > 0)
+    // k BELOW the audited k: recall@5 at a fixed budget is NOT bounded
+    // below by recall@10 (misses can concentrate in the top 5) — the
+    // r14 ADVICE under-delivery; must fall back to exact
+    val (df5, n5) = idx.searchAdcAtRecall(q, 5, 0.0, QuantTier.Pq)
+    assert(n5 == -1 && df5.count() == 5)
+    // k above: already exact (pinned in Round20Spec, re-pinned here)
+    assert(idx.searchAdcAtRecall(q, 50, 0.0, QuantTier.Pq)._2 == -1)
+    // the facade knob: a curve audited at k=10 prices k=10 requests,
+    // and answers any other k with probe-everything
+    val adapter = new graft.server.StoreAdapter.Quant(spark, idx)
+    assert(adapter.probesFor(0.0, 10) <= adapter.maxProbes)
+    assert(adapter.probesFor(0.0, 5) == adapter.maxProbes)
+    assert(adapter.probesFor(0.0, 50) == adapter.maxProbes)
+  }
+
   test("a two-writer race on the delta log: both appends land " +
       "(read-merge-retry preserved across record shapes)") {
     val dir = fresh("race")
