@@ -17,6 +17,13 @@ import graft.store.FileLog
   */
 object Round21Queries {
 
+  /** v24's recall target — e25's, so the two queries price the same
+    * curve point through the two surfaces (native vs REST).
+    */
+  private val V24Target = 0.7
+
+  @volatile private var v24Oracle: Option[String] = None
+
   private val Cols = Seq("user_id", "hour_bucket")
 
   private def cluster(n: Int)(df: org.apache.spark.sql.DataFrame) =
@@ -78,5 +85,58 @@ object Round21Queries {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
           |    AS sum_probe
           |FROM events
-          |WHERE user_id BETWEEN 20 AND 39""".stripMargin)))
+          |WHERE user_id BETWEEN 20 AND 39""".stripMargin)),
+
+    // V24 — the recall-targeted OPQ search THROUGH the REST facade
+    // (r14 verdict task #7): audit the coarseN curve on the shared
+    // quant index, serve it over loopback HTTP, POST /search with
+    // {tier, min_recall}, and materialize the JSON response. The
+    // response's curve-chosen budget (coarse_n) and results are
+    // hash-matched against e25's oracle — the full rotate→encode→
+    // ADC→re-rank pipeline replayed in DuckDB at that budget — so the
+    // REST surface's knob is verified to reach exactly the engine's
+    // curve-driven search, JSON round-trip included.
+    Q("v24_http_tier_knn",
+      (s, d) => {
+        import java.net.URI
+        import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+        val idx = QuantCache.forDir(s, d)
+        val panel = (0L until 10L).map(VectorQueries.qvec(s, d, _))
+        idx.auditAdcRecallCurve(panel, k = 10,
+          tier = graft.store.QuantTier.Opq)
+        val f = new graft.server.HttpFacade(s,
+          new graft.server.StoreAdapter.Quant(s, idx), port = 0).start()
+        val m = try {
+          val q = VectorQueries.qvec(s, d, 0)
+          val body = s"""{"query_vector": ${q.mkString("[", ",", "]")},""" +
+            s""" "k": 10, "min_recall": $V24Target, "tier": "opq"}"""
+          val resp = HttpClient.newHttpClient().send(
+            HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${f.boundPort}/search"))
+              .POST(HttpRequest.BodyPublishers.ofString(body))
+              .header("Content-Type", "application/json").build(),
+            HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"facade: HTTP ${resp.statusCode()} ${resp.body()}")
+          graft.server.Json.parse(resp.body())
+            .asInstanceOf[Map[String, Any]]
+        } finally f.stop()
+        val n = graft.server.Json.asLong(
+          m("coarse_n").asInstanceOf[Vector[Any]].head).toInt
+        v24Oracle = Some(
+          if (n > 0) QuantCache.opqSqlAt(idx.model, n)
+          else QuantCache.exactFallbackSql)
+        val ids = m("indices").asInstanceOf[Vector[Vector[Any]]].head
+          .map(graft.server.Json.asLong)
+        val ds = m("distances").asInstanceOf[Vector[Vector[Any]]].head
+          .map(graft.server.Json.asDouble)
+        val sess = s
+        import sess.implicits._
+        ids.zip(ds).toDF("vec_id", "dist")
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"),
+            lit(n).cast("int").as("coarse_n"))
+          .orderBy(col("dist"), col("vec_id"))
+      },
+      None,
+      lateOracle = () => v24Oracle))
 }

@@ -133,6 +133,11 @@ final class HttpFacade(spark: SparkSession, adapter: StoreAdapter,
       case v => Vector(v.map(Json.asDouble).toArray)
     }
     val k = math.max(1, Json.asDouble(body("k")).toInt)
+    body.get("tier") match {
+      case Some(t: String) => return searchTier(queries, k, body, t)
+      case Some(_) => return (400, Map("error" -> "tier must be a string"))
+      case None => ()
+    }
     val probes = body.get("min_recall") match {
       case Some(r) if r != null => adapter.probesFor(Json.asDouble(r), k)
       case _ => body.get("probes") match {
@@ -161,6 +166,45 @@ final class HttpFacade(spark: SparkSession, adapter: StoreAdapter,
         "distances" -> rows.map(_.map(_._2).toVector),
         "indices" -> rows.map(_.map(_._1).toVector),
         "probes" -> probes))
+  }
+
+  /** Recall-targeted ADC search over a named quant tier — the round-21
+    * REST reach of [[graft.store.QuantIndex.searchAdcAtRecall]]: the
+    * re-rank budget (coarseN) comes from the tier's persisted MEASURED
+    * curve, exact fallback when the curve is missing, stale, audited
+    * at a different k, or the target is unreachable. Responds with the
+    * per-query `coarse_n` actually used (−1 = exact fallback). Layouts
+    * without ADC tiers (lsh, lsh_multitable) refuse with a 400, as
+    * does an unknown tier name (the engine's loud-refusal contract).
+    */
+  private def searchTier(queries: Vector[Array[Double]], k: Int,
+      body: Map[String, Any], tier: String): (Int, Any) = {
+    body.get("min_recall") match {
+      case Some(r) if r != null =>
+        try {
+          val out = queries.map { q =>
+            adapter.searchTier(q, k, Json.asDouble(r), tier) match {
+              case Some((df, n)) =>
+                (adapter.classified {
+                  df.collect().map(r2 => (r2.getLong(0), r2.getDouble(1)))
+                }, n)
+              case None => throw new IllegalArgumentException(
+                s"tier search is not supported by the " +
+                  s"'${adapter.strategy}' layout (quant layouts only)")
+            }
+          }
+          (200, Map(
+            "status" -> "success",
+            "distances" -> out.map(_._1.map(_._2).toVector),
+            "indices" -> out.map(_._1.map(_._1).toVector),
+            "coarse_n" -> out.map(_._2.toLong)))
+        } catch {
+          case e: IllegalArgumentException =>
+            (400, Map("error" -> String.valueOf(e.getMessage)))
+        }
+      case _ => (400, Map("error" ->
+        "tier search needs min_recall (the curve-driven budget knob)"))
+    }
   }
 
   private def stats(body: Map[String, Any]): (Int, Any) =

@@ -52,6 +52,16 @@ sealed trait StoreAdapter {
   /** (id, dist) top-k frame at the given probe depth. */
   def search(q: Array[Double], k: Int, probes: Int): DataFrame
 
+  /** Recall-targeted ADC search over a named quant tier, when this
+    * layout has one: (result frame, coarseN used — −1 for the exact
+    * fallback). None = the layout has no ADC tiers (the facade then
+    * answers 400). An unknown tier name throws
+    * IllegalArgumentException (→ facade 400), same loud refusal as
+    * [[QuantIndex.searchAdcAtRecall]].
+    */
+  def searchTier(q: Array[Double], k: Int, minRecall: Double,
+      tier: String): Option[(DataFrame, Int)] = None
+
   /** Per-"node" stats payload (`/stats` `nodes` map). */
   def nodes(): Map[String, Any]
 
@@ -110,6 +120,9 @@ object StoreAdapter {
       }
     def search(q: Array[Double], k: Int, probes: Int): DataFrame =
       idx.searchIvf(q, k, nprobe = probes)
+    override def searchTier(q: Array[Double], k: Int, minRecall: Double,
+        tier: String): Option[(DataFrame, Int)] =
+      Some(idx.searchAdcAtRecall(q, k, minRecall, tier))
     def nodes(): Map[String, Any] = {
       val dim = idx.model.dim
       idx.indexDf.groupBy(col("cell").cast("int").as("cell"))

@@ -77,7 +77,8 @@ class FacadeLongevitySpec extends AnyFunSuite {
     * violations (empty = battery passed).
     */
   private def battery(adapter: StoreAdapter,
-      mutate: Int => Unit, cycles: Int): Seq[String] = {
+      mutate: Int => Unit, cycles: Int,
+      tierClient: Boolean = false): Seq[String] = {
     val facade = new HttpFacade(spark, adapter, port = 0).start()
     val port = facade.boundPort
     val anchor = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0L)
@@ -109,12 +110,41 @@ class FacadeLongevitySpec extends AnyFunSuite {
         }
       })
     }
+    // r21: one client drives the tier knob (curve-backed coarseN
+    // search) through the same storm — mutations invalidate the curve
+    // mid-flight, so responses flip between curve-driven budgets and
+    // the exact fallback (coarse_n = −1); both must stay clean 200s
+    // with sorted, duplicate-free results, never a torn-curve crash.
+    val tierClients = if (!tierClient) Seq.empty else Seq(new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val (code, body) = post(port, "/search",
+            s"""{"query_vector": $qj, "k": 5, "min_recall": 0.5,""" +
+              """ "tier": "pq"}""")
+          if (code != 200)
+            bad.add(s"tier HTTP $code: ${obj(body).get("error")}")
+          else {
+            val m = obj(body)
+            val n = Json.asLong(m("coarse_n")
+              .asInstanceOf[Vector[Any]].head)
+            if (n != -1L && n < 5L) bad.add(s"tier budget below k: $n")
+            val ids = m("indices").asInstanceOf[Vector[Vector[Any]]]
+              .head.map(Json.asLong)
+            val ds = m("distances").asInstanceOf[Vector[Vector[Any]]]
+              .head.map(Json.asDouble)
+            if (ds != ds.sorted) bad.add(s"tier unsorted: $ds")
+            if (ids.distinct.size != ids.size)
+              bad.add(s"tier duplicate ids: $ids")
+          }
+        } catch { case t: Throwable => bad.add(s"tier client threw: $t") }
+      }
+    }))
     try {
-      clients.foreach(_.start())
+      (clients ++ tierClients).foreach(_.start())
       (1 to cycles).foreach(mutate)
     } finally {
       stop.set(true)
-      clients.foreach(_.join(30000))
+      (clients ++ tierClients).foreach(_.join(30000))
       facade.stop()
     }
     import scala.jdk.CollectionConverters._
@@ -141,11 +171,16 @@ class FacadeLongevitySpec extends AnyFunSuite {
       "cycles sees only pre-or-post snapshots") {
     val dir = graft.util.TempDirs.create("graft_longevity_q").toString
     val idx = QuantIndex.build(spark, corpus(), s"$dir/index", QuantConfig())
+    // seed a measured curve so the tier client starts curve-driven;
+    // the first mutation invalidates it (exact fallback thereafter)
+    idx.auditAdcRecallCurve((0L until 3L)
+      .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _)),
+      k = 5, tier = graft.store.QuantTier.Pq, depths = Seq(10, 50))
     val bad = battery(new StoreAdapter.Quant(spark, idx), { c =>
       idx.delete((MutLo.toLong until N.toLong))
       idx.upsert(mutBatch(c))
       if (c % 2 == 0) idx.compact() // default grace: no reclamation
-    }, cycles = 4)
+    }, cycles = 4, tierClient = true)
     assert(bad.isEmpty, s"violations: ${bad.take(5)}")
   }
 

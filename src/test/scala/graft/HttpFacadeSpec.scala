@@ -285,6 +285,58 @@ class HttpFacadeSpec extends AnyFunSuite {
     roundTrip(f, "lsh_multitable", base = 500L)
   }
 
+  test("the tier knob reaches searchAdcAtRecall over HTTP; non-quant " +
+      "layouts and bad requests refuse with 400") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_q3").toString
+    val idx = graft.store.QuantIndex.build(spark,
+      Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id").as("id"), col("embedding")),
+      s"$dir/index")
+    val panel = (0L until 5L)
+      .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
+    idx.auditAdcRecallCurve(panel, k = 10,
+      tier = graft.store.QuantTier.Opq)
+    val f = new HttpFacade(spark,
+      new graft.server.StoreAdapter.Quant(spark, idx), port = 0).start()
+    try {
+      val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+      val qj = q.mkString("[", ",", "]")
+      // curve-driven: the facade's budget equals the engine's choice
+      val (c1, b1) = postTo(f, "/search",
+        s"""{"query_vector": $qj, "k": 10, "min_recall": 0.7,""" +
+          """ "tier": "opq"}""")
+      assert(c1 == 200)
+      val m = obj(b1)
+      val n = Json.asLong(m("coarse_n").asInstanceOf[Vector[Any]].head).toInt
+      val (dfWant, nWant) = idx.searchAdcAtRecall(q, 10, 0.7,
+        graft.store.QuantTier.Opq)
+      assert(n == nWant)
+      val got = m("indices").asInstanceOf[Vector[Vector[Any]]]
+        .head.map(Json.asLong)
+      assert(got == dfWant.collect().map(_.getLong(0)).toVector)
+      // a k the curve wasn't audited at: exact fallback, flagged as −1
+      val (c2, b2) = postTo(f, "/search",
+        s"""{"query_vector": $qj, "k": 5, "min_recall": 0.7,""" +
+          """ "tier": "opq"}""")
+      assert(c2 == 200 && Json.asLong(obj(b2)("coarse_n")
+        .asInstanceOf[Vector[Any]].head) == -1L)
+      // loud refusals: unknown tier, missing min_recall
+      val (c3, b3) = postTo(f, "/search",
+        s"""{"query_vector": $qj, "k": 10, "min_recall": 0.7,""" +
+          """ "tier": "pqr"}""")
+      assert(c3 == 400 && obj(b3)("error").toString.contains("pqr"))
+      val (c4, b4) = postTo(f, "/search",
+        s"""{"query_vector": $qj, "k": 10, "tier": "opq"}""")
+      assert(c4 == 400 && obj(b4)("error").toString.contains("min_recall"))
+    } finally f.stop()
+    // a layout without ADC tiers refuses the knob outright
+    val q0 = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0)
+    val (c5, b5) = postTo(facade, "/search",
+      s"""{"query_vector": ${q0.mkString("[", ",", "]")}, "k": 5,""" +
+        """ "min_recall": 0.5, "tier": "pq"}""")
+    assert(c5 == 400 && obj(b5)("error").toString.contains("lsh"))
+  }
+
   test("explicit probes reaches the quant nprobe knob over HTTP") {
     val dir = java.nio.file.Files.createTempDirectory("graft_http_q2").toString
     val idx = graft.store.QuantIndex.build(spark,
