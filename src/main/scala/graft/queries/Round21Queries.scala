@@ -87,6 +87,55 @@ object Round21Queries {
           |FROM events
           |WHERE user_id BETWEEN 20 AND 39""".stripMargin)),
 
+    // X38 — bloom point-lookup skipping: write documents clustered by
+    // LANG (so doc_id is deliberately UNCLUSTERED — every file's
+    // id-zone spans nearly the whole space and range zones prune
+    // nothing), attach per-file doc_id blooms to the manifest, then
+    // answer `doc_id IN (10, 20, 30)` through format("graftlog"). The
+    // `bloom_pruned` flag pins that the bloom planned STRICTLY fewer
+    // files than the min/max envelope would have (and more than
+    // zero) — the planning-time win range zones cannot deliver for
+    // unclustered point probes. The aggregate is oracle-replayed; a
+    // bloom false positive only KEEPS a file, so the answer is
+    // pruning-invariant by construction.
+    Q("x38_bloom_point_skipping",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_x38_bloom").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        ManifestScan.appendBatch(s, dir, docs, Seq("doc_id", "lang"), 0L,
+          shape = df => df.repartitionByRange(8, col("lang"), col("doc_id"))
+            .sortWithinPartitions("lang", "doc_id"))
+        ManifestScan.attachBlooms(s, dir, "doc_id")
+        val probe = Seq(10L, 20L, 30L)
+        val st = FileLog.read(dir)
+        // what the min/max envelope alone would have planned
+        val keptRange = st.files.count { f =>
+          st.zones.getOrElse(f, Map.empty).get("doc_id")
+            .forall(_.overlaps(graft.store.ZoneRange.I64R(10L, 30L)))
+        }
+        val df = s.read.format("graftlog").load(dir)
+          .where(col("doc_id").isin(probe: _*))
+        val agg = df.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          countDistinct(col("lang")).as("langs"),
+          sum(col("n_chars")).as("chars"))
+        agg.head // populate the planning telemetry
+        val (keptBloom, total) = GraftLogSource.lastPlanned.get()
+        val _ = total
+        agg.select(col("n_docs"), col("id_sum"), col("langs"), col("chars"),
+          lit(if (keptBloom > 0 && keptBloom < keptRange) 1 else 0)
+            .cast("int").as("bloom_pruned"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |  count(DISTINCT lang) AS langs,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars,
+          |  CAST(1 AS INT) AS bloom_pruned
+          |FROM documents
+          |WHERE doc_id IN (10, 20, 30)""".stripMargin)),
+
     // V24 — the recall-targeted OPQ search THROUGH the REST facade
     // (r14 verdict task #7): audit the coarseN curve on the shared
     // quant index, serve it over loopback HTTP, POST /search with

@@ -177,6 +177,14 @@ object GraftLogFileIndex {
     val lo = scala.collection.mutable.Map.empty[String, Any]
     val hi = scala.collection.mutable.Map.empty[String, Any]
     val kind = scala.collection.mutable.Map.empty[String, Char]
+    // integral POINT probes (=, IN): kept as explicit point sets so
+    // bloom zones can answer membership and min/max zones can test
+    // each point (stronger than the envelope); capped — a huge IN
+    // list degrades to its envelope
+    val pts = scala.collection.mutable.Map.empty[String, Set[Long]]
+    val MaxPts = 1000
+    def point(c: String, vs: Iterable[Long]): Unit =
+      pts(c) = pts.get(c).map(_.intersect(vs.toSet)).getOrElse(vs.toSet)
 
     def num(v: Any, dt: org.apache.spark.sql.types.DataType): Option[(Char, Any)] =
       dt match {
@@ -235,10 +243,14 @@ object GraftLogFileIndex {
       case And(l, r) => walk(l); walk(r)
       case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
         num(v, dt).foreach { case (k, x) =>
-          bound(a.name, k, Some(x), Some(x)) }
+          bound(a.name, k, Some(x), Some(x))
+          if (k == 'i') point(a.name, Seq(x.asInstanceOf[Long]))
+        }
       case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
         num(v, dt).foreach { case (k, x) =>
-          bound(a.name, k, Some(x), Some(x)) }
+          bound(a.name, k, Some(x), Some(x))
+          if (k == 'i') point(a.name, Seq(x.asInstanceOf[Long]))
+        }
       case GreaterThan(a: AttributeReference, Literal(v, dt)) if v != null =>
         num(v, dt).foreach { case (k, x) =>
           bound(a.name, k, Some(tightLo(k, x)), None) }
@@ -276,6 +288,8 @@ object GraftLogFileIndex {
             val values = ks.map(_._2)
             bound(a.name, k, Some(values.reduce(minOf(k, _, _))),
               Some(values.reduce(maxOf(k, _, _))))
+            if (k == 'i' && values.size <= MaxPts)
+              point(a.name, values.map(_.asInstanceOf[Long]))
           }
         }
       case InSet(a: AttributeReference, vs) if vs.nonEmpty &&
@@ -288,6 +302,8 @@ object GraftLogFileIndex {
             val values = ks.map(_._2)
             bound(a.name, k, Some(values.reduce(minOf(k, _, _))),
               Some(values.reduce(maxOf(k, _, _))))
+            if (k == 'i' && values.size <= MaxPts)
+              point(a.name, values.map(_.asInstanceOf[Long]))
           }
         }
       case _ => () // unknown shape: contributes no skipping
@@ -295,9 +311,19 @@ object GraftLogFileIndex {
     filters.foreach(walk)
 
     kind.collect {
-      case (c, 'i') => c -> ZoneRange.I64R(
-        lo.get(c).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue),
-        hi.get(c).map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue))
+      case (c, 'i') =>
+        val l = lo.get(c).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+        val h = hi.get(c).map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
+        val inBounds = pts.get(c).map(_.filter(v => v >= l && v <= h))
+        c -> (inBounds match {
+          // a point probe inside the bounds: the stronger range (min/
+          // max zones test each point; bloom zones add membership).
+          // An empty intersection (id IN (...) AND id > all of them)
+          // keeps the bounds-only range — Spark's residual filter
+          // returns zero rows either way.
+          case Some(s) if s.nonEmpty => ZoneRange.I64Set(s.toSeq.sorted)
+          case _ => ZoneRange.I64R(l, h)
+        })
       case (c, 'f') => c -> ZoneRange.F64R(
         lo.get(c).map(_.asInstanceOf[Double])
           .getOrElse(Double.NegativeInfinity),

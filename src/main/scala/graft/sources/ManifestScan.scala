@@ -380,7 +380,100 @@ object ManifestScan {
     case ZoneRange.StrR(lo, hi) => col(c).between(lo, hi)
     case ZoneRange.DateR(lo, hi) =>
       col(c).between(java.sql.Date.valueOf(lo), java.sql.Date.valueOf(hi))
+    case ZoneRange.I64Set(vs) => col(c).isin(vs: _*)
   }
+
+  /** Attach per-file BLOOM zones for `column` (an INT64 key) to the
+    * current manifest: the point-lookup skipping layer for
+    * UNCLUSTERED high-cardinality columns (r14 verdict task #6).
+    * Typed min/max zones prune ranged/clustered predicates; an
+    * `id IN (...)` probe on a table clustered by something ELSE finds
+    * every file's id-zone spanning the whole space and opens every
+    * file — the bloom answers "provably absent" per probe point
+    * instead, so a point lookup schedules tasks for the files that
+    * can actually match (plus fpp false positives, which only KEEP
+    * files — never a lost row).
+    *
+    * Build cost: ONE column-pruned distributed scan of the files
+    * lacking a bloom (per-partition builders merged per file —
+    * `spark.util.sketch.BloomFilter`, sized from the footer row
+    * counts already in the log); incremental by construction — files
+    * already carrying a bloom for `column` are skipped, so a
+    * maintenance cadence pays O(new files). Committed via
+    * [[FileLog.transact]] (concurrent appends merge; their new files
+    * simply stay bloom-less until the next pass). The bloom bytes
+    * ride the file's zone entry: written once into a DELTA record
+    * (O(batch)), re-carried by periodic checkpoints — the Delta/
+    * Iceberg per-file-stats amortization. Returns the number of files
+    * bloomed.
+    */
+  def attachBlooms(spark: SparkSession, dir: String, column: String,
+      fpp: Double = 0.01): Int = {
+    require(FileLog.exists(dir), s"no manifest table under $dir")
+    val st = FileLog.read(dir)
+    val missing = st.files.filterNot(f =>
+      st.zones.get(f).exists(_.get(column).exists(
+        _.isInstanceOf[Zone.BloomI64])))
+    if (missing.isEmpty) return 0
+    val rowsOf = missing.map { f =>
+      normPath(f) -> math.max(64L, st.rows.getOrElse(f, 100000L))
+    }.toMap
+    val rowsB = spark.sparkContext.broadcast(rowsOf)
+    val pairs = tableRead(spark, missing, st.schemaDdl)
+      .select(input_file_name().as("__f"),
+        col(column).cast("long").as("__v"))
+    // (bloom, min, max) per file, built partition-local then merged —
+    // a FilePartition can pack several small files, so key by the
+    // row's own file name, never the partition
+    val built = pairs.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map
+        .empty[String, (org.apache.spark.util.sketch.BloomFilter, Long, Long)]
+      it.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val f = normPathStatic(r.getString(0))
+          val v = r.getLong(1)
+          val (bf, lo, hi) = acc.getOrElseUpdate(f,
+            (org.apache.spark.util.sketch.BloomFilter.create(
+              rowsB.value.getOrElse(f, 100000L), fpp),
+              Long.MaxValue, Long.MinValue))
+          bf.putLong(v)
+          acc(f) = (bf, math.min(lo, v), math.max(hi, v))
+        }
+      }
+      acc.iterator
+    }.reduceByKey { (x, y) =>
+      (x._1.mergeInPlace(y._1), math.min(x._2, y._2), math.max(x._3, y._3))
+    }.collect().toMap
+    val byFile = missing.flatMap { f =>
+      built.get(normPath(f)).map { case (bf, lo, hi) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        f -> Zone.BloomI64(lo, hi,
+          java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
+      }
+    }.toMap
+    FileLog.transact(spark, dir) { cur =>
+      cur.map { c =>
+        val zones = c.files.map { f =>
+          val zs = c.zones.getOrElse(f, Map.empty[String, Zone])
+          f -> byFile.get(f).map(b => zs + (column -> (b: Zone)))
+            .getOrElse(zs)
+        }.filter(_._2.nonEmpty).toMap
+        FileLog.Commit(c.files, c.schemaDdl, c.batchId, zones, c.rows,
+          dataChange = false) // same rows: the change feed skips it
+      }
+    }
+    byFile.size
+  }
+
+  /** Scheme-insensitive path key (input_file_name reports
+    * `file:///x`, the log records `file:/x`).
+    */
+  private def normPath(f: String): String = new Path(f).toUri.getPath
+
+  /** Serializable twin of [[normPath]] for executor-side use. */
+  private[sources] def normPathStatic(f: String): String =
+    new Path(f).toUri.getPath
 
   private def readEntries(spark: SparkSession, st: FileLog.State,
       ranges: Map[String, ZoneRange]): (DataFrame, Int, Int) = {

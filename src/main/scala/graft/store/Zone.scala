@@ -43,6 +43,7 @@ object Zone {
       case ZoneRange.I64R(qlo, qhi) => qhi >= lo && qlo <= hi
       case ZoneRange.DateR(qlo, qhi) =>
         qhi.toEpochDay >= lo && qlo.toEpochDay <= hi
+      case ZoneRange.I64Set(vs) => vs.exists(v => v >= lo && v <= hi)
       case _ => true
     }
     def jsonParts: Vector[Any] = Vector("i64", lo.toString, hi.toString)
@@ -65,6 +66,45 @@ object Zone {
     def jsonParts: Vector[Any] = Vector("str", lo, hi)
   }
 
+  /** INT64 zone with a per-file BLOOM FILTER riding along — the
+    * point-lookup skipping kind for UNCLUSTERED high-cardinality
+    * columns (r14 verdict task #6): an `id IN (...)` probe on a table
+    * clustered by something else finds every file's min/max spanning
+    * the id space, so range zones prune nothing; the bloom answers
+    * "provably absent" per point instead. Range queries use the
+    * embedded min/max exactly like [[I64]]; point-set queries
+    * ([[ZoneRange.I64Set]]) additionally require at least one probe
+    * value to pass the bloom. False positives only KEEP files (the
+    * conservative direction — fpp is a cost knob, never correctness);
+    * a file is skipped only when every probe point is provably absent.
+    *
+    * The filter is Spark's own `util.sketch.BloomFilter`
+    * (`spark.util.sketch` — the runtime-filter/`df.stat.bloomFilter`
+    * sketch), base64-embedded in the zone JSON. Cost model at scale:
+    * the bloom is written ONCE into the file's add-commit (a DELTA
+    * record — O(batch) bytes) and re-carried only by periodic
+    * checkpoints, the same amortization Delta/Iceberg use for
+    * per-file stats. Built by [[graft.sources.ManifestScan
+    * .attachBlooms]] (a column-pruned read of the files, sized from
+    * the same footer row counts the zones come from).
+    */
+  final case class BloomI64(lo: Long, hi: Long, b64: String) extends Zone {
+    @transient private lazy val filter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+    def overlaps(r: ZoneRange): Boolean = r match {
+      case ZoneRange.I64R(qlo, qhi) => qhi >= lo && qlo <= hi
+      case ZoneRange.DateR(qlo, qhi) =>
+        qhi.toEpochDay >= lo && qlo.toEpochDay <= hi
+      case ZoneRange.I64Set(vs) =>
+        vs.exists(v => v >= lo && v <= hi && filter.mightContainLong(v))
+      case _ => true
+    }
+    def jsonParts: Vector[Any] =
+      Vector("bloomi64", lo.toString, hi.toString, b64)
+  }
+
   /** Parse the JSON vector form back. Legacy shape `[lo, hi]` (two
     * bare numbers, written by pre-round-17 logs) reads as I64 — those
     * logs only ever zoned INT64 columns.
@@ -74,6 +114,8 @@ object Zone {
     case Vector("f64", lo, hi) =>
       F64(graft.server.Json.asDouble(lo), graft.server.Json.asDouble(hi))
     case Vector("str", lo: String, hi: String) => Str(lo, hi)
+    case Vector("bloomi64", lo: String, hi: String, b64: String) =>
+      BloomI64(lo.toLong, hi.toLong, b64)
     case Vector(lo, hi) => // legacy untagged INT64 pair
       I64(graft.server.Json.asLong(lo), graft.server.Json.asLong(hi))
     case other => throw new IllegalArgumentException(s"bad zone: $other")
@@ -92,6 +134,15 @@ object ZoneRange {
   final case class StrR(lo: String, hi: String) extends ZoneRange
   final case class DateR(lo: java.time.LocalDate, hi: java.time.LocalDate)
     extends ZoneRange
+
+  /** A POINT-SET probe (`id = v`, `id IN (...)`): [[Zone.I64]] keeps a
+    * file when any point falls in its min/max; [[Zone.BloomI64]]
+    * additionally requires a point to pass the file's bloom — the
+    * planning-time shape of an unclustered point lookup. Non-empty.
+    */
+  final case class I64Set(vs: Seq[Long]) extends ZoneRange {
+    require(vs.nonEmpty, "empty point-set probe")
+  }
 
   /** Unsigned byte-wise comparison of the UTF-8 encodings — parquet's
     * UNSIGNED sort order for UTF8 binary stats (= Unicode code-point

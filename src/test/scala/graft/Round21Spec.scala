@@ -245,6 +245,49 @@ class Round21Spec extends AnyFunSuite {
     assert(e.getMessage.contains("batch watermark"))
   }
 
+  test("bloom zones: attachBlooms prunes unclustered point probes " +
+      "that min/max zones cannot, never losing rows") {
+    val sess = spark
+    import sess.implicits._
+    val dir = fresh("bloom")
+    // ids deliberately SCATTERED across files: cluster by grp, so
+    // every file's id-zone spans most of the space
+    val rows = (0L until 800L).map(i => (i, s"g${(i % 8)}", i * 3))
+    graft.sources.ManifestScan.appendBatch(spark, dir,
+      rows.toDF("id", "grp", "v"), Seq("id", "grp"), 0L,
+      shape = df => df.repartitionByRange(8,
+        org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("id"))
+        .sortWithinPartitions("grp", "id"))
+    assert(graft.sources.ManifestScan.attachBlooms(spark, dir, "id") > 0)
+    // idempotent: files already bloomed are skipped
+    assert(graft.sources.ManifestScan.attachBlooms(spark, dir, "id") == 0)
+    val st = graft.store.FileLog.read(dir)
+    val probe = graft.store.ZoneRange.I64Set(Seq(8L, 16L)) // grp g0 only
+    val keptBloom = st.files.count { f =>
+      st.zones(f)("id").overlaps(probe)
+    }
+    val keptRange = st.files.count { f =>
+      st.zones(f)("id").overlaps(graft.store.ZoneRange.I64R(8L, 16L))
+    }
+    assert(keptBloom < keptRange,
+      s"bloom kept $keptBloom, envelope kept $keptRange — no win")
+    assert(keptBloom >= 1)
+    // through the public reader: planned files = bloom-surviving list,
+    // and the answer is exactly the probed rows
+    val df = spark.read.format("graftlog").load(dir)
+      .where($"id".isin(8L, 16L))
+    val got = df.select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((8L, 24L), (16L, 48L)))
+    val (planned, _) = graft.sources.GraftLogSource.lastPlanned.get()
+    assert(planned == keptBloom)
+    // range queries still prune through the embedded min/max
+    val zs = st.zones.values.flatMap(_.get("id")).toSeq
+    assert(zs.forall(_.isInstanceOf[graft.store.Zone.BloomI64]))
+    assert(zs.exists(!_.overlaps(graft.store.ZoneRange.I64R(5000L, 6000L))))
+  }
+
   // --------------------------- recall-curve hardening (r14 items)
 
   private def embRows(n: Int) =
