@@ -568,6 +568,21 @@ object Bench {
       System.err.println(s"[bench] knn protocol failed: ${e.getMessage}")
     }
 
+    // Maintenance decisions (gauges): e26_maintenance's maintain()
+    // pass publishes its report (the lastBuildPhases convention), so
+    // what the policy DECIDED — compaction scope, audit measurement,
+    // retrain — shows up as per-round numbers, not just a wall time
+    // (r14 verdict task #5's "REPORT line").
+    graft.store.QuantIndex.lastMaintenance.foreach { r =>
+      gauges += "maintain_compacted_cells" -> r.compactedCells.size.toDouble
+      gauges += "maintain_files_before" -> r.filesBefore.toDouble
+      gauges += "maintain_files_after" -> r.filesAfter.toDouble
+      gauges += "maintain_retrained" -> (if (r.retrained) 1.0 else 0.0)
+      r.measuredRecall.foreach(v => gauges += "maintain_audit_recall" -> v)
+      r.recallAfterRetrain.foreach(v =>
+        gauges += "maintain_recall_after_retrain" -> v)
+    }
+
     // layoutPhases decompose timings already counted in perQuery, so
     // they appear in the detail map but not in the total. Gauges
     // (recall fractions, index MB, file counts, phase decompositions)

@@ -176,6 +176,28 @@ object Report {
       sb ++= "\n"
     }
 
+    // ---- 3c. Maintenance decisions (e26's maintain() pass): what the
+    //      OPTIMIZE-when policy decided this run — compaction scope,
+    //      fresh-audit recall, whether a retrain fired.
+    q.get("maintain_compacted_cells").foreach { cells =>
+      val audit = q.get("maintain_audit_recall")
+        .map(r => f", fresh audit recall@10 = $r%.3f").getOrElse("")
+      val retrain = q.get("maintain_retrained") match {
+        case Some(v) if v > 0.5 =>
+          ", RETRAINED" + q.get("maintain_recall_after_retrain")
+            .map(r => f" (recall after = $r%.3f)").getOrElse("")
+        case _ => ", no retrain (audit met target)"
+      }
+      val files = (q.get("maintain_files_before"), q.get("maintain_files_after"))
+        match {
+          case (Some(b), Some(a)) => f", files ${b.toLong} → ${a.toLong}"
+          case _ => ""
+        }
+      sb ++= "### Maintenance decisions (policy-driven maintain())\n\n"
+      sb ++= f"compacted ${cells.toLong} over-threshold cell(s)$files" +
+        s"$audit$retrain\n\n"
+    }
+
     // ---- PNG chart artifacts (the reference's matplotlib figures:
     //      latency_vs_k.png `performance_analysis.py:101-111`,
     //      shard_distribution.png `:200-214`) — written next to the

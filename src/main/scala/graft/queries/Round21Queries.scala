@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.{DuckSql, VectorFunctions => VF}
 import graft.sources.{GraftLogSource, ManifestScan}
-import graft.store.FileLog
+import graft.store.{FileLog, MaintenancePolicy, QuantConfig, QuantIndex, QuantTier}
 
 /** Round-21 queries: the delta-log table layer reached through the
   * PUBLIC SQL/DataFrame reader (`format("graftlog")`) — time travel,
@@ -187,5 +188,56 @@ object Round21Queries {
           .orderBy(col("dist"), col("vec_id"))
       },
       None,
-      lateOracle = () => v24Oracle))
+      lateOracle = () => v24Oracle),
+
+    // E26 — policy-driven maintenance (r14 verdict task #5): build a
+    // pq-tier index, fragment it with two adds (each appends ≥1 file
+    // into every cell it touches), then run ONE maintain() pass with a
+    // files-per-cell trigger and a full-probe recall audit. Every
+    // decision flag is deterministic by construction — ≥1 cell exceeds
+    // one file (compacted), each hot cell collapses to a single file
+    // (healed), a fresh build has no persisted curve (curve_stale),
+    // probing every cell makes the audit exactly 1.0 ≥ the 0.0 target
+    // (retrained = 0, audit_recall = 1.0) — and the exact top-10 over
+    // the MAINTAINED index is oracle-replayed against the raw table:
+    // compaction must lose no rows and change no answer.
+    Q("e26_maintenance",
+      (s, d) => {
+        val dir = graft.util.TempDirs.create("graft_e26_maint").toString
+        val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val idx = QuantIndex.build(s, emb.where(col("id") < 450),
+          s"$dir/index", QuantConfig(tiers = Set(QuantTier.Pq)))
+        idx.add(emb.where(col("id").between(450, 459)))
+        idx.add(emb.where(col("id").between(460, 469)))
+        val panel = (0L until 3L).map(VectorQueries.qvec(s, d, _))
+        val (rep, kept) = idx.maintain(MaintenancePolicy(
+          maxFilesPerCell = 1,
+          auditPanel = panel, auditK = 10,
+          auditNprobe = idx.model.cfg.ivfCells, // full probe: recall ≡ 1
+          minRecall = 0.0, vacuumGraceMs = 0L))
+        val q = VectorQueries.qvec(s, d, 0)
+        kept.indexDf
+          .select(col("id").as("vec_id"),
+            VF.l2sqLit(col("embedding"), q).as("dd"))
+          .orderBy(col("dd"), col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("dd"), 6).as("dist"),
+            lit(if (rep.compacted) 1 else 0).cast("int").as("compacted"),
+            lit(if (rep.filesAfter < rep.filesBefore) 1 else 0).cast("int")
+              .as("healed"),
+            lit(if (rep.curveStale) 1 else 0).cast("int").as("curve_stale"),
+            lit(if (rep.retrained) 1 else 0).cast("int").as("retrained"),
+            lit(rep.measuredRecall.getOrElse(-1.0)).as("audit_recall"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(dd, 6) AS dist,
+           |  CAST(1 AS INT) AS compacted, CAST(1 AS INT) AS healed,
+           |  CAST(1 AS INT) AS curve_stale, CAST(0 AS INT) AS retrained,
+           |  CAST(1.0 AS DOUBLE) AS audit_recall
+           |FROM (
+           |  SELECT e.vec_id AS vec_id,
+           |         ${DuckSql.l2sq("e.embedding", "q.qe")} AS dd
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id < 470)
+           |ORDER BY dd, vec_id LIMIT 10""".stripMargin)))
 }

@@ -593,6 +593,85 @@ final class QuantIndex(
     new QuantIndex(spark, path, newModel)
   }
 
+  /** One policy-driven maintenance pass (the OPTIMIZE-when hook):
+    * compacts exactly the cells whose live-file count exceeds the
+    * policy threshold, then audits recall and retrains when the
+    * measurement calls for it — see [[MaintenancePolicy]] for the
+    * trigger semantics and [[MaintenanceReport]] for what is decided.
+    *
+    * Cell-scoped, not table-scoped: only the hot cells' rows are read
+    * (the `cell` partition-column filter prunes every cold cell's
+    * files at planning time) and only their files are replaced, with
+    * the rewrite's read set declared as exactly those files — so a
+    * concurrent rewrite in a cold region merges instead of aborting,
+    * and at the design scale a maintenance pass costs O(hot region),
+    * never O(table). Compaction is `dataChange = false` (same rows,
+    * fewer files), so change-feed consumers skip it and the measured
+    * recall curves stay valid.
+    *
+    * Returns the report plus the index to keep using — `this` unless
+    * a retrain ran (retraining writes a fresh snapshot with a new
+    * model; the stale instance keeps serving the old snapshot, the
+    * returned one serves the new).
+    */
+  def maintain(policy: MaintenancePolicy = MaintenancePolicy())
+      : (MaintenanceReport, QuantIndex) = {
+    val (log, df) = pinned()
+    val before = log.files.size.toLong
+    val byCell: Map[Int, Seq[String]] = log.files
+      .flatMap(f => cellOfFile(f).map(_ -> f))
+      .groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2) }
+    val hot = byCell.collect {
+      case (c, fs) if fs.size > policy.maxFilesPerCell => c
+    }.toSeq.sorted
+    if (hot.nonEmpty) {
+      val replaced = hot.flatMap(byCell).toSet
+      val rows = df.where(col("cell").isin(hot.map(Int.box): _*))
+      // size like compact(): enough files that the LARGEST hot cell
+      // meets targetRowsPerFile; the common case is one file per cell
+      val maxRow = rows.groupBy("cell").count().agg(max("count")).head
+      val maxCellRows = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val filesPerCell = math.max(1L,
+        (maxCellRows + policy.targetRowsPerFile - 1) / policy.targetRowsPerFile)
+      val numParts =
+        math.min(hot.size.toLong * filesPerCell, Int.MaxValue.toLong).toInt
+      val shaped =
+        if (filesPerCell == 1L) rows.repartition(hot.size, col("cell"))
+        else rows.repartitionByRange(numParts, col("cell"), col("id"))
+      val created = FileLog.stagedWrite(spark, dataDir, stage =>
+        shaped.sortWithinPartitions("cell", "id")
+          .write.mode("overwrite")
+          .partitionBy("cell").parquet(stage))
+      FileLog.commitRewrite(spark, dataDir, log, replaced, created,
+        log.schemaDdl,
+        addedZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols),
+        dataChange = false,     // same rows, new files (compaction)
+        readSet = Some(replaced)) // region-scoped: cold cells mergeable
+      FileLog.vacuum(spark, dataDir, retainLast = 1,
+        graceMs = policy.vacuumGraceMs)
+      invalidateResident()
+    }
+    val afterCompact =
+      if (hot.isEmpty) before else FileLog.read(dataDir).files.size.toLong
+    val curveStale = recallCurve().isEmpty
+    val measured =
+      if (policy.auditPanel.isEmpty) None
+      else Some(recallAtK(policy.auditPanel, policy.auditK, policy.auditNprobe))
+    val out =
+      if (measured.exists(_ < policy.minRecall)) {
+        val fresh = retrain(policy.vacuumGraceMs)
+        val after =
+          fresh.recallAtK(policy.auditPanel, policy.auditK, policy.auditNprobe)
+        (MaintenanceReport(before,
+          FileLog.read(fresh.dataDir).files.size.toLong, hot, curveStale,
+          measured, retrained = true, Some(after)), fresh)
+      } else
+        (MaintenanceReport(before, afterCompact, hot, curveStale,
+          measured, retrained = false, None), this)
+    QuantIndex.lastMaint = Some(out._1) // bench/report surfacing
+    out
+  }
+
   /** Measured `nprobe`-probe recall@k over a query panel — the e18
     * audit as a store method, so retraining decisions can be made (and
     * tested) against the same number the audit reports: for each
@@ -1002,6 +1081,15 @@ object QuantIndex {
     * move to the phase that caused it (r13 verdict task #1).
     */
   def lastBuildPhases: Seq[(String, Double)] = lastBuild
+
+  @volatile private[store] var lastMaint: Option[MaintenanceReport] = None
+
+  /** The most recent [[QuantIndex.maintain]] report in this JVM (bench
+    * telemetry, the [[lastBuildPhases]] convention): what the policy
+    * decided — compaction scope, audit measurement, retrain — so the
+    * round report can surface maintenance decisions as numbers.
+    */
+  def lastMaintenance: Option[MaintenanceReport] = lastMaint
 
   /** Per-column compressed bytes (MB) of an index directory, from the
     * parquet FOOTERS (metadata-only I/O): what each code tier

@@ -290,9 +290,12 @@ class Round21Spec extends AnyFunSuite {
 
   // --------------------------- recall-curve hardening (r14 items)
 
-  private def embRows(n: Int) =
+  private def embRows(n: Int) = embRowsBetween(0, n)
+
+  private def embRowsBetween(lo: Int, hi: Int) =
     graft.Tables.embeddings(spark, TestSpark.sf)
-      .where(org.apache.spark.sql.functions.col("vec_id") < n)
+      .where(org.apache.spark.sql.functions.col("vec_id") >= lo &&
+        org.apache.spark.sql.functions.col("vec_id") < hi)
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
         org.apache.spark.sql.functions.col("embedding")
           .cast("array<double>").as("embedding"))
@@ -360,6 +363,98 @@ class Round21Spec extends AnyFunSuite {
     assert(adapter.probesFor(0.0, 10) <= adapter.maxProbes)
     assert(adapter.probesFor(0.0, 5) == adapter.maxProbes)
     assert(adapter.probesFor(0.0, 50) == adapter.maxProbes)
+  }
+
+  test("maintain: cell-scoped compaction rewrites exactly the " +
+      "over-threshold cells and leaves cold files untouched") {
+    import org.apache.spark.sql.functions._
+    import graft.store.{MaintenancePolicy, QuantConfig, QuantIndex, QuantTier}
+    val dir = fresh("maint_compact") + "/index"
+    val idx = QuantIndex.build(spark, embRows(300), dir,
+      QuantConfig(tiers = Set(QuantTier.Pq)))
+    // two single-row adds: each fragments exactly the ONE cell the
+    // row quantizes into, so cold cells provably exist
+    idx.add(embRowsBetween(300, 301))
+    idx.add(embRowsBetween(301, 302))
+    val before = FileLog.read(dir)
+    val cellRe = """/cell=(\d+)/""".r
+    def byCell(fs: Seq[String]): Map[Int, Seq[String]] =
+      fs.groupBy(f => cellRe.findFirstMatchIn(f).get.group(1).toInt)
+    val hotExpected = byCell(before.files).filter(_._2.size > 1).keySet
+    assert(hotExpected.nonEmpty, "adds fragmented no cell")
+    val coldFiles = before.files.filterNot(f =>
+      hotExpected(cellRe.findFirstMatchIn(f).get.group(1).toInt)).toSet
+    assert(coldFiles.nonEmpty, "no cold cell left to pin region scoping")
+
+    val (rep, kept) = idx.maintain(MaintenancePolicy(
+      maxFilesPerCell = 1, vacuumGraceMs = 0L))
+    assert(kept eq idx, "no retrain ran: maintain must return this")
+    assert(rep.compactedCells.toSet == hotExpected,
+      s"compacted ${rep.compactedCells} != hot $hotExpected")
+    assert(!rep.retrained && rep.measuredRecall.isEmpty &&
+      rep.recallAfterRetrain.isEmpty)
+    assert(rep.curveStale, "fresh build has no persisted curve")
+
+    val after = FileLog.read(dir)
+    // region-scoped: every cold file survives BY PATH; hot cells
+    // collapse to one file each
+    assert(coldFiles.subsetOf(after.files.toSet),
+      "a cold cell's file was rewritten")
+    hotExpected.foreach(c => assert(byCell(after.files)(c).size == 1,
+      s"hot cell $c not healed"))
+    assert(rep.filesAfter == after.files.size.toLong)
+    assert(rep.filesAfter < rep.filesBefore)
+    assert(idx.indexDf.count() == 302, "compaction lost rows")
+    // converged: a second pass has nothing to do
+    val (rep2, _) = idx.maintain(MaintenancePolicy(
+      maxFilesPerCell = 1, vacuumGraceMs = 0L))
+    assert(rep2.compactedCells.isEmpty && rep2.filesAfter == rep2.filesBefore)
+  }
+
+  test("maintain: a below-target fresh audit retrains on the current " +
+      "corpus and re-audits; both triggers fire in one pass") {
+    import org.apache.spark.sql.functions._
+    import graft.store.{MaintenancePolicy, QuantConfig, QuantIndex,
+      QuantTier, VectorStore}
+    val dir = fresh("maint_retrain") + "/index"
+    val idx = QuantIndex.build(spark, embRows(300), dir,
+      QuantConfig(tiers = Set(QuantTier.Pq)))
+    idx.add(embRowsBetween(300, 302)) // arm the compaction trigger too
+    // deterministic retrain trigger: panel queries whose exact top-10
+    // spans >= 2 cells — at nprobe = 1 at most 9 of the 10 can live in
+    // the single probed cell, so recall@10 <= 0.9 < the 1.0 target
+    def spansTwoCells(q: Array[Double]): Boolean =
+      idx.indexDf.select(col("cell"),
+          graft.functions.VectorFunctions.l2sqLit(col("embedding"), q)
+            .as("dd"))
+        .orderBy(col("dd"), col("id")).limit(10)
+        .agg(countDistinct(col("cell"))).head.getLong(0) >= 2
+    val panel = (0L until 20L)
+      .map(graft.queries.VectorQueries.qvec(spark, TestSpark.sf, _))
+      .filter(spansTwoCells).take(4)
+    assert(panel.nonEmpty, "no panel query spans two cells")
+
+    val (rep, freshIdx) = idx.maintain(MaintenancePolicy(
+      maxFilesPerCell = 1, auditPanel = panel, auditK = 10,
+      auditNprobe = 1, minRecall = 1.0, vacuumGraceMs = 0L))
+    assert(rep.compacted, "compaction trigger must fire")
+    assert(rep.measuredRecall.exists(_ < 1.0),
+      s"panel construction guarantees recall < 1.0: ${rep.measuredRecall}")
+    assert(rep.retrained, "audit below target must retrain")
+    assert(rep.recallAfterRetrain.exists(r => r >= 0.0 && r <= 1.0))
+    assert(freshIdx ne idx)
+    assert(freshIdx.dataDir != idx.dataDir,
+      "retrain must produce a fresh versioned snapshot")
+    assert(freshIdx.indexDf.count() == 302, "retrain lost rows")
+    // the maintained index answers exactly: full-probe search equals
+    // the flat exact scan over the raw source
+    val q = graft.queries.VectorQueries.qvec(spark, TestSpark.sf, 0L)
+    val viaFresh = freshIdx
+      .searchIvf(q, 10, nprobe = freshIdx.model.cfg.ivfCells)
+      .collect().map(_.getLong(0)).toSeq
+    val flat = VectorStore.searchIn(embRows(302), q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaFresh == flat, "maintained index diverged from the corpus")
   }
 
   test("a two-writer race on the delta log: both appends land " +
