@@ -254,7 +254,12 @@ object ManifestScan {
   private[graft] def statsOf(spark: SparkSession, paths: Seq[Path],
       cols: Seq[String]): Seq[FileZones] = {
     val conf = spark.sessionState.newHadoopConf()
-    paths.map { p =>
+    // footer reads are independent metadata ops: read them in PARALLEL
+    // on the driver — a wide append commits tasks × partitions files,
+    // and a serial loop made the footer pass the measured hot spot of
+    // the add path (≈5 ms/footer × hundreds of files per batch)
+    import scala.jdk.CollectionConverters._
+    paths.asJava.parallelStream().map[FileZones] { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         var rows = 0L
@@ -285,7 +290,7 @@ object ManifestScan {
           acc.keys.filter(k => covered(k) == blocks)
             .map(k => k -> acc(k)).toMap)
       } finally reader.close()
-    }
+    }.collect(java.util.stream.Collectors.toList[FileZones]).asScala.toSeq
   }
 
   /** One block-column-chunk's zone, or None when its stats are absent

@@ -108,12 +108,20 @@ final class MultiTableStore(
     val bid = batchId.getOrElse(-1L)
     if (bid >= 0 && FileLog.exists(path) && FileLog.read(path).batchId >= bid)
       return // replayed streaming batch: already committed (exactly-once)
-    val out = MultiTableStore.encode(df, model, idCol, embCol)
+    val encoded = MultiTableStore.encode(df, model, idCol, embCol)
     // staged write + read-merge-CAS append: concurrent adds can't share
-    // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE)
-    // no pre-write repartition (see VectorStore.add: measured — the
-    // per-batch exchange costs more than the rename savings; compact
-    // heals wide appends)
+    // scratch dirs and both land; unlogged dirs are adopted (r10
+    // ADVICE). Narrow (micro-batch) inputs keep the no-exchange path;
+    // inputs wider than the table×bucket grid get one batch-sized
+    // exchange so the append writes ≤ grid files instead of
+    // inputTasks × grid (see VectorStore.add — the per-file overhead
+    // around a wide write was the measured cost, and the ×L encode
+    // multiplies the file count here).
+    val grid = model.cfg.numHashTables * model.bucketsPerTable
+    val out =
+      if (encoded.rdd.getNumPartitions > grid)
+        encoded.repartition(grid, col("table"), col("bucket"))
+      else encoded
     val created = FileLog.stagedWrite(spark, path, stage =>
       out.write.mode("overwrite").partitionBy("table", "bucket").parquet(stage))
     FileLog.transact(spark, path) { cur =>

@@ -369,12 +369,22 @@ final class QuantIndex(
     if (bid >= 0 && FileLog.exists(dataDir) &&
         FileLog.read(dataDir).batchId >= bid)
       return // replayed streaming batch: already committed (exactly-once)
-    val out = QuantIndex.encode(df, model, idCol, embCol)
+    val encoded = QuantIndex.encode(df, model, idCol, embCol)
     // staged write + read-merge-CAS append: concurrent adds can't share
-    // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE)
-    // no pre-write repartition (see VectorStore.add: measured — the
-    // per-batch exchange costs more than the rename savings; compact
-    // heals wide appends and re-tightens id zones)
+    // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE).
+    // Pre-write exchange ONLY for wide inputs (an ingest micro-batch
+    // has few partitions and keeps its no-exchange path — see
+    // VectorStore.add): an N-partition batch writes up to N × cells
+    // files — 32-partition 1k-row adds measured ~6.5 s each, almost
+    // all of it per-file cost around the write (footer reads, renames,
+    // the next reader's opens, compact's heal). The exchange bounds an
+    // add at ≤ cells files; its cells-way write parallelism for wide
+    // batches is the same deliberate trade compact() makes (bulk loads
+    // belong in build(), not repeated wide adds).
+    val out =
+      if (encoded.rdd.getNumPartitions > model.cfg.ivfCells)
+        encoded.repartition(model.cfg.ivfCells, col("cell"))
+      else encoded
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
       out.write.mode("overwrite").partitionBy("cell").parquet(stage))
     val createdZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols)

@@ -98,18 +98,25 @@ final class VectorStore(
     val bid = batchId.getOrElse(-1L)
     if (bid >= 0 && FileLog.exists(path) && FileLog.read(path).batchId >= bid)
       return // replayed batch: already committed
-    val out = VectorStore.bucketize(df, model, idCol, embCol)
+    val bucketed = VectorStore.bucketize(df, model, idCol, embCol)
     // staged write: writer-private scratch (concurrent adds can't share
     // a _temporary dir) and an exact `created` list — O(batch), never
-    // an O(table) directory diff
-    // NO pre-write repartition here, deliberately: an append writes
-    // ≤ inputTasks × touchedBuckets files, and ingest micro-batches
-    // have FEW input tasks, so file counts stay small — an exchange
-    // per micro-batch was tried and bought nothing at bench scale
-    // while adding a stage to every batch. Wide appends that do
-    // explode files are healed by [[compact]] (one writer per
-    // bucket); delete/upsert DO concentrate, because their input is a
-    // wide bucket scan and their output REPLACES files in the log.
+    // an O(table) directory diff.
+    // No pre-write repartition for NARROW inputs (the ingest
+    // micro-batch shape: few input tasks → few files; an exchange per
+    // micro-batch was tried and bought nothing at bench scale while
+    // adding a stage to every batch). A WIDE input would write up to
+    // inputTasks × touchedBuckets files — measured at ~6.5 s/add of
+    // per-file overhead on the quant twin — so inputs wider than the
+    // bucket count get one batch-sized exchange, bounding the append
+    // at ≤ numBuckets files (the same bucket-way write parallelism
+    // compact() uses; bulk loads belong in build()). delete/upsert
+    // concentrate already: their input is a wide bucket scan and
+    // their output REPLACES files in the log.
+    val out =
+      if (bucketed.rdd.getNumPartitions > model.numBuckets)
+        bucketed.repartition(model.numBuckets, col("bucket"))
+      else bucketed
     val created = FileLog.stagedWrite(spark, path, stage =>
       out.write.mode("overwrite").partitionBy("bucket").parquet(stage))
     FileLog.transact(spark, path) { cur =>
