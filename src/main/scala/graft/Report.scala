@@ -262,21 +262,22 @@ object Report {
         val prevText = new String(
           Files.readAllBytes(Paths.get(prevPath)), "UTF-8")
         val prev = parseMap(prevText, "queries").toMap
-        // only rows that are medians in BOTH runs are comparable: the
-        // current side's floor is this build's 0.3 s adaptive
-        // threshold; the PREVIOUS side's floor is whatever threshold
-        // THAT run stabilized with (recorded in its provenance since
-        // r21) — a pre-threshold-change file defaults to 2.0 s, so a
-        // 0.3-2.0 s single sample there never reads as a 1.3x move
-        // (r14 ADVICE #2)
-        val prevFloor = {
-          val m = """"median_threshold_s":([0-9.]+)""".r
-            .findFirstMatchIn(prevText)
-          m.map(_.group(1).toDouble).getOrElse(2.0)
-        }
+        // only rows that are medians in BOTH runs are comparable:
+        // EACH side's floor is the adaptive-median threshold recorded
+        // in that file's own provenance — never a hardcoded constant
+        // that silently diverges when Bench's threshold moves again. A
+        // pre-threshold-provenance file defaults to 2.0 s (the
+        // threshold of every run that predates the recording), so a
+        // 0.3-2.0 s single sample never reads as a 1.3x move
+        // (r14 ADVICE #2).
+        def floorOf(text: String): Double =
+          """"median_threshold_s":([0-9.]+)""".r
+            .findFirstMatchIn(text).map(_.group(1).toDouble).getOrElse(2.0)
+        val prevFloor = floorOf(prevText)
+        val curFloor = floorOf(detail)
         val moved = secs.toSeq.flatMap { case (k, v) =>
           prev.get(k).collect {
-            case p if p >= prevFloor && v >= 0.3 &&
+            case p if p >= prevFloor && v >= curFloor &&
                 math.max(v / p, p / v) > 1.3 =>
               (k, p, v, v / p)
           }

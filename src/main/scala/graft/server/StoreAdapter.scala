@@ -83,12 +83,9 @@ object StoreAdapter {
     def add(df: DataFrame): Unit = store.add(df)
     def maxProbes: Int = store.model.numBuckets
     def probesFor(minRecall: Double, k: Int): Int =
-      store.recallCurve() match {
-        case Some((auditedK, curve)) if auditedK == k =>
-          val i = curve.indexWhere(_ >= minRecall)
-          if (i < 0) maxProbes else i + 1
-        case _ => maxProbes
-      }
+      graft.store.RecallCurves
+        .certifiedDepth(store.recallCurve(), k, minRecall)
+        .getOrElse(maxProbes)
     def search(q: Array[Double], k: Int, probes: Int): DataFrame =
       store.search(q, k, probes)
     def nodes(): Map[String, Any] = store.stats().collect().map { r =>
@@ -112,12 +109,9 @@ object StoreAdapter {
     def add(df: DataFrame): Unit = idx.add(df)
     def maxProbes: Int = idx.model.cfg.ivfCells
     def probesFor(minRecall: Double, k: Int): Int =
-      idx.recallCurve() match {
-        case Some((auditedK, curve)) if auditedK == k =>
-          val i = curve.indexWhere(_ >= minRecall)
-          if (i < 0) maxProbes else i + 1
-        case _ => maxProbes
-      }
+      graft.store.RecallCurves
+        .certifiedDepth(idx.recallCurve(), k, minRecall)
+        .getOrElse(maxProbes)
     def search(q: Array[Double], k: Int, probes: Int): DataFrame =
       idx.searchIvf(q, k, nprobe = probes)
     override def searchTier(q: Array[Double], k: Int, minRecall: Double,
@@ -149,12 +143,9 @@ object StoreAdapter {
     def maxProbes: Int =
       store.model.cfg.numHashTables * store.model.bucketsPerTable
     def probesFor(minRecall: Double, k: Int): Int =
-      store.recallCurve() match {
-        case Some((auditedK, curve)) if auditedK == k =>
-          val i = curve.indexWhere(_ >= minRecall)
-          if (i < 0) maxProbes else i + 1
-        case _ => maxProbes
-      }
+      graft.store.RecallCurves
+        .certifiedDepth(store.recallCurve(), k, minRecall)
+        .getOrElse(maxProbes)
     def search(q: Array[Double], k: Int, probes: Int): DataFrame =
       if (probes >= maxProbes) store.exact(q, k)
       else store.search(q, k, probes)

@@ -77,6 +77,18 @@ class GraftLogSource extends RelationProvider with DataSourceRegister {
     val batchAsOf = opts.get("batchasof").map(_.toLong)
     require(versionAsOf.isEmpty || batchAsOf.isEmpty,
       "versionAsOf and batchAsOf are mutually exclusive")
+    // time travel refuses below the vacuum's data floor with the typed
+    // error (pre-delta-log, the RECORD itself was gone and the refusal
+    // was implicit; a chain-only record now parses fine but its data
+    // files may be vacuumed — a best-effort read would surface as a
+    // raw FileNotFoundException deep in the scan)
+    versionAsOf.foreach { v =>
+      val fl = FileLog.dataFloor(dir)
+      if (v < fl) throw new graft.store.SnapshotVacuumedException(
+        s"version $v of $dir was vacuumed (oldest data-pinned version " +
+          s"is $fl) — raise the vacuum retention for longer time travel",
+        null)
+    }
     val st = versionAsOf.map(FileLog.readVersion(dir, _))
       .orElse(batchAsOf.map { b =>
         val v = FileLog.versionForBatch(dir, b).getOrElse(
@@ -132,18 +144,27 @@ final class GraftLogFileIndex(spark: SparkSession, dir: String,
 
   override def refresh(): Unit = ()
 
-  /** Total bytes of the snapshot's files, stat'ed lazily once (the
-    * planner reads this for join-size estimates). A production-scale
-    * deployment would record file sizes in the commit like rows/zones
-    * are; driver-side stats of the full list are acceptable at the
-    * file counts the bench runs (and are one metadata round per file,
-    * not a listing).
+  /** Stat a file list in PARALLEL on the driver — per-file metadata
+    * RPCs were the measured hot spot of the add path (statsOf), and a
+    * serial loop here would put the same tax on every query's
+    * planning. A production-scale deployment would record file sizes
+    * in the commit like rows/zones are (making both methods below
+    * metadata-free); parallel stats keep the wall bounded until then.
     */
-  override lazy val sizeInBytes: Long = {
+  private def statFiles(files: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    state.files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    import scala.jdk.CollectionConverters._
+    files.asJava.parallelStream()
+      .map[org.apache.hadoop.fs.FileStatus](f => fs.getFileStatus(new Path(f)))
+      .collect(java.util.stream.Collectors
+        .toList[org.apache.hadoop.fs.FileStatus]).asScala.toSeq
   }
+
+  /** Total bytes of the snapshot's files, stat'ed lazily once (the
+    * planner reads this for join-size estimates).
+    */
+  override lazy val sizeInBytes: Long = statFiles(state.files).map(_.getLen).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -153,10 +174,7 @@ final class GraftLogFileIndex(spark: SparkSession, dir: String,
       ranges.forall { case (c, r) => zs.get(c).forall(_.overlaps(r)) }
     }
     GraftLogSource.lastPlanned.set((kept.size, state.files.size))
-    val fs = new Path(dir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val statuses = kept.map(f => fs.getFileStatus(new Path(f))).toArray
-    Seq(PartitionDirectory(InternalRow.empty, statuses))
+    Seq(PartitionDirectory(InternalRow.empty, statFiles(kept).toArray))
   }
 }
 

@@ -698,6 +698,24 @@ object ManifestScan {
       toVersion: Int): DataFrame = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"need 0 <= from <= to, got ($fromVersion, $toVersion]")
+    // PLANNING-TIME retention check against the vacuum's data floor,
+    // not record existence: the delta log retains chain-only records
+    // below the floor (materializable state, vacuumed data), so a
+    // record-existence probe passes and the consumer would crash with
+    // a raw executor FileNotFoundException mid-collect instead of the
+    // typed re-seed signal this feed promises. The feed reads data
+    // files of every state in [fromVersion, toVersion] (a file retired
+    // at v+1 is read FROM state v), so the oldest data-bearing state
+    // it needs must sit at or above the floor.
+    val floor = FileLog.dataFloor(dir)
+    val lowestNeeded = if (fromVersion == 0) 1 else fromVersion
+    if (toVersion > 0 && lowestNeeded < floor)
+      throw new SnapshotVacuumedException(
+        s"version $lowestNeeded of $dir, needed by the change feed " +
+          s"($fromVersion, $toVersion], was vacuumed (oldest " +
+          s"data-pinned version is $floor) — raise the vacuum " +
+          "retention above the consumer's read cadence and re-seed " +
+          "from a full scan", null)
     def stateAt(v: Int): FileLog.State =
       if (v == 0) FileLog.State(Seq.empty, "")
       else try FileLog.readVersion(dir, v)

@@ -33,7 +33,10 @@ private[graft] object Dedup {
     // once (checking for actual duplicate keys would cost an extra
     // aggregation per upsert, so the warning is layout-gated only —
     // r14 ADVICE #3). Batches without duplicate keys are unaffected.
-    if (seqCol.isEmpty && df.rdd.getNumPartitions > 1 &&
+    // `!warned.get()` FIRST: the partition-count probe forces a
+    // plan-to-RDD conversion, which must not recur on every micro-batch
+    // of a long-running sink once the warning has already fired
+    if (seqCol.isEmpty && !warned.get() && df.rdd.getNumPartitions > 1 &&
         warned.compareAndSet(false, true))
       System.err.println(
         s"[graft] upsert dedup on '$keyCol': multi-partition batch " +

@@ -174,6 +174,22 @@ object FileLog {
 
   def currentPath(dir: String): String = s"$dir/_files.json"
   private def versionPath(dir: String, v: Int): String = s"$dir/_files.v$v.json"
+  private def floorPath(dir: String): String = s"$dir/_files.floor"
+
+  /** Oldest version whose DATA files the last [[vacuum]] pinned (1
+    * when never vacuumed — every committed version's data is live).
+    * Version RECORDS can survive below this (a delta chain is only
+    * materializable with every link from its checkpoint up), but
+    * reading such a version's data is best-effort: its files are live
+    * only while newer readable versions still reference them. Readers
+    * that PROMISE a planning-time typed refusal ([[ManifestScan
+    * .changes]], the graftlog reader's time travel) check against
+    * this floor instead of record existence.
+    */
+  def dataFloor(dir: String): Int =
+    if (!FsIo.exists(floorPath(dir))) 1
+    else try math.max(1, FsIo.readString(floorPath(dir)).trim.toInt)
+    catch { case _: NumberFormatException => 1 }
 
   def exists(dir: String): Boolean =
     FsIo.exists(currentPath(dir)) || versions(dir).nonEmpty
@@ -322,7 +338,12 @@ object FileLog {
     * one small file per probed version and never materializes a chain.
     */
   def versionForBatch(dir: String, batchId: Long): Option[Int] = {
-    val vs = versions(dir)
+    // candidates start at the data floor: a chain-only record below it
+    // parses fine but its data files may be vacuumed — resolving to it
+    // would trade the caller's loud "no retained version" refusal for
+    // a raw execution-time FileNotFoundException
+    val fl = dataFloor(dir)
+    val vs = versions(dir).filter(_ >= fl)
     vs.reverseIterator.find { v =>
       val bid = parseRecord(FsIo.readString(versionPath(dir, v))) match {
         case Snap(st) => st.batchId
@@ -882,6 +903,16 @@ object FileLog {
     // vacuumed files and surfaces as [[SnapshotVacuumedException]],
     // the same contract as a dropped snapshot.
     val survivors = keptByAge ++ keep
+    // Persist the data floor BEFORE any deletion (monotone max: a
+    // later vacuum with a larger retainLast sees chain-only records
+    // below the previous floor — their data is already gone, so the
+    // floor can never move down). Planning-time refusals (changes,
+    // graftlog time travel) consult this instead of record existence,
+    // which the delta log decoupled from data retention.
+    survivors.headOption.foreach { v0 =>
+      val f = math.max(dataFloor(dir), v0)
+      FsIo.writeStringAtomic(floorPath(dir), f.toString)
+    }
     val chainFloor = survivors.headOption.map { v0 =>
       parseRecord(FsIo.readString(versionPath(dir, v0))) match {
         case Snap(_) => v0

@@ -236,11 +236,9 @@ final class MultiTableStore(
     */
   def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame = {
     val kk = math.max(1, k)
-    recallCurve() match {
-      case Some((auditedK, curve)) if auditedK == kk =>
-        val i = curve.indexWhere(_ >= minRecall)
-        if (i < 0) exact(q, kk) else search(q, kk, i + 1)
-      case _ => exact(q, kk)
+    RecallCurves.certifiedDepth(recallCurve(), kk, minRecall) match {
+      case Some(p) => search(q, kk, p)
+      case None => exact(q, kk)
     }
   }
 

@@ -992,12 +992,8 @@ final class QuantIndex(
     */
   def searchAtRecall(q: Array[Double], k: Int, minRecall: Double): DataFrame = {
     val kk = math.max(1, k)
-    val nprobe = recallCurve() match {
-      case Some((auditedK, curve)) if auditedK == kk =>
-        val i = curve.indexWhere(_ >= minRecall)
-        if (i < 0) model.cfg.ivfCells else i + 1
-      case _ => model.cfg.ivfCells
-    }
+    val nprobe = RecallCurves.certifiedDepth(recallCurve(), kk, minRecall)
+      .getOrElse(model.cfg.ivfCells)
     searchIvf(q, kk, nprobe)
   }
 

@@ -261,12 +261,8 @@ final class VectorStore(
   def searchAtRecall(q: Array[Double], k: Int, minRecall: Double,
                      filter: Column = lit(true)): DataFrame = {
     val kk = math.max(1, k)
-    val probes = recallCurve() match {
-      case Some((auditedK, curve)) if auditedK == kk =>
-        val i = curve.indexWhere(_ >= minRecall)
-        if (i < 0) model.numBuckets else i + 1
-      case _ => model.numBuckets
-    }
+    val probes = RecallCurves.certifiedDepth(recallCurve(), kk, minRecall)
+      .getOrElse(model.numBuckets)
     search(q, kk, probes, filter)
   }
 

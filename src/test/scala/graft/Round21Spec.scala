@@ -365,6 +365,53 @@ class Round21Spec extends AnyFunSuite {
     assert(adapter.probesFor(0.0, 50) == adapter.maxProbes)
   }
 
+  test("vacuum persists a data floor: feeds and graftlog time travel " +
+      "refuse below it with the typed error at PLANNING time") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ManifestScan
+    import graft.store.{SnapshotVacuumedException, ZoneRange}
+    val dir = fresh("floor")
+    def batch(i: Int) = spark.range(i * 10L, (i + 1) * 10L)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1)
+    (0 to 4).foreach(i =>
+      ManifestScan.appendBatch(spark, dir, batch(i), Seq("id"), i.toLong))
+    // a delete retires batch 0's file, so below-floor data GENUINELY
+    // vanishes once vacuumed (the raw-FNF trap the floor closes)
+    ManifestScan.delete(spark, dir,
+      Map("id" -> ZoneRange.I64R(0L, 5L)), Seq("id"))
+    val head = FileLog.read(dir).version
+    FileLog.vacuum(spark, dir, retainLast = 2, graceMs = 0L)
+    val floor = FileLog.dataFloor(dir)
+    assert(floor == head - 1, s"floor $floor, head $head")
+    // chain-only records below the floor still EXIST (delta-chain
+    // materialization needs them) — exactly the record-present/
+    // data-vacuumed state that used to pass the old existence check
+    assert(FileLog.versions(spark, dir).min < floor)
+    // 1. change-feed planning refuses (no .count() needed: the check
+    //    runs before any job)
+    val e = intercept[SnapshotVacuumedException](
+      ManifestScan.changes(spark, dir, floor - 1, head))
+    assert(e.getMessage.contains("change feed"))
+    // the data-pinned window still feeds: the delete's rows arrive
+    val feed = ManifestScan.changes(spark, dir, floor, head).collect()
+    assert(feed.nonEmpty && feed.forall(
+      _.getAs[String]("_change_type") == "delete"))
+    // 2. graftlog versionAsOf below the floor refuses with the same
+    //    typed error; at/above it reads
+    intercept[SnapshotVacuumedException](
+      spark.read.format("graftlog")
+        .option("versionAsOf", (floor - 1).toString).load(dir))
+    assert(spark.read.format("graftlog")
+      .option("versionAsOf", head.toString).load(dir).count() == 44L)
+    // 3. batchAsOf resolves only to data-pinned versions: a watermark
+    //    that lives below the floor gets the loud refusal, not a raw
+    //    executor FileNotFoundException
+    intercept[IllegalArgumentException](
+      spark.read.format("graftlog").option("batchAsOf", "1").load(dir))
+    assert(spark.read.format("graftlog").option("batchAsOf", "4")
+      .load(dir).count() == 44L)
+  }
+
   test("maintain: cell-scoped compaction rewrites exactly the " +
       "over-threshold cells and leaves cold files untouched") {
     import org.apache.spark.sql.functions._
