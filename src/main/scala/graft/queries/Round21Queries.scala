@@ -61,6 +61,12 @@ object Round21Queries {
           count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double")
             .as("sum_value")).head
+        // at tiny SFs the probe range can be empty: sum() is NULL and
+        // a bare getDouble crashes — carry the NULL through (the
+        // oracle's sum over the same empty range is NULL too)
+        val sumProbe: Any =
+          if (aggRow.isNullAt(1)) null
+          else math.round(aggRow.getDouble(1) * 1e6) / 1e6
         val (kept, total) = GraftLogSource.lastPlanned.get()
         val rowsB0 = s.read.format("graftlog")
           .option("batchAsOf", "0").load(dir).count()
@@ -74,8 +80,7 @@ object Round21Queries {
               .as("pruned"),
             lit(rowsB0).as("rows_b0"),
             lit(rowsCur).as("rows_cur"),
-            lit(math.round(aggRow.getDouble(1) * 1e6) / 1e6)
-              .as("sum_probe"))
+            lit(sumProbe).cast("double").as("sum_probe"))
       },
       Some("""SELECT count(*) AS n_events,
           |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
