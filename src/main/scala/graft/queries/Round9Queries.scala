@@ -35,13 +35,51 @@ object Round9Queries {
   // ------------------------------------------------------------- p15
 
   /** One greedy BPE merge of pair (l, r) over the tokenized word-type
-    * table, as pure relational ops (posexplode → three windows →
-    * re-assemble). Greedy left-to-right semantics: within each maximal
+    * table, as ONE row-local fold expression (r15 optimization; the
+    * relational posexplode → three windows → re-assemble form it
+    * replaces cost ~3 exchanges per merge step and is kept as the
+    * spec-pinned reference, [[applyMergeRelational]]). Greedy
+    * left-to-right semantics, identical by the fold invariant: scan
+    * tokens left to right; a token merges with the accumulator's last
+    * token when that last token is `l`, the current is `r`, and the
+    * last token was not itself just produced by a merge (the `jm`
+    * flag — the "token after a merged position is consumed" rule;
+    * within an l == r run this alternates positions from the run head,
+    * exactly the windowed form's sel rule). A merged token can never
+    * re-match as a LEFT side in the same pass: it equals l + r, which
+    * is strictly longer than l. Row-local ⇒ zero shuffles, zero
+    * explode — at 100 TB a merge step is a projection over the type
+    * table instead of 3 window exchanges of the exploded tokens.
+    */
+  private def applyMerge(types: DataFrame, l: String, r: String): DataFrame = {
+    val lLit = lit(l); val rLit = lit(r); val lr = lit(l + r)
+    types.withColumn("toks",
+      aggregate(col("toks"),
+        struct(array().cast("array<string>").as("arr"),
+          lit(false).as("jm")),
+        (acc, t) => {
+          val arr = acc.getField("arr")
+          val jm = acc.getField("jm")
+          val canMerge = !jm && size(arr) > 0 &&
+            element_at(arr, -1) === lLit && (t === rLit)
+          struct(
+            when(canMerge,
+              concat(slice(arr, lit(1), size(arr) - 1), array(lr)))
+              .otherwise(concat(arr, array(t))).as("arr"),
+            canMerge.as("jm"))
+        },
+        acc => acc.getField("arr")))
+  }
+
+  /** The pre-r15 relational merge (posexplode → three windows →
+    * re-assemble), kept as the equivalence reference for
+    * Round9Spec's fold-vs-windows pin. Semantics: within each maximal
     * run of consecutive match positions (runs longer than 1 occur only
     * when l == r), alternate positions starting at the run head merge;
     * the token after a merged position is consumed.
     */
-  private def applyMerge(types: DataFrame, l: String, r: String): DataFrame = {
+  private[graft] def applyMergeRelational(types: DataFrame, l: String,
+      r: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = types
       .select(col("word"), col("n"), posexplode(col("toks")).as(Seq("pos0", "tok")))
@@ -128,6 +166,10 @@ object Round9Queries {
           case Some(row) =>
             val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
             merges += ((step, l, r, l + r, c))
+            // checkpoint per step: the fold is an interpreted HOF, so
+            // leaving steps lazy makes step m's argmax replay m−1
+            // folds (measured +0.7 s over 8 steps) — materializing
+            // each step keeps every fold evaluated exactly once
             types = applyMerge(types, l, r).localCheckpoint(true)
             step += 1
           case None => exhausted = true
@@ -438,14 +480,42 @@ object Round9Queries {
             regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("txt"))
           .withColumn("len", length(col("txt")).cast("long"))
           .withColumn("blk", expr("len div 100"))
+          // per-doc printable-ASCII char histogram (computed once per
+          // doc, pre-join): feeds the lossless bag-distance prefilter
+          // below. txt is exactly the 0x20–0x7e projection, so the 95
+          // buckets cover every char the distance sees.
+          .withColumn("hist", expr(
+            "transform(sequence(32, 126), c -> length(txt) - length(replace(txt, char(c), '')))"))
+        // The probe side arrives as ONE scan partition (200 docs, one
+        // file), so the broadcast join — and every banded levenshtein
+        // above it — ran in a single task (plan-verified: the before
+        // plan's streamed side has no exchange). Fan the cheap side
+        // out to the session's parallelism so the per-pair DP work
+        // uses the machine; scale-adaptive (defaultParallelism), not a
+        // constant.
         val a = docs.select(col("doc_id").as("doc_a"), col("txt").as("ta"),
-            col("len").as("na"),
+            col("len").as("na"), col("hist").as("ha"),
             explode(array(col("blk") - 1, col("blk"), col("blk") + 1)).as("jblk"))
+          .repartition(s.sparkContext.defaultParallelism)
         val b = docs.select(col("doc_id").as("doc_b"), col("txt").as("tb"),
-          col("len").as("nb"), col("blk"))
+          col("len").as("nb"), col("hist").as("hb"), col("blk"))
         a.join(b,
             col("jblk") === col("blk") && col("doc_a") < col("doc_b") &&
               abs(col("na") - col("nb")) <= 100)
+          // LOSSLESS bag-distance prefilter (the multiset lower bound
+          // of edit distance): bag(a, b) = max(|A∖B|, |B∖A|) ≤ lev, so
+          // bag > 100 ⟹ lev > 100 ⟹ the pair was doomed to the
+          // dist = −1 filter anyway — but the bag costs O(95) integer
+          // ops per pair where the banded levenshtein costs O(100·len)
+          // char ops. At block sizes in the millions this decides by
+          // histogram instead of running the DP matrix on every
+          // blocked pair (guide §1.2 per-task work; Round9Spec pins
+          // bag ≤ lev and prefilter result equality).
+          .where(expr(
+            """greatest(
+              |  aggregate(zip_with(ha, hb, (x, y) -> greatest(x - y, 0)), 0, (acc, x) -> acc + x),
+              |  aggregate(zip_with(ha, hb, (x, y) -> greatest(y - x, 0)), 0, (acc, x) -> acc + x)
+              |) <= 100""".stripMargin))
           .withColumn("dist", expr("levenshtein(ta, tb, 100)"))
           .where(col("dist") =!= -1)
           .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
@@ -798,7 +868,7 @@ object Round9Queries {
         val (_, types) = trainedBpe(s, d)
         val wl = types.select(col("word"), size(col("toks")).cast("long").as("n_sub"))
         val schema = s.read.parquet(s"$d/documents.parquet").schema
-        val name = s"s24_sink_${s24Id.incrementAndGet()}"
+        val name = StreamingQueries.freshSinkName(s, "s24_sink")
         val ckpt = graft.util.TempDirs.create("graft_s24_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s24_src")
         java.nio.file.Files.copy(

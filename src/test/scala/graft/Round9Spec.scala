@@ -258,4 +258,58 @@ class Round9Spec extends AnyFunSuite {
     assert(m("aaaa") == Seq("aa", "aa"), s"got ${m("aaaa")}")
     assert(m("aaa") == Seq("aa", "a"), s"got ${m("aaa")}")
   }
+
+  test("d26: bag distance is a lower bound of levenshtein (prefilter lossless)") {
+    // the r15 prefilter drops a pair only when bag > threshold; this
+    // pins bag <= lev on random printable-ASCII strings, so a dropped
+    // pair provably had lev > threshold and was already doomed to the
+    // dist = -1 filter — identical result set by construction
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    def randStr(n: Int): String =
+      (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val pairs = (0 until 300).map { i =>
+      val a = randStr(1 + rnd.nextInt(60))
+      // half the pairs are near-duplicates (small true distance)
+      val b = if (i % 2 == 0) randStr(1 + rnd.nextInt(60))
+              else a.patch(rnd.nextInt(a.length), randStr(rnd.nextInt(4)), rnd.nextInt(2))
+      (a, b)
+    }
+    val out = pairs.toDF("ta", "tb")
+      .withColumn("ha", expr(
+        "transform(sequence(32, 126), c -> length(ta) - length(replace(ta, char(c), '')))"))
+      .withColumn("hb", expr(
+        "transform(sequence(32, 126), c -> length(tb) - length(replace(tb, char(c), '')))"))
+      .withColumn("bag", expr(
+        """greatest(
+          |  aggregate(zip_with(ha, hb, (x, y) -> greatest(x - y, 0)), 0, (acc, x) -> acc + x),
+          |  aggregate(zip_with(ha, hb, (x, y) -> greatest(y - x, 0)), 0, (acc, x) -> acc + x))""".stripMargin))
+      .withColumn("lev", expr("levenshtein(ta, tb)"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("bag") <= r.getAs[Int]("lev"),
+        s"bag > lev for ta=${r.getString(0)} tb=${r.getString(1)}")
+    }
+  }
+
+  test("p15: fold merge == the pre-r15 relational merge on random words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val syms = Vector("a", "b", "c", "ab", "bc")
+    val words = (0 until 80).map { i =>
+      (s"w$i", 1L, Vector.fill(1 + rnd.nextInt(10))(syms(rnd.nextInt(syms.size))))
+    }
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("ab", "c"), ("c", "ab"), ("b", "a"))) {
+      val df = words.toDF("word", "n", "toks")
+      def toMapOf(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(x => x.getAs[String]("word") ->
+          x.getSeq[String](x.fieldIndex("toks")).toVector).toMap
+      val fold = toMapOf(queries.Round9Queries.testApplyMerge(df, l, r))
+      val rel = toMapOf(queries.Round9Queries.applyMergeRelational(df, l, r))
+      words.foreach { case (w, _, toks) =>
+        assert(fold(w) == rel(w),
+          s"pair ($l,$r) word $w: toks=$toks fold=${fold(w)} rel=${rel(w)}")
+      }
+    }
+  }
 }
