@@ -155,6 +155,18 @@ object Round6cQueries {
           .union(eb.select(col("b").as("a"), col("a").as("b")))
         val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg"))
           .localCheckpoint(true)
+          // localCheckpoint erases the groupBy's hash partitioning
+          // from the plan, so every iteration's join RE-SHUFFLED this
+          // side (before plan: 20 SortMergeJoins / 34 Exchanges).
+          // One explicit repartition restores a known partitioning
+          // that ALL five iterations reuse (ReusedExchange): the join
+          // keys node/b alias a, so both per-iteration joins are
+          // co-partitioned — the per-iteration shuffle left is the
+          // contributions groupBy, which is the algorithm's inherent
+          // one. This is exactly the documented 100 TB shape
+          // ("pre-partitioned by node, shuffle reused across
+          // iterations") made real in the plan.
+          .repartition(col("a"))
         // (src, tgt, outdeg) computed ONCE; every iteration rescans
         // this checkpointed edge table instead of re-deriving it.
         // The five iterations build ONE lazy 5-level plan executed in
@@ -163,6 +175,7 @@ object Round6cQueries {
         // blocks; a 5-deep tree over a checkpointed edge list is
         // well inside Catalyst's comfort zone).
         val edgesW = edges.join(deg, "a").localCheckpoint(true)
+          .repartition(col("a")) // same: shuffle the edge list ONCE
         var ranks = deg.select(col("a").as("node"),
           lit(1000000L).as("rank_u"))
         for (_ <- 1 to 5) {
