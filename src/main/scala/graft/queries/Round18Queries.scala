@@ -55,8 +55,14 @@ object Round18Queries {
 
   private[graft] def x34BenchBuild(s: SparkSession, d: String,
       dir: String): Long = {
+    // materialized ONCE inside the timed build: the 34 appends below
+    // each filter one id range, and without this every append re-ran
+    // the parquet scan + projection (34 corpus reads for one table
+    // build). Same rows, same per-append single-partition writes (the
+    // x34_files gauges pin the 33-file layout).
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
+      .localCheckpoint(true)
     val w = docs.agg(max("doc_id")).head.getLong(0) / 33 + 1
     (0 until 32).foreach { i => // v1..v32: id-range-clustered batches
       ManifestScan.appendBatch(s, dir,

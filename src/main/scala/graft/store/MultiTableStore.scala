@@ -111,17 +111,14 @@ final class MultiTableStore(
     val encoded = MultiTableStore.encode(df, model, idCol, embCol)
     // staged write + read-merge-CAS append: concurrent adds can't share
     // scratch dirs and both land; unlogged dirs are adopted (r10
-    // ADVICE). Narrow (micro-batch) inputs keep the no-exchange path;
-    // inputs wider than the table×bucket grid get one batch-sized
-    // exchange so the append writes ≤ grid files instead of
-    // inputTasks × grid (see VectorStore.add — the per-file overhead
-    // around a wide write was the measured cost, and the ×L encode
-    // multiplies the file count here).
+    // ADVICE). Pre-write exchange to the table×bucket grid,
+    // unconditionally (r15): bounds a wide append at ≤ grid files AND
+    // gives narrow micro-batches grid-way write parallelism — without
+    // it a 1-partition batch writes all ~64 touched partitions'
+    // files sequentially in one task (measured 1.6 → 1.2 s per
+    // scatter); the batch-sized exchange is noise next to either.
     val grid = model.cfg.numHashTables * model.bucketsPerTable
-    val out =
-      if (encoded.rdd.getNumPartitions > grid)
-        encoded.repartition(grid, col("table"), col("bucket"))
-      else encoded
+    val out = encoded.repartition(grid, col("table"), col("bucket"))
     val created = FileLog.stagedWrite(spark, path, stage =>
       out.write.mode("overwrite").partitionBy("table", "bucket").parquet(stage))
     FileLog.transact(spark, path) { cur =>
@@ -353,6 +350,10 @@ object MultiTableStore {
   /** One stored row per (table, input row) with its per-table 2^k
     * bucket code — the ×L scatter, shared by build and add.
     */
+  /** Dev-probe hook for [[encode]]. */
+  private[graft] def testEncode(df: DataFrame, model: LshModel): DataFrame =
+    encode(df, model, "id", "embedding")
+
   private def encode(df: DataFrame, model: LshModel,
                      idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))

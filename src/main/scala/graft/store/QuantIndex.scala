@@ -372,19 +372,17 @@ final class QuantIndex(
     val encoded = QuantIndex.encode(df, model, idCol, embCol)
     // staged write + read-merge-CAS append: concurrent adds can't share
     // scratch dirs and both land; unlogged dirs are adopted (r10 ADVICE).
-    // Pre-write exchange ONLY for wide inputs (an ingest micro-batch
-    // has few partitions and keeps its no-exchange path — see
-    // VectorStore.add): an N-partition batch writes up to N × cells
-    // files — 32-partition 1k-row adds measured ~6.5 s each, almost
-    // all of it per-file cost around the write (footer reads, renames,
-    // the next reader's opens, compact's heal). The exchange bounds an
-    // add at ≤ cells files; its cells-way write parallelism for wide
-    // batches is the same deliberate trade compact() makes (bulk loads
-    // belong in build(), not repeated wide adds).
-    val out =
-      if (encoded.rdd.getNumPartitions > model.cfg.ivfCells)
-        encoded.repartition(model.cfg.ivfCells, col("cell"))
-      else encoded
+    // Pre-write exchange to the CELL grid, unconditionally (r15): it
+    // bounds an add at ≤ cells files for wide inputs (32-partition
+    // 1k-row adds measured ~6.5 s each without it, almost all per-file
+    // cost) AND gives narrow micro-batches cells-way WRITE parallelism
+    // — without it a 1-partition batch writes every touched cell's
+    // file sequentially in one task (sort-based dynamic-partition
+    // writer), measured 1.6 → 1.2 s per scatter on the ×L twin. The
+    // batch-sized exchange is noise next to either. (The old
+    // conditional also paid `.rdd.getNumPartitions` — a full physical
+    // planning of the batch — just to decide.)
+    val out = encoded.repartition(model.cfg.ivfCells, col("cell"))
     val created = FileLog.stagedWrite(spark, dataDir, stage =>
       out.write.mode("overwrite").partitionBy("cell").parquet(stage))
     val createdZones = FileLog.collectZones(spark, created, QuantIndex.ZoneCols)

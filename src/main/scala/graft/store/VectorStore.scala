@@ -102,21 +102,18 @@ final class VectorStore(
     // staged write: writer-private scratch (concurrent adds can't share
     // a _temporary dir) and an exact `created` list — O(batch), never
     // an O(table) directory diff.
-    // No pre-write repartition for NARROW inputs (the ingest
-    // micro-batch shape: few input tasks → few files; an exchange per
-    // micro-batch was tried and bought nothing at bench scale while
-    // adding a stage to every batch). A WIDE input would write up to
-    // inputTasks × touchedBuckets files — measured at ~6.5 s/add of
-    // per-file overhead on the quant twin — so inputs wider than the
-    // bucket count get one batch-sized exchange, bounding the append
-    // at ≤ numBuckets files (the same bucket-way write parallelism
-    // compact() uses; bulk loads belong in build()). delete/upsert
-    // concentrate already: their input is a wide bucket scan and
-    // their output REPLACES files in the log.
-    val out =
-      if (bucketed.rdd.getNumPartitions > model.numBuckets)
-        bucketed.repartition(model.numBuckets, col("bucket"))
-      else bucketed
+    // Pre-write exchange to the bucket grid, unconditionally (r15): it
+    // bounds a wide append at ≤ numBuckets files (the ~6.5 s/add
+    // per-file overhead measured on the quant twin) AND gives a narrow
+    // micro-batch bucket-way write parallelism — without it one task
+    // writes every touched bucket's file sequentially (sort-based
+    // dynamic-partition writer; measured 1.6 → 1.2 s per scatter on
+    // the ×L twin). The batch-sized exchange is noise next to either,
+    // and the decision no longer pays `.rdd.getNumPartitions` (a full
+    // physical planning of the batch). delete/upsert concentrate
+    // already: their input is a wide bucket scan and their output
+    // REPLACES files in the log.
+    val out = bucketed.repartition(model.numBuckets, col("bucket"))
     val created = FileLog.stagedWrite(spark, path, stage =>
       out.write.mode("overwrite").partitionBy("bucket").parquet(stage))
     FileLog.transact(spark, path) { cur =>
