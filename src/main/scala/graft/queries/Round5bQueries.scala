@@ -236,7 +236,7 @@ object Round5bQueries {
           import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
           Tables.events(s, d)
           val schema = s.read.parquet(s"$d/events.parquet").schema
-          val name = s"s19_sink_${sinkId.incrementAndGet()}"
+          val name = StreamingQueries.freshSinkName(s, "s19_sink")
           val ckpt = graft.util.TempDirs.create("graft_s19_ckpt").toString
           val srcDir = graft.util.TempDirs.create("graft_s19_src")
           java.nio.file.Files.copy(

@@ -22,6 +22,34 @@ object StreamingQueries {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Memory-sink names created by earlier streaming runs in this JVM,
+    * dropped at the NEXT stream's start. A memory sink holds its full
+    * result in the DRIVER until its temp view is released: a 300-query
+    * bench/verify sweep (stabilized rows re-run 4×) otherwise
+    * accumulates every streaming row's output as permanent GC ballast
+    * — the measured ambient inflation on late-sweep rows (e.g. v19:
+    * 2.4 s isolated vs 9.2 s in-sweep at r15's baseline). Dropping at
+    * the next start is safe for the PREVIOUS query's still-unread
+    * frame: `s.table(name)` analyzed eagerly, so that frame binds the
+    * sink relation directly — the catalog drop only removes the name.
+    */
+  private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Register a fresh memory-sink name, dropping every sink an earlier
+    * streaming run left behind (see [[liveSinks]]).
+    */
+  private[queries] def freshSinkName(s: SparkSession, prefix: String): String = {
+    var old = liveSinks.poll()
+    while (old != null) {
+      try s.catalog.dropTempView(old)
+      catch { case _: Throwable => () }
+      old = liveSinks.poll()
+    }
+    val name = s"${prefix}_${sinkId.incrementAndGet()}"
+    liveSinks.add(name)
+    name
+  }
+
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered.
     *
     * Every stateful streaming operator maintains one state store PER
@@ -78,7 +106,7 @@ object StreamingQueries {
       build: DataFrame => DataFrame): DataFrame = {
     Tables.events(s, d) // force nanosAsLong before the streaming read
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = s"stream_sink_${sinkId.incrementAndGet()}"
+    val name = freshSinkName(s, "stream_sink")
     val ckpt = graft.util.TempDirs.create("graft_ckpt").toString
     val srcDir = graft.util.TempDirs.create("graft_src")
     (1 to copies).foreach { i =>
@@ -222,7 +250,7 @@ object StreamingQueries {
       (s, d) => {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"s6_sink_${System.identityHashCode(schema)}_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s6_sink")
         val ckpt = graft.util.TempDirs.create("graft_s6_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s6_src")
         java.nio.file.Files.copy(
@@ -310,7 +338,7 @@ object StreamingQueries {
         import org.apache.spark.sql.streaming.GroupStateTimeout
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"s8_sink_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s8_sink")
         val ckpt = graft.util.TempDirs.create("graft_s8_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s8_src")
         java.nio.file.Files.copy(
@@ -367,7 +395,7 @@ object StreamingQueries {
       (s, d) => {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"s9_sink_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s9_sink")
         val ckpt = graft.util.TempDirs.create("graft_s9_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s9_src")
         java.nio.file.Files.copy(
@@ -407,7 +435,7 @@ object StreamingQueries {
       (s, d) => {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"s10_sink_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s10_sink")
         val ckpt = graft.util.TempDirs.create("graft_s10_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s10_src")
         val full = s.read.parquet(s"$d/events.parquet")
@@ -467,7 +495,7 @@ object StreamingQueries {
       (s, d) => {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"s11_sink_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s11_sink")
         val ckpt = graft.util.TempDirs.create("graft_s11_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s11_src")
         java.nio.file.Files.copy(
@@ -533,7 +561,7 @@ object StreamingQueries {
         try {
           Tables.events(s, d)
           val schema = s.read.parquet(s"$d/events.parquet").schema
-          val name = s"s12_sink_${sinkId.incrementAndGet()}"
+          val name = freshSinkName(s, "s12_sink")
           val ckpt = graft.util.TempDirs.create("graft_s12_ckpt").toString
           val srcDir = graft.util.TempDirs.create("graft_s12_src")
           java.nio.file.Files.copy(
@@ -632,7 +660,7 @@ object StreamingQueries {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
         val schema = s.read.parquet(s"$d/documents.parquet").schema
-        val name = s"s14_sink_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s14_sink")
         val ckpt = graft.util.TempDirs.create("graft_s14_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s14_src")
         java.nio.file.Files.copy(
@@ -748,7 +776,7 @@ object StreamingQueries {
       (s, d) => {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"s16_sink_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s16_sink")
         val ckpt = graft.util.TempDirs.create("graft_s16_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s16_src")
         java.nio.file.Files.copy(
@@ -781,7 +809,7 @@ object StreamingQueries {
       (s, d) => {
         Tables.events(s, d)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"s17_sink_${sinkId.incrementAndGet()}"
+        val name = freshSinkName(s, "s17_sink")
         val ckpt = graft.util.TempDirs.create("graft_s17_ckpt").toString
         val srcDir = graft.util.TempDirs.create("graft_s17_src")
         java.nio.file.Files.copy(
@@ -824,7 +852,7 @@ object StreamingQueries {
           import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
           Tables.events(s, d)
           val schema = s.read.parquet(s"$d/events.parquet").schema
-          val name = s"s18_sink_${sinkId.incrementAndGet()}"
+          val name = freshSinkName(s, "s18_sink")
           val ckpt = graft.util.TempDirs.create("graft_s18_ckpt").toString
           val srcDir = graft.util.TempDirs.create("graft_s18_src")
           java.nio.file.Files.copy(
